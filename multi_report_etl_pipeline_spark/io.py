@@ -1,0 +1,85 @@
+"""Sources and sinks.
+
+Reference parity:
+- table scan (01_staging_layer.sql:44,106) -> ``spark.read.parquet``
+- ``CREATE VIEW`` (01:23-25 etc.)          -> ``createOrReplaceTempView``
+  (both are lazy named logical plans; README.md:116 "no materialization")
+- CSV export (reference README.md:71-76)   -> ``write_csv``
+Plus the sinks a 100 TB deployment actually wants: partitioned Parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic table. Parquet so filter/column pushdown applies."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every base table as a temp view (lazy, like the reference's
+    raw tables) so both the DataFrame API and ``spark.sql`` can reach them."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV export sink (reference README.md:72-76 `.mode csv`).
+
+    ``single_file`` reproduces the reference's one-file-per-report shape for
+    small exports; at scale leave it False so each task writes its split.
+    """
+    writer = df.coalesce(1) if single_file else df
+    writer.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table_name: str | None = None,
+) -> None:
+    """Canonical large-scale sink: partitioned (and optionally bucketed)
+    Parquet. Bucketing by join key (e.g. account_id) lets downstream joins
+    skip the shuffle entirely — the Spark replacement for the reference's
+    CREATE INDEX (01_staging_layer.sql:13-14)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucketBy requires saveAsTable; pass table_name")
+        writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
+        return
+    writer.parquet(path)

@@ -1,0 +1,174 @@
+"""Reference-surface queries (SURVEY.md §2.1-§2.8), oracle-checked.
+
+Covers: scans, the domain staging tables, all five cleansing views
+(projection / CASE normalization / date parsing / window dedup), the three
+report compositions (left-join chains, existence flags, COALESCE
+sentinels, report-level dedup), and the data-quality probe family
+(02_reporting_layer.sql:14-27; README.md:120-136).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_report_etl_pipeline_spark import domain, oracle, reports, staging
+from multi_report_etl_pipeline_spark.io import read_table
+from multi_report_etl_pipeline_spark.queries import QuerySpec
+
+
+def build_staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Raw scans -> domain staging tables -> the five clean views.
+
+    Everything is lazy; calling this repeatedly only rebuilds logical
+    plans (the reference's non-materialized-view model, README.md:116).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    stg_accounts = domain.stg_accounts_df(orders)
+    stg_activities = domain.stg_activities_df(lineitem, orders)
+    return {
+        "stg_accounts": stg_accounts,
+        "stg_activities": stg_activities,
+        "clean_accounts": staging.clean_accounts(stg_accounts),
+        "clean_contacts_primary": staging.clean_contacts_primary(stg_activities),
+        "clean_contacts_field": staging.clean_contacts_field(stg_activities),
+        "clean_contacts_promise": staging.clean_contacts_promise(stg_activities),
+        "clean_contacts_restructure": staging.clean_contacts_restructure(stg_activities),
+    }
+
+
+def _view_query(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_staging(spark, sf_dir)[name]
+
+    return run
+
+
+def _report_mortgage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = build_staging(spark, sf_dir)
+    return reports.report_mortgage_portfolio(
+        v["clean_accounts"], v["clean_contacts_primary"], v["clean_contacts_field"]
+    )
+
+
+def _report_restructuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = build_staging(spark, sf_dir)
+    return reports.report_restructuring_pipeline(
+        v["clean_accounts"],
+        v["clean_contacts_primary"],
+        v["clean_contacts_field"],
+        v["clean_contacts_restructure"],
+    )
+
+
+def _report_promises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = build_staging(spark, sf_dir)
+    return reports.report_commercial_promises(
+        v["clean_accounts"], v["clean_contacts_primary"], v["clean_contacts_promise"]
+    )
+
+
+def _quality_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 probes (02:14-27): row count + distinct-key count per view."""
+    v = build_staging(spark, sf_dir)
+    parts = [
+        v[name].agg(
+            F.lit(name).alias("view_name"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("account_id").alias("distinct_accounts"),
+        )
+        for name in (
+            "clean_accounts",
+            "clean_contacts_primary",
+            "clean_contacts_field",
+            "clean_contacts_promise",
+            "clean_contacts_restructure",
+        )
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _quality_duplicate_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 probe (README.md:126-130): accounts with >1 operation row."""
+    v = build_staging(spark, sf_dir)
+    return (
+        v["clean_accounts"]
+        .filter(F.col("account_id").isNotNull())
+        .groupBy("account_id")
+        .agg(F.count(F.lit(1)).alias("op_count"))
+        .filter(F.col("op_count") > 1)
+    )
+
+
+def _quality_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-integrity probe (README.md:123-124)."""
+    v = build_staging(spark, sf_dir)
+    parts = [
+        v[name]
+        .filter(F.col("account_id").isNull())
+        .agg(F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("null_keys"))
+        for name in ("stg_accounts", "stg_activities")
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _quality_date_parse_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-parse probe (README.md:132-136), made deterministic with
+    ORDER BY before the LIMIT."""
+    v = build_staging(spark, sf_dir)
+    return (
+        v["stg_activities"]
+        .filter(
+            staging.parse_ddmmyyyy("activity_date").isNull()
+            & F.col("activity_date").isNotNull()
+        )
+        .select("account_id", "activity_id", F.col("activity_date").alias("raw_activity_date"))
+        .orderBy(F.col("activity_id").asc())
+        .limit(10)
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # domain adapter sanity: the two raw staging tables themselves
+    "stg_accounts": QuerySpec(
+        _view_query("stg_accounts"), oracle.with_prelude("SELECT * FROM stg_accounts")
+    ),
+    "stg_activities": QuerySpec(
+        _view_query("stg_activities"), oracle.with_prelude("SELECT * FROM stg_activities")
+    ),
+    # staging layer (01_staging_layer.sql)
+    "clean_accounts": QuerySpec(
+        _view_query("clean_accounts"), oracle.view_sql("clean_accounts")
+    ),
+    "clean_contacts_primary": QuerySpec(
+        _view_query("clean_contacts_primary"), oracle.view_sql("clean_contacts_primary")
+    ),
+    "clean_contacts_field": QuerySpec(
+        _view_query("clean_contacts_field"), oracle.view_sql("clean_contacts_field")
+    ),
+    "clean_contacts_promise": QuerySpec(
+        _view_query("clean_contacts_promise"), oracle.view_sql("clean_contacts_promise")
+    ),
+    "clean_contacts_restructure": QuerySpec(
+        _view_query("clean_contacts_restructure"),
+        oracle.view_sql("clean_contacts_restructure"),
+    ),
+    # reporting layer (02_reporting_layer.sql)
+    "report_mortgage_portfolio": QuerySpec(_report_mortgage, oracle.report_mortgage_sql()),
+    "report_restructuring_pipeline": QuerySpec(
+        _report_restructuring, oracle.report_restructuring_sql()
+    ),
+    "report_commercial_promises": QuerySpec(_report_promises, oracle.report_promises_sql()),
+    # quality probes
+    "quality_view_counts": QuerySpec(_quality_view_counts, oracle.quality_view_counts_sql()),
+    "quality_duplicate_operations": QuerySpec(
+        _quality_duplicate_operations, oracle.quality_duplicate_operations_sql()
+    ),
+    "quality_null_keys": QuerySpec(_quality_null_keys, oracle.quality_null_keys_sql()),
+    "quality_date_parse_failures": QuerySpec(
+        _quality_date_parse_failures, oracle.quality_date_parse_failures_sql()
+    ),
+}
