@@ -31,8 +31,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one synthetic table. Parquet so filter/column pushdown applies."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Scan one synthetic table. Parquet so filter/column pushdown applies.
+
+    events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
+    (nanosAsLong, see session.py) and we convert to a microsecond
+    timestamp here — integer ns-div-1000 truncation, bit-identical to
+    DuckDB's ns->us cast."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(

@@ -1,0 +1,194 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design:
+- exact: one shuffle on the 128-bit fingerprint; keep min-id per group.
+- n-gram Jaccard: shingle -> explode -> self-join on shingle -> count.
+  Exact but O(sum df(shingle)^2) in pair generation; the ``max_df`` knob
+  drops ubiquitous shingles (stopword runs) which is what keeps the join
+  skew-free on web-scale corpora.
+- MinHash-LSH (Spark ML): signatures + banded bucketing turn the
+  quadratic candidate space into per-bucket joins; tune num hash tables
+  vs recall. approxSimilarityJoin is the 100 TB path.
+- SimHash: 64-bit signature from token hashes; band the signature into
+  4x16-bit keys so candidate pairs share at least one band (Hamming<=3
+  guaranteed to collide in >=1 band by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from multi_report_etl_pipeline_spark.operators.text import fingerprint, normalized
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text (lowest id wins —
+    deterministic, unlike dropDuplicates)."""
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("fingerprint", fingerprint(text_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per document. Documents
+    with fewer than n words are dropped (no shingle is defined)."""
+    sh = F.expr(
+        f"transform(sequence(0, size(words) - {n}), "
+        f"i -> array_join(slice(words, i + 1, {n}), ' '))"
+    )
+    return (
+        df.withColumn("words", F.split(normalized(text_col), " "))
+        .filter(F.size(F.col("words")) >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity >= threshold.
+
+    ``max_df`` (document-frequency cap) drops shingles appearing in more
+    than that many docs before the self-join — the skew guard for large
+    corpora. Leave None for exact semantics (the oracle-checked form).
+    """
+    sh = shingles(df, text_col, n)
+    if max_df is not None:
+        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("common")
+    ).cast("double")
+    return (
+        common.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    num_hash_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via Spark ML MinHashLSH over shingle
+    sets (HashingTF space). Fixed seed -> deterministic row set; not
+    SQL-expressible, so the correctness gate is a recall test against
+    ngram_jaccard_pairs (tests/test_llm_ops.py)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH  # noqa: PLC0415
+
+    sh = shingles(df, text_col, n).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set")
+    )
+    tf = HashingTF(inputCol="sh_set", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    # approxSimilarityJoin distance = 1 - estimated Jaccard
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_id_1"),
+            F.col("datasetB.doc_id").alias("doc_id_2"),
+            F.round(1.0 - F.col("dist"), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: sign-sum of xxhash64(token) bits.
+
+    Pure DataFrame ops: explode tokens -> per-bit +/-1 votes via bitwise
+    expressions -> sum -> reassemble signature. One shuffle on doc_id.
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.split(normalized(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs whose SimHash Hamming distance <= max_hamming,
+    found by banding the 64-bit signature into 4 x 16-bit keys (any pair
+    within distance 3 collides on >=1 band). Scale: 4 narrow self-joins
+    on short keys instead of a full cross join."""
+    sigs = simhash_signatures(df, text_col)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    candidates = None
+    for b in range(4):
+        a = bands.alias("a")
+        c = bands.alias("c")
+        cand = a.join(
+            c,
+            (F.col(f"a.band{b}") == F.col(f"c.band{b}"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("c.doc_id").alias("doc_id_2"),
+            F.col("a.simhash").alias("sig1"),
+            F.col("c.simhash").alias("sig2"),
+        )
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (
+        candidates.dropDuplicates(["doc_id_1", "doc_id_2"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )

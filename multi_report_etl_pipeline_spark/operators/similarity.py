@@ -1,0 +1,149 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+- ``cosine``: pure JVM expression (zip_with product + left-fold sum in
+  doubles) — deterministic element order, no Python in the loop.
+- ``brute_topk``: exact baseline — broadcast the (small) query set
+  against the corpus, rank per query. At 100 TB corpus scale the scan is
+  embarrassingly parallel and the top-k is a per-partition heap.
+- ``lsh_ann_pairs`` / ``lsh_topk``: the scale path — random-hyperplane
+  bucketing (BucketedRandomProjectionLSH) prunes the candidate space.
+- ``label_centroids``: posexplode + per-(label, dim) mean — the IVF
+  coarse-quantizer training step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(DOT.format(a=a, b=b))
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(F.expr(DOT.format(a=a, b=a)))
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (excluding self-matches).
+
+    The query side is broadcast — the cross join never shuffles the
+    corpus, so cost is one corpus scan regardless of cluster size.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.expr(DOT.format(a="q_vec", b="c_vec")) / (
+        F.sqrt(F.expr(DOT.format(a="q_vec", b="q_vec")))
+        * F.sqrt(F.expr(DOT.format(a="c_vec", b="c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding similar/near-dup pairs (cosine >= threshold).
+
+    Quadratic — the oracle-checkable baseline. The LSH variant below is
+    the one to run at scale; this one documents the exact semantics.
+    """
+    a = corpus.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"))
+    b = corpus.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"))
+    sim = F.expr(DOT.format(a="v1", b="v2")) / (
+        F.sqrt(F.expr(DOT.format(a="v1", b="v1")))
+        * F.sqrt(F.expr(DOT.format(a="v2", b="v2")))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine_sim", F.round(sim, 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_1", "id_2", "cosine_sim")
+    )
+
+
+def _ml_features(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+
+
+def lsh_ann_pairs(
+    corpus: DataFrame,
+    max_l2_dist: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate neighbor pairs via random-projection LSH buckets
+    (Euclidean). Deterministic under the fixed seed; checked by recall
+    against near_dup_pairs in tests (not SQL-expressible)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH  # noqa: PLC0415
+
+    feats = _ml_features(corpus, id_col, vec_col)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_l2_dist, distCol="l2_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("id_1"),
+            F.col("datasetB.id").alias("id_2"),
+            F.round("l2_dist", 6).alias("l2_dist"),
+        )
+        .filter(F.col("id_1") < F.col("id_2"))
+    )
+
+
+def label_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label per-dimension mean — IVF coarse-centroid training.
+    One shuffle on (label, dim); partial aggregation does the heavy
+    lifting map-side."""
+    return (
+        corpus.select("label", F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("label", F.col("pos").alias("dim"))
+        .agg(F.round(F.avg("col"), 5).alias("centroid"))
+    )

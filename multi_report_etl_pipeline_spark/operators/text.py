@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+language ID, quality scoring, fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs. Each operator is a narrow map over
+the scan: embarrassingly parallel, no shuffle, so it scales linearly with
+input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Per-language marker words for the n-gram/stopword language heuristic.
+# Deliberately tiny and deterministic; real deployments swap in fastText &
+# friends via the same operator shape (mapInPandas over batches).
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# non-space symbols — a cheap public approximation of byte-pair pretoken
+# splitting (the \p{L} classes work in both Java regex and RE2).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalized(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization of the normalized text."""
+    return F.split(normalized(col), r" ")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def marker_hits(col: Column | str, markers: list[str]) -> Column:
+    """How many marker-word occurrences the text contains."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), 0))
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: marker_hits(col, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def language_id(col: Column | str) -> Column:
+    """Argmax over marker-hit scores with a fixed priority tie-break
+    (en > es > fr > de, then unknown when all scores are zero)."""
+    s = language_scores(col)
+    return (
+        F.when(
+            (s["en"] + s["es"] + s["fr"] + s["de"]) == 0, "unknown"
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword signals for quality filtering."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = token_count_ws(c)
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    stop_hits = marker_hits(c, STOPWORDS)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(punct.cast("double") / n_chars.cast("double"), 6),
+        "stopword_ratio": F.round(stop_hits.cast("double") / n_tokens.cast("double"), 6),
+        "avg_token_len": F.round(n_chars.cast("double") / n_tokens.cast("double"), 6),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: reward length (saturating at 100
+    tokens) and stopword density, penalize punctuation soup."""
+    f = quality_features(col)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - f["punct_ratio"])
+        + F.lit(0.3) * F.least(f["stopword_ratio"] * 5, F.lit(1.0)),
+        6,
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (The exact-dedup key; md5 is identical across engines, so the oracle
+    can reproduce it.)"""
+    return F.md5(normalized(col).cast("binary"))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    feats = quality_features(text_col)
+    return df.select(
+        "*",
+        token_count_ws(text_col).alias("n_tokens_ws"),
+        token_count_bpe(text_col).alias("n_tokens_bpe"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        language_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

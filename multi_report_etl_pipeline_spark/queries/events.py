@@ -1,3 +1,207 @@
-"""Placeholder — filled in by later milestones."""
+"""Event-stream analytics, batch form (SURVEY.md §2.9 "streaming
+analytics"). Every operator here has a Structured Streaming twin in
+``multi_report_etl_pipeline_spark.streaming`` (same logical plan over
+``readStream``); the batch form is what the DuckDB oracle can check, and
+Spark guarantees batch/streaming semantics agree for these operators.
 
-QUERIES: dict = {}
+- tumbling / sliding windows  -> F.window(ts, ...)
+- session windows             -> F.session_window(ts, gap)   (oracle:
+  classic gaps-and-islands SQL — lag + running flag sum)
+- JSON property extraction    -> get_json_object (events.props is a JSON
+  string column, the "typed metadata over opaque payload" pattern)
+- pivoted counts              -> groupBy().pivot() with explicit values
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_report_etl_pipeline_spark.io import read_table
+from multi_report_etl_pipeline_spark.queries import QuerySpec
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value sum.
+
+    At scale: partial agg before the shuffle on (window, type); with a
+    watermark this exact plan runs incrementally under readStream.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # decimal sum: exact and order-independent (value has 2dp)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+WINDOWED_COUNTS_SQL = """
+SELECT
+    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    event_type,
+    COUNT(*) AS cnt,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h size, 1h slide): each event lands in 2 windows."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # portable half-up average at 4dp: pure integer arithmetic
+            # (ROUND on doubles is engine-dependent at .5 boundaries —
+            # Spark rounds the shortest decimal string, DuckDB the binary)
+            (
+                F.expr(
+                    "CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 100"
+                    " + count(1)) DIV (2 * count(1)) AS DOUBLE) / 10000"
+                )
+            ).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+SLIDING_AVG_SQL = """
+WITH assigned AS (
+    SELECT e.*, date_trunc('hour', ts) - (o.off * INTERVAL 1 HOUR) AS window_start
+    FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+)
+SELECT
+    strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+    event_type,
+    COUNT(*) AS cnt,
+    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 100
+          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000 AS avg_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min inactivity) per user via session_window.
+
+    The oracle is the classic gaps-and-islands rewrite — which is also
+    what you'd hand-write on engines without native session windows; on
+    Spark the native operator is one shuffle on user_id and streams under
+    watermarks.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+SESSIONIZATION_SQL = """
+WITH ordered AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE OR
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+islands AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+    FROM ordered
+)
+SELECT
+    user_id,
+    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS session_value
+FROM islands GROUP BY user_id, session_id
+"""
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata out of an opaque JSON payload column (multimodal
+    pattern: binary/JSON blob + extracted typed fields)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT
+    event_type,
+    COUNT(*) AS cnt,
+    ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+    MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+    MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one count column per event type (explicit
+    value list — never let pivot scan for distinct values at scale)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+DAILY_PIVOT_SQL = """
+SELECT
+    strftime(ts, '%Y-%m-%d') AS day,
+    COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+    COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+    COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+    COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+    COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_windowed_counts": QuerySpec(windowed_counts, WINDOWED_COUNTS_SQL),
+    "events_sliding_avg": QuerySpec(sliding_avg, SLIDING_AVG_SQL),
+    "events_sessionization": QuerySpec(sessionization, SESSIONIZATION_SQL),
+    "events_json_props": QuerySpec(json_props_stats, JSON_PROPS_SQL),
+    "events_daily_type_pivot": QuerySpec(daily_type_pivot, DAILY_PIVOT_SQL),
+}

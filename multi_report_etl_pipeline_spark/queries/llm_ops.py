@@ -1,3 +1,279 @@
-"""Placeholder — filled in by later milestones."""
+"""LLM training-data pipeline queries: text analysis, dedup families,
+embedding similarity search, approximate aggregates.
 
-QUERIES: dict = {}
+Oracle-checked where SQL-expressible; the LSH/SimHash/approx operators are
+declared without oracles (driver records rows-only) and their quality is
+gated by recall tests in tests/test_llm_ops.py instead.
+
+The DuckDB SQL is generated from the same Python constants
+(LANG_MARKERS / STOPWORDS / BPE_TOKEN_PATTERN) the Spark expressions use,
+so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_report_etl_pipeline_spark.io import read_table
+from multi_report_etl_pipeline_spark.operators import dedup, similarity, text
+from multi_report_etl_pipeline_spark.queries import QuerySpec
+
+# ---------------------------------------------------------------- text ---
+
+# DuckDB needs the 'g' flag for global regexp_replace (Spark replaces all
+# occurrences by default).
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+_BPE = text.BPE_TOKEN_PATTERN
+_STOP_PAT = r"\b(" + "|".join(text.STOPWORDS) + r")\b"
+
+
+def _lang_pat(lang: str) -> str:
+    return r"\b(" + "|".join(text.LANG_MARKERS[lang]) + r")\b"
+
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_tokens_ws"),
+        text.token_count_bpe("text").alias("n_tokens_bpe"),
+        F.round(
+            F.length("text").cast("double") / text.token_count_ws("text").cast("double"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT
+    doc_id,
+    len({_WORDS}) AS n_tokens_ws,
+    len(regexp_extract_all(text, '{_BPE}')) AS n_tokens_bpe,
+    ROUND(CAST(length(text) AS DOUBLE) / CAST(len({_WORDS}) AS DOUBLE), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.language_id("text").alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '{_lang_pat(lang)}'))"
+        for lang in text.LANG_MARKERS
+    }
+    s = scores
+    return f"""
+SELECT doc_id, lang,
+    CASE
+        WHEN {s['en']} + {s['es']} + {s['fr']} + {s['de']} = 0 THEN 'unknown'
+        WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['de']} THEN 'en'
+        WHEN {s['es']} >= {s['fr']} AND {s['es']} >= {s['de']} THEN 'es'
+        WHEN {s['fr']} >= {s['de']} THEN 'fr'
+        ELSE 'de'
+    END AS lang_pred
+FROM documents
+"""
+
+
+def docs_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    feats = text.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH feats AS (
+    SELECT
+        doc_id,
+        ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        ROUND(CAST(len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS DOUBLE)
+              / CAST(len({_WORDS}) AS DOUBLE), 6) AS stopword_ratio,
+        len({_WORDS}) AS n_tokens
+    FROM documents
+)
+SELECT
+    doc_id,
+    punct_ratio,
+    stopword_ratio,
+    ROUND(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * least(stopword_ratio * 5, 1.0), 6) AS quality
+FROM feats
+"""
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+FINGERPRINT_SQL = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+
+
+# --------------------------------------------------------------- dedup ---
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "fingerprint")
+
+
+EXACT_DEDUP_SQL = f"""
+SELECT doc_id, fingerprint FROM (
+    SELECT doc_id, md5({_NORM}) AS fingerprint,
+           ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) AS rn
+    FROM documents
+) WHERE rn = 1
+"""
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+f AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(words) - 2),
+           i -> array_to_string(words[i + 1:i + 3], ' '))) AS shingles FROM f),
+e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+pairs AS (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS common
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       ROUND(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes s1 ON doc_id_1 = s1.doc_id
+JOIN sizes s2 ON doc_id_2 = s2.doc_id
+WHERE ROUND(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) >= 0.8
+"""
+
+
+def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(docs, jaccard_threshold=0.8)
+
+
+def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------- similarity ---
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.brute_topk(emb, queries, k=10)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+sims AS (
+    SELECT q_id, c_id,
+           list_dot_product(q_vec, c_vec)
+             / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec))) AS sim
+    FROM c CROSS JOIN q WHERE c_id <> q_id
+)
+SELECT q_id,
+       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank,
+       c_id,
+       ROUND(sim, 6) AS cosine_sim
+FROM sims
+QUALIFY rank <= 10
+"""
+
+
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(emb, threshold=0.4)
+
+
+EMB_NEAR_DUP_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+sims AS (
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           ROUND(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+             AS cosine_sim
+    FROM v a CROSS JOIN v b
+    WHERE a.vec_id < b.vec_id
+)
+SELECT id_1, id_2, cosine_sim FROM sims WHERE cosine_sim >= 0.4
+"""
+
+
+def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    # for unit-norm vectors, L2 <= sqrt(2*(1-cos)) <=> cosine >= 0.4
+    return similarity.lsh_ann_pairs(emb, max_l2_dist=1.0954451150103324)
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb)
+
+
+CENTROIDS_SQL = """
+SELECT label, i - 1 AS dim, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 5) AS centroid
+FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------------------- approx ---
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts — sketch values are engine-specific,
+    so no oracle; accuracy is asserted in tests against exact counts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch — rows-only for the driver; bounded-error
+    assertion lives in tests."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_pcts")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "docs_token_stats": QuerySpec(docs_token_stats, TOKEN_STATS_SQL),
+    "docs_language_id": QuerySpec(docs_language_id, _lang_id_sql()),
+    "docs_text_quality": QuerySpec(docs_text_quality, TEXT_QUALITY_SQL),
+    "docs_fingerprint": QuerySpec(docs_fingerprint, FINGERPRINT_SQL),
+    "docs_exact_dedup": QuerySpec(docs_exact_dedup, EXACT_DEDUP_SQL),
+    "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "docs_minhash_near_dup": QuerySpec(docs_minhash_near_dup, None),
+    "docs_simhash_near_dup": QuerySpec(docs_simhash_near_dup, None),
+    "emb_cosine_topk": QuerySpec(emb_cosine_topk, COSINE_TOPK_SQL),
+    "emb_near_dup_pairs": QuerySpec(emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
+    "emb_lsh_ann": QuerySpec(emb_lsh_ann, None),
+    "emb_label_centroids": QuerySpec(emb_label_centroids, CENTROIDS_SQL),
+    "lineitem_approx_distinct": QuerySpec(approx_distinct, None),
+    "events_value_percentiles": QuerySpec(value_percentiles, None),
+}

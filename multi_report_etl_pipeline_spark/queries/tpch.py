@@ -1,3 +1,330 @@
-"""Placeholder — filled in by later milestones."""
+"""Grouped-analytics query pack (SURVEY.md §2.9 "grouped analytics beyond
+reference"): aggregations, multi-way joins, top-k, ranking windows,
+rollup/cube, distinct counts — over the TPC-H-ish tables.
 
-QUERIES: dict = {}
+Numeric determinism convention (hash-matched against DuckDB): money math
+is done on DECIMAL(18,2) casts, never raw doubles — decimal sums are
+exact and order-independent, so Spark's parallel partial aggregation and
+DuckDB's single-threaded sum agree bit-for-bit. Averages over doubles are
+rounded to 4 decimals on both sides.
+
+Scale notes: all dimension joins (region/nation/supplier/customer) are
+explicit ``F.broadcast`` — at 100 TB the fact tables shuffle only for the
+final groupBy, and AQE handles skew. Top-k uses sort+limit, which Spark
+executes as TakeOrderedAndProject (per-partition heap, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multi_report_etl_pipeline_spark.io import read_table
+from multi_report_etl_pipeline_spark.queries import QuerySpec
+
+DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures.
+
+    The plan to want at 100 TB: Parquet scan with shipdate pushed down ->
+    partial hash agg (map-side) -> exchange on 2 low-cardinality keys ->
+    final agg. No sort until the tiny result.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(28,2)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(28,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(32,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(36,6)").alias("sum_charge"),
+            # avgs via exact decimal sums -> double -> one division, so the
+            # 4-decimal rounding can't straddle a cross-engine sum-order ulp
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(32,4)) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(36,6)) AS sum_charge,
+    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + grouped revenue + top-10.
+
+    customer is the small side (broadcast); orders⋈lineitem shuffles on
+    the shared orderkey. Top-10 via TakeOrderedAndProject.
+    """
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("decimal(32,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT
+    l_orderkey,
+    strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+    o_orderpriority,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(32,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, dims broadcast, grouped revenue."""
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    supplier = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (cust.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("decimal(32,4)").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT
+    n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(32,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def orders_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by order volume: join + agg + deterministic top-k."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("decimal(28,2)").alias("total_spend"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT
+    c_custkey, c_name, c_mktsegment,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_spend,
+    COUNT(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def lineitem_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows (rank / dense_rank / lag / lead) per order — the
+    analytic-function family the reference lacks (SURVEY.md §2.6)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").asc(), F.col("l_linenumber").asc()
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"),
+        _dec("l_quantity").alias("quantity"),
+        F.row_number().over(w).alias("ship_seq"),
+        F.rank().over(w).alias("ship_rank"),
+        F.lag(_dec("l_quantity"), 1).over(w).alias("prev_qty"),
+        F.lead(_dec("l_quantity"), 1).over(w).alias("next_qty"),
+        F.sum(_dec("l_quantity"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(28,2)")
+        .alias("running_qty"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT
+    l_orderkey,
+    l_linenumber,
+    strftime(l_shipdate, '%Y-%m-%d') AS shipdate,
+    CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+    ROW_NUMBER() OVER w AS ship_seq,
+    RANK() OVER w AS ship_rank,
+    LAG(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER w AS prev_qty,
+    LEAD(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER w AS next_qty,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        PARTITION BY l_orderkey ORDER BY l_shipdate ASC, l_linenumber ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS DECIMAL(28,2)) AS running_qty
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate ASC, l_linenumber ASC)
+"""
+
+
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal/grand-total rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("l_quantity")).cast("decimal(28,2)").alias("sum_qty"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("l_extendedprice")).cast("decimal(28,2)").alias("sum_price"),
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregates (the hash-matchable counterpart of
+    approx_count_distinct, which lives in llm_ops as a rows-only query)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("distinct_flag_status"),
+    )
+
+
+DISTINCT_SQL = """
+SELECT
+    COUNT(DISTINCT l_orderkey) AS distinct_orders,
+    COUNT(DISTINCT l_partkey) AS distinct_parts,
+    COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+    COUNT(DISTINCT (l_returnflag, l_linestatus)) AS distinct_flag_status
+FROM lineitem
+"""
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit LEFT SEMI + LEFT ANTI (the reference only has the
+    left-join-as-existence-probe idiom; these are the first-class forms)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    urgent_with_lines = orders.filter(F.col("o_orderpriority") == "1-URGENT").join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    )
+    no_lines = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+    return urgent_with_lines.agg(F.count(F.lit(1)).alias("urgent_with_lines")).crossJoin(
+        no_lines.agg(F.count(F.lit(1)).alias("orders_without_lines"))
+    )
+
+
+SEMI_ANTI_SQL = """
+SELECT
+    (SELECT COUNT(*) FROM orders WHERE o_orderpriority = '1-URGENT'
+       AND o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS urgent_with_lines,
+    (SELECT COUNT(*) FROM orders
+       WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS orders_without_lines
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
+    "tpch_q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
+    "orders_top_customers": QuerySpec(orders_top_customers, TOP_CUSTOMERS_SQL),
+    "lineitem_window_rank": QuerySpec(lineitem_window_rank, WINDOW_RANK_SQL),
+    "lineitem_rollup": QuerySpec(lineitem_rollup, ROLLUP_SQL),
+    "lineitem_cube": QuerySpec(lineitem_cube, CUBE_SQL),
+    "lineitem_distinct_counts": QuerySpec(distinct_counts, DISTINCT_SQL),
+    "orders_semi_anti_join": QuerySpec(semi_anti_join, SEMI_ANTI_SQL),
+}

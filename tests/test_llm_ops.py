@@ -1,0 +1,74 @@
+"""LLM-pipeline operators: oracle differentials where SQL-expressible,
+recall/accuracy thresholds for the approximate family (SURVEY.md §7
+Phase 2: "for LSH/approx ops, oracle = exact computation + recall
+threshold")."""
+
+from __future__ import annotations
+
+import pytest
+
+from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ORACLE_CHECKED = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_matches_oracle(spark, duck, name):
+    df = QUERIES[name].fn(spark, SF_DIR)
+    assert_matches_oracle(df, duck, QUERIES[name].oracle)
+
+
+def _pair_set(df, c1, c2):
+    return {(r[c1], r[c2]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(spark):
+    """MinHash-LSH must recover nearly all exact Jaccard>=0.8 pairs."""
+    exact = _pair_set(QUERIES["docs_ngram_jaccard"].fn(spark, SF_DIR), "doc_id_1", "doc_id_2")
+    approx = _pair_set(
+        QUERIES["docs_minhash_near_dup"].fn(spark, SF_DIR), "doc_id_1", "doc_id_2"
+    )
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(exact)} exact pairs)"
+
+
+def test_simhash_finds_near_dups(spark):
+    """SimHash banding should surface a meaningful share of the exact
+    near-dup pairs (it targets higher similarity than Jaccard 0.8, so the
+    bar is lower than MinHash)."""
+    exact = _pair_set(QUERIES["docs_ngram_jaccard"].fn(spark, SF_DIR), "doc_id_1", "doc_id_2")
+    sim = _pair_set(QUERIES["docs_simhash_near_dup"].fn(spark, SF_DIR), "doc_id_1", "doc_id_2")
+    assert exact
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.5, f"simhash recall {recall:.2f} < 0.5"
+
+
+def test_lsh_ann_recall_vs_brute(spark):
+    """Random-projection LSH pairs must cover the exact cosine>=0.4 pairs
+    (unit-norm vectors: cosine>=0.4 <=> L2 <= sqrt(1.2))."""
+    exact = _pair_set(QUERIES["emb_near_dup_pairs"].fn(spark, SF_DIR), "id_1", "id_2")
+    approx = _pair_set(QUERIES["emb_lsh_ann"].fn(spark, SF_DIR), "id_1", "id_2")
+    assert exact, "fixture should contain cosine>=0.4 pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH ANN recall {recall:.2f} < 0.9"
+
+
+def test_approx_distinct_accuracy(spark):
+    row = QUERIES["lineitem_approx_distinct"].fn(spark, SF_DIR).collect()[0]
+    from multi_report_etl_pipeline_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey"), F.countDistinct("l_partkey"), F.countDistinct("l_suppkey")
+    ).collect()[0]
+    for approx, true in zip(row, exact):
+        assert abs(approx - true) / true < 0.1, f"approx {approx} vs exact {true}"
+
+
+def test_percentiles_bounded(spark):
+    row = QUERIES["events_value_percentiles"].fn(spark, SF_DIR).collect()[0]
+    p50, p90, p99 = row.value_pcts
+    assert 0 < p50 < p90 < p99
