@@ -45,6 +45,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, spark: SparkSession, target: int | None = None) -> DataFrame:
+    """Raise scan parallelism when the source has fewer splits than cores.
+
+    Single-row-group parquet files (like the local test fixtures) give the
+    scan one task, which serializes every downstream narrow op. When the
+    consumer shuffles full rows anyway (window dedup), a round-robin
+    repartition first costs one extra small shuffle and buys cores-wide
+    parallelism for the expensive projections. On a real cluster the scan
+    has >= target splits and this is a no-op, so it is safe at 100 TB.
+    """
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

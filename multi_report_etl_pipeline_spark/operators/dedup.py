@@ -96,7 +96,7 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     n: int = 3,
     jaccard_threshold: float = 0.8,
-    num_hash_tables: int = 16,
+    num_hash_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate near-dup pairs via Spark ML MinHashLSH over shingle

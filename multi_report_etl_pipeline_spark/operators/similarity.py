@@ -107,8 +107,8 @@ def lsh_ann_pairs(
     max_l2_dist: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_length: float = 2.0,
-    num_hash_tables: int = 8,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate neighbor pairs via random-projection LSH buckets

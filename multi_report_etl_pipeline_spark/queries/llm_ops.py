@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multi_report_etl_pipeline_spark.io import read_table
+from multi_report_etl_pipeline_spark.io import fan_out, read_table
 from multi_report_etl_pipeline_spark.operators import dedup, similarity, text
 from multi_report_etl_pipeline_spark.queries import QuerySpec
 
@@ -164,12 +164,12 @@ WHERE ROUND(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) >= 0.8
 
 
 def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
     return dedup.minhash_near_dup_pairs(docs, jaccard_threshold=0.8)
 
 
 def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
@@ -177,7 +177,7 @@ def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.brute_topk(emb, queries, k=10)
 
@@ -202,7 +202,7 @@ QUALIFY rank <= 10
 
 
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark)
     return similarity.near_dup_pairs(emb, threshold=0.4)
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from multi_report_etl_pipeline_spark import domain, oracle, reports, staging
-from multi_report_etl_pipeline_spark.io import read_table
+from multi_report_etl_pipeline_spark.io import fan_out, read_table
 from multi_report_etl_pipeline_spark.queries import QuerySpec
 
 
@@ -26,7 +26,10 @@ def build_staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     plans (the reference's non-materialized-view model, README.md:116).
     """
     orders = read_table(spark, sf_dir, "orders")
-    lineitem = read_table(spark, sf_dir, "lineitem")
+    # fan the fact scan out to all cores: the staging views shuffle full
+    # rows for the account_id windows regardless, so this only moves the
+    # parallelism boundary ahead of the expensive CASE/date projections
+    lineitem = fan_out(read_table(spark, sf_dir, "lineitem"), spark)
     stg_accounts = domain.stg_accounts_df(orders)
     stg_activities = domain.stg_activities_df(lineitem, orders)
     return {

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from multi_report_etl_pipeline_spark.io import read_table
+from multi_report_etl_pipeline_spark.io import fan_out, read_table
 from multi_report_etl_pipeline_spark.queries import QuerySpec
 
 DEC = "decimal(18,2)"
@@ -36,7 +36,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial hash agg (map-side) -> exchange on 2 low-cardinality keys ->
     final agg. No sort until the tiny result.
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    li = fan_out(read_table(spark, sf_dir, "lineitem"), spark)
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
     return (
