@@ -238,6 +238,30 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------- multimodal ---
+
+
+def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary feature extraction (mapInPandas) over the
+    media-ified documents table. Python decode step -> rows-only check;
+    value determinism is pinned by tests/test_multimodal.py."""
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
+    feats = multimodal.extract_features(multimodal.documents_as_media(docs))
+    return feats.select("media_id", "media_type", "n_bytes", "checksum")
+
+
+def docs_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over video-typed binary payloads."""
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.documents_as_media(docs)).select(
+        "media_id", "frame_idx", "frame_checksum"
+    )
+
+
 # -------------------------------------------------------------- approx ---
 
 
@@ -274,6 +298,8 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_near_dup_pairs": QuerySpec(emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
     "emb_lsh_ann": QuerySpec(emb_lsh_ann, None),
     "emb_label_centroids": QuerySpec(emb_label_centroids, CENTROIDS_SQL),
+    "docs_media_features": QuerySpec(docs_media_features, None),
+    "docs_video_frames": QuerySpec(docs_video_frames, None),
     "lineitem_approx_distinct": QuerySpec(approx_distinct, None),
     "events_value_percentiles": QuerySpec(value_percentiles, None),
 }

@@ -39,8 +39,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = fan_out(read_table(spark, sf_dir, "lineitem"), spark)
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    # compare on the native timestamp (ts < day+1), not cast(date): casting
+    # the column would block parquet predicate pushdown / row-group pruning
     return (
-        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date"))
+        li.filter(F.col("l_shipdate") < F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("decimal(28,2)").alias("sum_qty"),
@@ -89,10 +91,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     li = read_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").cast("date") > F.lit("1998-01-01").cast("date")
+        F.col("l_shipdate") >= F.lit("1998-01-02 00:00:00").cast("timestamp")
     )
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (

@@ -1,0 +1,165 @@
+"""Structured Streaming operators (SURVEY.md §2.9 "streaming analytics").
+
+The reference is batch-only (views recomputed on demand, README.md:116);
+this module provides the streaming expression of the same analytics the
+batch `queries.events` pack declares, plus the late-data machinery batch
+has no analog for:
+
+- tumbling/sliding windowed aggregation under an event-time watermark
+- session windows (gap-based) under a watermark
+- exactly-once stream dedup via dropDuplicatesWithinWatermark
+- arbitrary stateful processing via applyInPandasWithState
+  (running per-user totals — the "custom stateful operator" shape)
+
+Batch/stream parity is the test contract: each streaming query run with
+trigger=availableNow over the same parquet input must equal its batch
+twin (tests/test_streaming.py). Spark guarantees this for windowed aggs
+in complete mode; it is what makes the batch oracle meaningful for the
+streaming path at 100 TB (same plan, incremental execution).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one-file directory; at
+    scale this is the landing zone a collector appends to). The ns
+    timestamp arrives as long (nanosAsLong) and converts exactly like the
+    batch reader."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of queries.events.windowed_counts: tumbling 1-hour
+    count+sum per event type, tolerating `watermark` of event-time
+    lateness before a window is finalized."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sessionization_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows per user (gap-based), the incremental
+    form of queries.events.sessionization."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once keyed dedup with bounded state: duplicates of
+    event_id arriving within the watermark horizon are dropped, state for
+    older keys is reclaimed — the streaming version of exact_dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+USER_TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_seen", LongType()),
+        StructField("value_total", DoubleType()),
+    ]
+)
+
+USER_TOTALS_STATE = StructType(
+    [StructField("events_seen", LongType()), StructField("value_total", DoubleType())]
+)
+
+
+def _update_user_totals(key, pdf_iter, state):
+    """Running per-user totals (arbitrary stateful op). Pure pandas on
+    Arrow batches; state is a (count, sum) pair per user."""
+    (user_id,) = key
+    if state.exists:
+        seen, total = state.get
+    else:
+        seen, total = 0, 0.0
+    for pdf in pdf_iter:
+        seen += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((seen, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "events_seen": [seen], "value_total": [round(total, 2)]}
+    )
+
+
+def user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: continuously
+    updated per-user aggregate with explicit state schema."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=USER_TOTALS_OUTPUT,
+            stateStructType=USER_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_available_now(sdf: DataFrame, table_name: str, output_mode: str) -> None:
+    """Drain the stream into an in-memory table with availableNow (one
+    incremental pass over all existing input, then stop)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,79 @@
+"""Physical-plan audits: pin the scale-critical plan properties so a
+refactor that silently de-optimizes fails here, not at 100 TB.
+
+Checked properties (SURVEY.md §4, build brief "Optimize for scale"):
+- filters reach the parquet scan (PushedFilters)
+- dimension joins broadcast (BroadcastHashJoin)
+- row_number()=1 dedup compiles to WindowGroupLimit (pre-shuffle top-1)
+- aggregates keep map-side partials (partial_ prefix in HashAggregate)
+- hot paths stay in WholeStageCodegen
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from multi_report_etl_pipeline_spark.plans import (
+    assert_plan_contains,
+    physical_plan,
+    pushed_filters,
+)
+from multi_report_etl_pipeline_spark.queries.reference import QUERIES as REF_QUERIES
+from multi_report_etl_pipeline_spark.queries.tpch import QUERIES as TPCH_QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    df = TPCH_QUERIES["tpch_q1_pricing_summary"].fn(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "LessThan(l_shipdate" in pushed, pushed
+    plan = physical_plan(df)
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:2000]
+    # "*(n)" codegen markers are hidden inside AdaptiveSparkPlan until a
+    # query runs; audit codegen on the same plan with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        no_aqe = TPCH_QUERIES["tpch_q1_pricing_summary"].fn(spark, SF_DIR)
+        assert "*(" in physical_plan(no_aqe), physical_plan(no_aqe)[:2000]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = TPCH_QUERIES["tpch_q5_local_supplier_volume"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_q3_topk_is_take_ordered(spark):
+    df = TPCH_QUERIES["tpch_q3_shipping_priority"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_window_dedup_compiles_to_group_limit(spark):
+    df = REF_QUERIES["clean_contacts_primary"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # partial (pre-shuffle) and final group limits both present
+    assert "Partial" in plan.split("WindowGroupLimit", 2)[-1] or plan.count("WindowGroupLimit") >= 2
+
+
+def test_field_filter_reaches_scan(spark):
+    """The channel filter sits below the window (reference 01:190) and
+    must survive into the scan's data filters."""
+    df = REF_QUERIES["clean_contacts_field"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    scan_section = plan[plan.find("FileScan parquet") :]
+    assert "l_linenumber" in scan_section[:1200], scan_section[:1200]
+
+
+def test_report_joins_share_account_partitioning(spark):
+    """The report join chain must not introduce exchanges beyond the
+    per-input hash partitioning on account_id."""
+    df = REF_QUERIES["report_mortgage_portfolio"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    # 3 inputs (accounts, primary, field) -> at most 3 hash exchanges, and
+    # all of them on account_id
+    assert len(exchanges) <= 3, plan[:3000]
+    assert all("account_id" in l for l in exchanges), exchanges
