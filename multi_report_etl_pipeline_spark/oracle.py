@@ -47,7 +47,18 @@ _FIELD_CONTACT_CASE = """CASE
     ELSE 'UNCLASSIFIED_CONTACT'
 END"""
 
-_PARSE_DATE = "CAST(try_strptime({col}, '%d/%m/%Y') AS DATE)"
+# per-dialect scalar fragments; everything else in this module is shared
+# ANSI that both DuckDB and Spark SQL parse identically
+DIALECT_FRAGMENTS = {
+    "duckdb": {
+        "parse": "CAST(try_strptime({col}, '%d/%m/%Y') AS DATE)",
+        "fmt_iso": "strftime({col}, '%Y-%m-%d')",
+    },
+    "spark": {
+        "parse": "try_to_date({col}, 'dd/MM/yyyy')",
+        "fmt_iso": "date_format({col}, 'yyyy-MM-dd')",
+    },
+}
 
 _ACTIVITY_TAIL = """contact_outcome,
         non_payment_reason,
@@ -64,9 +75,9 @@ _OUT_COLS = (
 )
 
 
-def _pre(channel_expr: str, contact_expr: str, where: str = "") -> str:
-    ad = _PARSE_DATE.format(col="activity_date")
-    nad = _PARSE_DATE.format(col="next_activity_date")
+def _pre(channel_expr: str, contact_expr: str, where: str = "", dialect: str = "duckdb") -> str:
+    ad = DIALECT_FRAGMENTS[dialect]["parse"].format(col="activity_date")
+    nad = DIALECT_FRAGMENTS[dialect]["parse"].format(col="next_activity_date")
     return f"""SELECT
         account_id,
         activity_id,
@@ -89,18 +100,18 @@ def _top1(pre_name: str, order_by: str) -> str:
     ) ranked WHERE row_num = 1"""
 
 
-def staging_ctes() -> list[tuple[str, str]]:
+def staging_ctes(dialect: str = "duckdb") -> list[tuple[str, str]]:
     """Ordered (name, body) CTEs: raw staging + the five clean views."""
     return [
-        ("stg_accounts", stg_accounts_sql("duckdb")),
-        ("stg_activities", stg_activities_sql("duckdb")),
+        ("stg_accounts", stg_accounts_sql(dialect)),
+        ("stg_activities", stg_activities_sql(dialect)),
         (
             "clean_accounts",
             "SELECT *, CASE WHEN customer_city IN "
             "('METRO_AREA_1', 'METRO_AREA_2', 'METRO_AREA_3') THEN 'YES' ELSE 'NO' END "
             "AS coverage_area FROM stg_accounts",
         ),
-        ("ccp_pre", _pre(_CHANNEL_CASE, _CONTACT_CASE)),
+        ("ccp_pre", _pre(_CHANNEL_CASE, _CONTACT_CASE, dialect=dialect)),
         (
             "clean_contacts_primary",
             _top1(
@@ -114,6 +125,7 @@ def staging_ctes() -> list[tuple[str, str]]:
                 "'02.FIELD'",
                 _FIELD_CONTACT_CASE,
                 "\n    WHERE collection_channel = 'FIELD'",
+                dialect,
             ),
         ),
         (
@@ -126,6 +138,7 @@ def staging_ctes() -> list[tuple[str, str]]:
                 _CHANNEL_CASE,
                 "'PROMISE'",
                 "\n    WHERE contact_outcome = 'PAYMENT_PROMISE'",
+                dialect,
             ),
         ),
         (
@@ -138,6 +151,7 @@ def staging_ctes() -> list[tuple[str, str]]:
                 _CHANNEL_CASE,
                 "'RESTRUCTURE'",
                 "\n    WHERE contact_outcome = 'RESTRUCTURE_REQUEST'",
+                dialect,
             ),
         ),
         (
@@ -147,8 +161,12 @@ def staging_ctes() -> list[tuple[str, str]]:
     ]
 
 
-def with_prelude(final_select: str, extra_ctes: list[tuple[str, str]] | None = None) -> str:
-    ctes = staging_ctes() + (extra_ctes or [])
+def with_prelude(
+    final_select: str,
+    extra_ctes: list[tuple[str, str]] | None = None,
+    dialect: str = "duckdb",
+) -> str:
+    ctes = staging_ctes(dialect) + (extra_ctes or [])
     body = ",\n".join(f"{name} AS (\n{sql}\n)" for name, sql in ctes)
     return f"WITH {body}\n{final_select}"
 
@@ -164,7 +182,9 @@ _CONTACT_LABEL = """COALESCE(
             'NO_CONTACT'
         )"""
 
-_REPORT12_PAYLOAD = f"""a.account_id,
+def _report12_payload(dialect: str) -> str:
+    fmt = DIALECT_FRAGMENTS[dialect]["fmt_iso"].format(col="c.activity_date")
+    return f"""a.account_id,
         a.account_checkdigit,
         a.agent_type,
         a.customer_name,
@@ -176,7 +196,7 @@ _REPORT12_PAYLOAD = f"""a.account_id,
         COALESCE(c.phone_number, 'NO_CONTACT') AS contact_phone,
         COALESCE(c.notes, 'NO_CONTACT') AS activity_notes,
         {_CONTACT_LABEL} AS contact_type,
-        COALESCE(strftime(c.activity_date, '%Y-%m-%d'), 'NO_CONTACT') AS last_activity_date,
+        COALESCE({fmt}, 'NO_CONTACT') AS last_activity_date,
         CASE WHEN f.account_id IS NOT NULL THEN 'YES' ELSE 'NO' END AS field_visit_completed,
         a.business_division,
         a.customer_city,
@@ -188,12 +208,12 @@ _REPORT12_OUT = """company, account_id, account_checkdigit, agent_type, customer
     field_visit_completed, business_division, customer_city, coverage_area"""
 
 
-def report_mortgage_sql() -> str:
+def report_mortgage_sql(dialect: str = "duckdb") -> str:
     extra = [
         (
             "filtered_accounts",
             f"""SELECT
-        {_REPORT12_PAYLOAD}
+        {_report12_payload(dialect)}
     FROM clean_accounts a
     LEFT JOIN clean_contacts_primary c ON a.account_id = c.account_id
     LEFT JOIN clean_contacts_field f ON a.account_id = f.account_id
@@ -212,15 +232,15 @@ def report_mortgage_sql() -> str:
         f"SELECT 'COMPANY_NAME' AS company, {_REPORT12_OUT.replace('company, ', '', 1)}\n"
         "FROM deduplicated_accounts WHERE row_num = 1"
     )
-    return with_prelude(final, extra)
+    return with_prelude(final, extra, dialect)
 
 
-def report_restructuring_sql() -> str:
+def report_restructuring_sql(dialect: str = "duckdb") -> str:
     extra = [
         (
             "filtered_accounts",
             f"""SELECT
-        {_REPORT12_PAYLOAD}
+        {_report12_payload(dialect)}
     FROM clean_accounts a
     LEFT JOIN clean_contacts_primary c ON a.account_id = c.account_id
     LEFT JOIN clean_contacts_field f ON a.account_id = f.account_id
@@ -240,10 +260,11 @@ def report_restructuring_sql() -> str:
         f"SELECT 'COMPANY_NAME' AS company, {_REPORT12_OUT.replace('company, ', '', 1)}\n"
         "FROM deduplicated_accounts WHERE row_num = 1"
     )
-    return with_prelude(final, extra)
+    return with_prelude(final, extra, dialect)
 
 
-def report_promises_sql() -> str:
+def report_promises_sql(dialect: str = "duckdb") -> str:
+    promise_fmt = DIALECT_FRAGMENTS[dialect]["fmt_iso"].format(col="p.next_activity_date")
     extra = [
         (
             "filtered_accounts",
@@ -257,7 +278,7 @@ def report_promises_sql() -> str:
         COALESCE(c.collection_channel, 'NO_CONTACT') AS collection_channel,
         {_CONTACT_LABEL} AS contact_type,
         CASE WHEN p.account_id IS NOT NULL THEN 'YES' ELSE 'NO' END AS payment_promise_active,
-        COALESCE(strftime(p.next_activity_date, '%Y-%m-%d'), 'NO_PROMISE_DATE') AS promise_date,
+        COALESCE({promise_fmt}, 'NO_PROMISE_DATE') AS promise_date,
         COALESCE(c.phone_number, 'NO_CONTACT') AS contact_phone,
         COALESCE(c.notes, 'NO_CONTACT') AS activity_notes,
         a.operation_number
@@ -279,12 +300,12 @@ def report_promises_sql() -> str:
     agent_type, risk_segment, outstanding_balance, collection_channel, contact_type,
     payment_promise_active, promise_date, contact_phone, activity_notes
 FROM deduplicated_accounts WHERE row_num = 1"""
-    return with_prelude(final, extra)
+    return with_prelude(final, extra, dialect)
 
 
-def view_sql(view_name: str) -> str:
+def view_sql(view_name: str, dialect: str = "duckdb") -> str:
     """Full SELECT of one staging view (for view-level differential checks)."""
-    return with_prelude(f"SELECT * FROM {view_name}")
+    return with_prelude(f"SELECT * FROM {view_name}", dialect=dialect)
 
 
 def quality_view_counts_sql() -> str:
@@ -319,7 +340,7 @@ def quality_null_keys_sql() -> str:
 
 
 def quality_date_parse_failures_sql() -> str:
-    parsed = _PARSE_DATE.format(col="activity_date")
+    parsed = DIALECT_FRAGMENTS["duckdb"]["parse"].format(col="activity_date")
     return with_prelude(
         f"SELECT account_id, activity_id, activity_date AS raw_activity_date "
         f"FROM stg_activities WHERE {parsed} IS NULL AND activity_date IS NOT NULL "

@@ -1,0 +1,186 @@
+"""Constructed dirty-fixture tests: the cleansing paths the synthetic
+tables only lightly exercise (FIXTURES.md dirty-row inventory; SURVEY.md
+§5.2 property list)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from multi_report_etl_pipeline_spark import reports, staging
+
+ACT_FIELDS = [
+    "account_id",
+    "activity_id",
+    "activity_date",
+    "activity_time",
+    "next_activity_date",
+    "collection_channel",
+    "contact_type",
+    "contact_outcome",
+    "non_payment_reason",
+    "contact_location",
+    "next_action",
+    "notes",
+    "phone_number",
+    "department",
+    "agent_name",
+]
+
+
+def _activity(**kw):
+    base = {
+        "account_id": 1,
+        "activity_id": 1,
+        "activity_date": "15/06/2025",
+        "activity_time": "10:00:00",
+        "next_activity_date": "22/06/2025",
+        "collection_channel": "PHONE",
+        "contact_type": "PRIMARY",
+        "contact_outcome": "NO_ANSWER",
+        "non_payment_reason": None,
+        "contact_location": "LOC_1",
+        "next_action": None,
+        "notes": None,
+        "phone_number": None,
+        "department": "COLLECTIONS",
+        "agent_name": "AGENT_1",
+    }
+    base.update(kw)
+    return Row(**{k: base[k] for k in ACT_FIELDS})
+
+
+def _activities_df(spark, rows):
+    schema = (
+        "account_id bigint, activity_id bigint, activity_date string, "
+        "activity_time string, next_activity_date string, collection_channel string, "
+        "contact_type string, contact_outcome string, non_payment_reason string, "
+        "contact_location string, next_action string, notes string, "
+        "phone_number string, department string, agent_name string"
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def test_malformed_dates_sort_last_and_null(spark):
+    """All-malformed account keeps one row with NULL date; a valid date
+    beats a malformed one under DESC NULLS LAST."""
+    df = _activities_df(
+        spark,
+        [
+            _activity(account_id=1, activity_id=1, activity_date="31/02/2025"),
+            _activity(account_id=1, activity_id=2, activity_date="junk"),
+            _activity(account_id=2, activity_id=3, activity_date="bad"),
+            _activity(account_id=2, activity_id=4, activity_date="01/01/2020"),
+        ],
+    )
+    out = {r.account_id: r for r in staging.clean_contacts_primary(df).collect()}
+    assert out[1].activity_date is None  # deterministic survivor, null date
+    assert str(out[2].activity_date) == "2020-01-01"  # valid date wins
+
+
+def test_tie_broken_by_activity_id(spark):
+    """Full ties on (channel, contact, date) must fall to activity_id ASC
+    (the SURVEY §2.5 determinism fix)."""
+    df = _activities_df(
+        spark,
+        [
+            _activity(account_id=1, activity_id=7, notes="late"),
+            _activity(account_id=1, activity_id=3, notes="early"),
+        ],
+    )
+    out = staging.clean_contacts_primary(df).collect()
+    assert len(out) == 1 and out[0].notes == "early"
+
+
+def test_auto_dialer_beats_no_contact_arm(spark):
+    df = _activities_df(
+        spark,
+        [
+            _activity(account_id=1, contact_type="NO_CONTACT", agent_name="AUTO_DIALER"),
+            _activity(account_id=2, activity_id=2, contact_type="NO_CONTACT"),
+            _activity(account_id=3, activity_id=3, collection_channel="WHATSAPP",
+                      contact_type="SOMETHING_NEW"),
+        ],
+    )
+    out = {r.account_id: r for r in staging.clean_contacts_primary(df).collect()}
+    assert out[1].contact_type == "04.AUTO_DIALER"
+    assert out[2].contact_type == "03.NO_CONTACT"
+    assert out[3].collection_channel == "UNCLASSIFIED_CHANNEL"
+    assert out[3].contact_type == "UNCLASSIFIED_CONTACT"
+
+
+def test_null_account_ids_form_single_group(spark):
+    df = _activities_df(
+        spark,
+        [
+            _activity(account_id=None, activity_id=1),
+            _activity(account_id=None, activity_id=2),
+        ],
+    )
+    out = staging.clean_contacts_primary(df).collect()
+    assert len(out) == 1  # NULL keys group together (matches both hosts)
+
+
+def test_account_without_contacts_gets_sentinels(spark):
+    accounts = spark.createDataFrame(
+        [
+            Row(
+                collection_company="AGENCY_A",
+                account_id=42,
+                account_checkdigit="1",
+                agent_type="INTERNAL",
+                customer_name="CUSTOMER_42",
+                product_type="MORTGAGE",
+                risk_segment="A",
+                outstanding_balance=1000.0,
+                agent_name="AGENT_1",
+                operation_number=1,
+                containment_percentage=0,
+                business_division="RETAIL",
+                customer_city="METRO_AREA_1",
+            )
+        ]
+    )
+    empty = _activities_df(spark, [_activity(account_id=999)])
+    report = reports.report_mortgage_portfolio(
+        staging.clean_accounts(accounts),
+        staging.clean_contacts_primary(empty),
+        staging.clean_contacts_field(empty),
+    ).collect()
+    assert len(report) == 1
+    row = report[0]
+    assert row.contact_phone == "NO_CONTACT"
+    assert row.activity_notes == "NO_CONTACT"
+    assert row.contact_type == "NO_CONTACT"
+    assert row.last_activity_date == "NO_CONTACT"
+    assert row.field_visit_completed == "NO"
+    assert row.coverage_area == "YES"
+
+
+def test_report_dedup_keeps_worst_risk_then_lowest_operation(spark):
+    """One account, several operations: survivor is risk DESC then
+    operation_number ASC."""
+    mk = lambda op, risk: Row(
+        collection_company="AGENCY_A",
+        account_id=1,
+        account_checkdigit="1",
+        agent_type="INTERNAL",
+        customer_name="C",
+        product_type="MORTGAGE",
+        risk_segment=risk,
+        outstanding_balance=1.0,
+        agent_name="A",
+        operation_number=op,
+        containment_percentage=0,
+        business_division="RETAIL",
+        customer_city="PROVINCE_1",
+    )
+    accounts = spark.createDataFrame([mk(10, "B"), mk(11, "E"), mk(12, "E")])
+    empty = _activities_df(spark, [_activity(account_id=999)])
+    report = reports.report_mortgage_portfolio(
+        staging.clean_accounts(accounts),
+        staging.clean_contacts_primary(empty),
+        staging.clean_contacts_field(empty),
+    ).collect()
+    assert len(report) == 1
+    assert (report[0].risk_segment, report[0].operation_number) == ("E", 11)
