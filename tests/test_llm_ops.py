@@ -72,3 +72,32 @@ def test_percentiles_bounded(spark):
     row = QUERIES["events_value_percentiles"].fn(spark, SF_DIR).collect()[0]
     p50, p90, p99 = row.value_pcts
     assert 0 < p50 < p90 < p99
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF with 3/10 probes must recover most of the exact top-10 —
+    random embeddings are a worst case for clustering, so the bar is
+    recall of the top-1 neighbor plus majority of the top-10."""
+    brute = QUERIES["emb_cosine_topk"].fn(spark, SF_DIR).collect()
+    ivf = QUERIES["emb_ivf_topk"].fn(spark, SF_DIR).collect()
+    brute_top10 = {}
+    ivf_sets = {}
+    for r in brute:
+        brute_top10.setdefault(r.q_id, set()).add(r.c_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.q_id, set()).add(r.c_id)
+    assert set(brute_top10) == set(ivf_sets)
+    recalls = [
+        len(brute_top10[q] & ivf_sets[q]) / len(brute_top10[q]) for q in brute_top10
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_dedup_groups_are_consistent_with_pairs(spark):
+    """Every near-dup pair lands in one group; groups are closed."""
+    pairs = QUERIES["docs_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    groups = {r.doc_id: r.group_id for r in QUERIES["docs_dedup_groups"].fn(spark, SF_DIR).collect()}
+    for p in pairs:
+        assert groups[p.doc_id_1] == groups[p.doc_id_2]
+    for doc, g in groups.items():
+        assert g <= doc  # canonical id is the component minimum
