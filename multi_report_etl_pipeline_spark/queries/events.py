@@ -205,3 +205,64 @@ QUERIES: dict[str, QuerySpec] = {
     "events_json_props": QuerySpec(json_props_stats, JSON_PROPS_SQL),
     "events_daily_type_pivot": QuerySpec(daily_type_pivot, DAILY_PIVOT_SQL),
 }
+
+
+# ----------------------------------------------------------- streaming ---
+# Streaming queries ARE driver-checkable: drain the stream with
+# trigger=availableNow into a memory sink and return the result — the
+# batch oracle then checks the streaming operator end-to-end.
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multi_report_etl_pipeline_spark import streaming
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.windowed_counts_stream(st), "q_stream_wc", "complete"
+    )
+    return spark.table("q_stream_wc")
+
+
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from multi_report_etl_pipeline_spark import streaming
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.sessionization_stream(st), "q_stream_sess", "complete"
+    )
+    return spark.table("q_stream_sess")
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark drain; event_id unique in fixtures,
+    so the oracle is the identity projection."""
+    from multi_report_etl_pipeline_spark import streaming
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_available_now(streaming.dedup_stream(st), "q_stream_dedup", "append")
+    return spark.table("q_stream_dedup").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM events
+"""
+
+
+QUERIES.update(
+    {
+        "streaming_windowed_counts": QuerySpec(
+            streaming_windowed_counts, WINDOWED_COUNTS_SQL
+        ),
+        "streaming_sessionization": QuerySpec(
+            streaming_sessionization, SESSIONIZATION_SQL
+        ),
+        "streaming_dedup": QuerySpec(streaming_dedup, STREAM_DEDUP_SQL),
+    }
+)

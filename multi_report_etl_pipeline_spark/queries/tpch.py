@@ -330,3 +330,36 @@ QUERIES: dict[str, QuerySpec] = {
     "lineitem_distinct_counts": QuerySpec(distinct_counts, DISTINCT_SQL),
     "orders_semi_anti_join": QuerySpec(semi_anti_join, SEMI_ANTI_SQL),
 }
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference, SURVEY.md §2.6):
+    INTERSECT / EXCEPT / UNION over customer key sets."""
+    orders = read_table(spark, sf_dir, "orders")
+    building = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("k"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    both = building.intersect(urgent)
+    only_building = building.exceptAll(urgent.distinct())
+    any_of = building.union(urgent).distinct()
+    return (
+        both.agg(F.count(F.lit(1)).alias("building_and_urgent"))
+        .crossJoin(only_building.agg(F.count(F.lit(1)).alias("building_not_urgent")))
+        .crossJoin(any_of.agg(F.count(F.lit(1)).alias("building_or_urgent")))
+    )
+
+
+SET_OPS_SQL = """
+WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT
+    (SELECT COUNT(*) FROM (SELECT k FROM building INTERSECT SELECT k FROM urgent)) AS building_and_urgent,
+    (SELECT COUNT(*) FROM (SELECT k FROM building EXCEPT SELECT DISTINCT k FROM urgent)) AS building_not_urgent,
+    (SELECT COUNT(*) FROM (SELECT k FROM building UNION SELECT k FROM urgent)) AS building_or_urgent
+"""
+
+
+QUERIES["customer_set_ops"] = QuerySpec(customer_set_ops, SET_OPS_SQL)
