@@ -33,10 +33,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Parquet so filter/column pushdown applies.
 
-    events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    (nanosAsLong, see session.py) and we convert to a microsecond
-    timestamp here — integer ns-div-1000 truncation, bit-identical to
-    DuckDB's ns->us cast."""
+    events.ts is TIMESTAMP(NANOS) in parquet; Spark has no nanosecond
+    timestamp type, so we read it as long (nanosAsLong) and convert to a
+    microsecond timestamp here — integer ns-div-1000 truncation,
+    bit-identical to DuckDB's ns->us cast. The conf is set at runtime so
+    the read works in ANY session (the verification driver builds its own
+    SparkSession without our session.get_spark defaults)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -54,9 +58,17 @@ def fan_out(df: DataFrame, spark: SparkSession, target: int | None = None) -> Da
     repartition first costs one extra small shuffle and buys cores-wide
     parallelism for the expensive projections. On a real cluster the scan
     has >= target splits and this is a no-op, so it is safe at 100 TB.
+
+    The probe uses ``df.inputFiles()`` — a metadata-only file-index call —
+    instead of ``df.rdd.getNumPartitions()``, which would force a
+    deserialization plan per query.
     """
     target = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 

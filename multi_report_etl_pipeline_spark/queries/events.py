@@ -35,9 +35,11 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            # decimal sum: exact and order-independent (value has 2dp)
+            # decimal sum: exact and order-independent (value has 2dp);
+            # final cast to double so both engines' pandas dtype + text
+            # form agree (DECIMAL outputs are hash-fragile, see tpch.py)
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(28,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -54,7 +56,7 @@ SELECT
     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
     event_type,
     COUNT(*) AS cnt,
-    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -114,7 +116,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(28,2)")
+            .cast("double")
             .alias("session_value"),
         )
         .select(
@@ -145,7 +147,7 @@ SELECT
     user_id,
     strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
     COUNT(*) AS n_events,
-    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS session_value
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM islands GROUP BY user_id, session_id
 """
 

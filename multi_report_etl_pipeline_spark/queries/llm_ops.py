@@ -342,7 +342,9 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", TS6_SPARK).alias("purchase_ts"),
         F.date_format("click_ts", TS6_SPARK).alias("last_click_ts"),
-        "last_click_event_id",
+        # nullable int -> double: pandas materializes nullable ints
+        # engine-dependently (float64+NaN vs Int64+NA); double is stable
+        F.col("last_click_event_id").cast("double").alias("last_click_event_id"),
     )
 
 
@@ -358,7 +360,7 @@ SELECT p.event_id,
        p.user_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
        strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
-       c.click_event_id AS last_click_event_id
+       CAST(c.click_event_id AS DOUBLE) AS last_click_event_id
 FROM purchases p
 ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
 """

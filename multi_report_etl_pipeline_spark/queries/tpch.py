@@ -5,8 +5,14 @@ rollup/cube, distinct counts — over the TPC-H-ish tables.
 Numeric determinism convention (hash-matched against DuckDB): money math
 is done on DECIMAL(18,2) casts, never raw doubles — decimal sums are
 exact and order-independent, so Spark's parallel partial aggregation and
-DuckDB's single-threaded sum agree bit-for-bit. Averages over doubles are
-rounded to 4 decimals on both sides.
+DuckDB's single-threaded sum agree bit-for-bit. Final non-integer output
+columns are then CAST to DOUBLE **on both sides**: the driver's oracle
+path materializes DuckDB results through pandas, which collapses DECIMAL
+to float64 (dropping trailing-zero scale, '4792710.90' -> '4792710.9'),
+so a DECIMAL output column hash-mismatches even when values are equal.
+exact-decimal -> nearest-double is a pure function (identical bits on
+both engines for unscaled values < 2^53, which holds at the driver's
+sf=0.01 gate), and NULL becomes NaN on both sides.
 
 Scale notes: all dimension joins (region/nation/supplier/customer) are
 explicit ``F.broadcast`` — at 100 TB the fact tables shuffle only for the
@@ -45,10 +51,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") < F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(28,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(28,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(32,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(36,6)").alias("sum_charge"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             # avgs via exact decimal sums -> double -> one division, so the
             # 4-decimal rounding can't straddle a cross-engine sum-order ulp
             F.round(
@@ -69,10 +75,10 @@ Q1_SQL = """
 SELECT
     l_returnflag,
     l_linestatus,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(32,4)) AS sum_disc_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(36,6)) AS sum_charge,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
     ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
     ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
     ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
@@ -105,7 +111,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(revenue).cast("decimal(32,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -116,7 +122,7 @@ SELECT
     l_orderkey,
     strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
     o_orderpriority,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(32,4)) AS revenue
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -149,14 +155,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("decimal(32,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
 Q5_SQL = """
 SELECT
     n_name,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(32,4)) AS revenue
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -176,7 +182,7 @@ def orders_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            F.sum(_dec("o_totalprice")).cast("decimal(28,2)").alias("total_spend"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
             F.count(F.lit(1)).alias("order_count"),
         )
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
@@ -187,7 +193,7 @@ def orders_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_CUSTOMERS_SQL = """
 SELECT
     c_custkey, c_name, c_mktsegment,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_spend,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
     COUNT(*) AS order_count
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2, 3
@@ -207,14 +213,14 @@ def lineitem_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"),
-        _dec("l_quantity").alias("quantity"),
+        _dec("l_quantity").cast("double").alias("quantity"),
         F.row_number().over(w).alias("ship_seq"),
         F.rank().over(w).alias("ship_rank"),
-        F.lag(_dec("l_quantity"), 1).over(w).alias("prev_qty"),
-        F.lead(_dec("l_quantity"), 1).over(w).alias("next_qty"),
+        F.lag(_dec("l_quantity"), 1).over(w).cast("double").alias("prev_qty"),
+        F.lead(_dec("l_quantity"), 1).over(w).cast("double").alias("next_qty"),
         F.sum(_dec("l_quantity"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("decimal(28,2)")
+        .cast("double")
         .alias("running_qty"),
     )
 
@@ -224,15 +230,15 @@ SELECT
     l_orderkey,
     l_linenumber,
     strftime(l_shipdate, '%Y-%m-%d') AS shipdate,
-    CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
     ROW_NUMBER() OVER w AS ship_seq,
     RANK() OVER w AS ship_rank,
-    LAG(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER w AS prev_qty,
-    LEAD(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER w AS next_qty,
+    CAST(LAG(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_qty,
+    CAST(LEAD(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS next_qty,
     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         PARTITION BY l_orderkey ORDER BY l_shipdate ASC, l_linenumber ASC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS DECIMAL(28,2)) AS running_qty
+    ) AS DOUBLE) AS running_qty
 FROM lineitem
 WHERE l_orderkey % 100 = 0
 WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate ASC, l_linenumber ASC)
@@ -246,14 +252,14 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(_dec("l_quantity")).cast("decimal(28,2)").alias("sum_qty"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         )
     )
 
 
 ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -263,13 +269,13 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("l_extendedprice")).cast("decimal(28,2)").alias("sum_price"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
     )
 
 
 CUBE_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -377,28 +383,27 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
 
 
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated aggregate subquery -> decorrelated into a join by
-    Catalyst; rows where an order beats its customer's own average."""
+    """Correlated aggregate subqueries -> decorrelated into joins by
+    Catalyst; rows where an order beats 1.5x its customer's own average.
+
+    The threshold test ``o > 1.5 * avg`` is rewritten to the equivalent
+    ``2 * o * count > 3 * sum`` so membership is decided in exact
+    decimal/integer arithmetic — an AVG over doubles is summation-order
+    dependent and can flip borderline rows between engines."""
     _register(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
-        FROM orders o
-        WHERE o_totalprice > 1.5 * (
-            SELECT AVG(o2.o_totalprice) FROM orders o2
-            WHERE o2.o_custkey = o.o_custkey
-        )
-        """
-    )
+    return spark.sql(ABOVE_AVG_SQL)
 
 
 ABOVE_AVG_SQL = """
-SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
 FROM orders o
-WHERE o_totalprice > 1.5 * (
-    SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
-)
+WHERE 2 * CAST(o_totalprice AS DECIMAL(18,2)) * (
+        SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+      ) > 3 * (
+        SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+      )
 """
 
 

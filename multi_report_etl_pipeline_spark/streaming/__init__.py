@@ -48,6 +48,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale this is the landing zone a collector appends to). The ns
     timestamp arrives as long (nanosAsLong) and converts exactly like the
     batch reader."""
+    # set at runtime so the stream works under ANY session, not just ones
+    # built by session.get_spark (the driver's harness owns its session)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -65,8 +68,10 @@ def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
+            # double final cast: keeps the batch-oracle hash robust (see
+            # queries/tpch.py numeric determinism convention)
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(28,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -87,7 +92,7 @@ def sessionization_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(28,2)")
+            .cast("double")
             .alias("session_value"),
         )
         .select(
