@@ -219,6 +219,7 @@ def near_dup_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -239,4 +240,12 @@ def near_dup_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # Returning partial labels would silently mis-group any component
+        # with diameter > max_iterations; fail loudly instead.
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations for graphs with larger diameter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("group_id"))

@@ -47,7 +47,7 @@ FEATURES_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("media_type", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("checksum", LongType()),
+        StructField("checksum", StringType()),
         StructField("byte_histogram", ArrayType(DoubleType())),
     ]
 )
@@ -85,11 +85,15 @@ def decode_image(payload: bytes):
         ) from exc
 
 
-def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for a codec: byte length, additive
-    checksum, 8-bin byte-value histogram (normalized)."""
+def fake_decode(payload: bytes) -> tuple[int, str, list[float]]:
+    """Deterministic stand-in for a codec: byte length, md5 checksum,
+    8-bin byte-value histogram (normalized). md5 (not an ad-hoc additive
+    sum) so the DuckDB oracle can reproduce the value — ``md5(VARCHAR)``
+    hashes the UTF-8 bytes, identical to hashing the payload here."""
+    import hashlib  # noqa: PLC0415
+
     n = len(payload)
-    checksum = sum(payload) % (1 << 31)
+    checksum = hashlib.md5(payload).hexdigest()
     hist = [0] * 8
     for b in payload:
         hist[b >> 5] += 1
@@ -125,7 +129,8 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
 def sample_frames(media: DataFrame, n_frames: int = 4, frame_size: int = 64) -> DataFrame:
     """Deterministic "frame sampling" for video-typed payloads: slice the
     byte stream at n evenly spaced offsets (the real operator would seek
-    keyframes; the partitioning/explode shape is identical)."""
+    keyframes; the partitioning/explode shape is identical). Frame
+    checksums are md5 so an oracle can recompute them engine-independently."""
     frames = F.expr(
         f"transform(sequence(0, {n_frames - 1}), "
         f"i -> substring(payload, CAST(i * greatest(octet_length(payload) DIV {n_frames}, 1) + 1 AS INT), {frame_size}))"
@@ -133,5 +138,5 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_size: int = 64) -> 
     return (
         media.filter(F.col("media_type") == "video")
         .select("media_id", F.posexplode(frames).alias("frame_idx", "frame_bytes"))
-        .withColumn("frame_checksum", F.crc32(F.col("frame_bytes")))
+        .withColumn("frame_checksum", F.md5(F.col("frame_bytes")))
     )

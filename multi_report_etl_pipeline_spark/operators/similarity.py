@@ -149,6 +149,30 @@ def label_centroids(
     )
 
 
+def kmeans_cells(
+    corpus: DataFrame,
+    n_cells: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train the IVF coarse quantizer: k-means over the vectors, returning
+    (id, cell) assignments. Deterministic under the fixed seed.
+
+    At 100 TB you train on a sample (``corpus.sample(...)``) and assign
+    the full corpus with one broadcast of the centroids — Spark ML's
+    ``KMeans.fit`` already aggregates per-partition partial sums, so the
+    training shuffle is tiny (k x dim doubles per partition)."""
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+
+    feats = _ml_features(corpus, id_col, vec_col)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return model.transform(feats).select(
+        F.col("id").alias(id_col), F.col("prediction").alias("cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -156,18 +180,28 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    label_col: str = "label",
+    label_col: str | None = None,
+    n_cells: int = 10,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize by cluster label, probe only the
-    ``n_probe`` nearest clusters per query, exact cosine inside them.
+    """IVF-style ANN: coarse-quantize into cells, probe only the
+    ``n_probe`` nearest cells per query, exact cosine inside them.
 
-    Uses the corpus's existing cluster labels as the coarse quantizer
-    (the trained-kmeans case); ``label_centroids`` is the training step.
+    ``label_col=None`` (default) trains a k-means quantizer on the
+    vectors (``kmeans_cells``); pass an existing column to use
+    pre-assigned cells instead. Data labels in the fixtures carry almost
+    no spatial structure (~12% of true neighbors share the query's
+    label), so a trained quantizer is what makes the probe meaningful.
     At 100 TB the win is the candidate cut: each query scans
-    n_probe/n_clusters of the corpus, and the probe join is an equi-join
-    on the cluster id rather than a cross join. Approximate -> rows-only
+    n_probe/n_cells of the corpus, and the probe join is an equi-join
+    on the cell id rather than a cross join. Approximate -> rows-only
     + recall-vs-brute test, like the LSH family.
     """
+    if label_col is None:
+        cells = kmeans_cells(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+        corpus = (
+            corpus.drop("label").join(cells, id_col).withColumnRenamed("cell", "label")
+        )
+        label_col = "label"
     cents = label_centroids(corpus, id_col, vec_col).groupBy("label").agg(
         F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pairs")
     ).select(

@@ -133,17 +133,18 @@ def rolling_fingerprint(col: Column | str) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     the token stream (Rabin-Karp shape). Token hashes are the first 48
     bits of md5 — portable, so the DuckDB oracle reproduces the value
-    exactly; modular fold keeps everything in int64 under ANSI mode.
+    exactly; the modular Horner fold keeps every intermediate in int64
+    under ANSI mode (acc < 2^50, acc*31 + h48 < 2^56).
 
     Unlike the md5 ``fingerprint`` (whole-text), the rolling form is the
-    building block for chunk/window fingerprinting at corpus scale.
+    building block for chunk/window fingerprinting at corpus scale —
+    a pure JVM array fold, no shuffle, no Python.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    # normalized token array -> 48-bit md5 prefixes -> left fold
-    return F.expr(
-        f"""aggregate(
-            transform(
-                split(trim(regexp_replace(lower({c._jc.toString() if False else ''}{''}text)), ' '),
-                t -> t),
-            CAST(0 AS BIGINT), (acc, x) -> acc)"""
+    token_hash = lambda t: F.conv(  # noqa: E731 - 48-bit md5 prefix
+        F.substring(F.md5(t.cast("binary")), 1, 12), 16, 10
+    ).cast("bigint")
+    return F.aggregate(
+        F.transform(words(col), token_hash),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * F.lit(31) + x, F.lit(ROLLING_HASH_PRIME)),
     )

@@ -120,6 +120,27 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 FINGERPRINT_SQL = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
 
 
+def docs_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash (Rabin-Karp over 48-bit md5 token
+    hashes) — distinguishes documents with the same token multiset in a
+    different order, which the whole-text md5 also does but chunked/
+    windowed variants build on this fold."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_fingerprint("text").alias("rolling_fp"))
+
+
+ROLLING_FP_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform({_WORDS},
+                   t -> CAST(CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % {text.ROLLING_HASH_PRIME}
+       ) AS rolling_fp
+FROM documents
+"""
+
+
 # --------------------------------------------------------------- dedup ---
 
 
@@ -243,8 +264,9 @@ GROUP BY 1, 2
 
 def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched binary feature extraction (mapInPandas) over the
-    media-ified documents table. Python decode step -> rows-only check;
-    value determinism is pinned by tests/test_multimodal.py."""
+    media-ified documents table. The Python decode runs per Arrow batch;
+    the md5 checksum makes the whole path value-checkable: DuckDB's
+    md5(VARCHAR) hashes the same UTF-8 bytes the payload carries."""
     from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
 
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
@@ -252,14 +274,44 @@ def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes", "checksum")
 
 
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
 def docs_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic frame sampling over video-typed binary payloads."""
+    """Deterministic frame sampling over video-typed binary payloads.
+
+    Oracle-checkable because the fixture payloads are ASCII (byte offsets
+    == char offsets, verified in tests), so DuckDB can recompute the
+    byte-slice md5s with substr over the text."""
     from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
 
     docs = read_table(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.documents_as_media(docs)).select(
         "media_id", "frame_idx", "frame_checksum"
     )
+
+
+VIDEO_FRAMES_SQL = """
+WITH media AS (
+    SELECT doc_id AS media_id, text
+    FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+),
+idx AS (SELECT unnest(range(0, 4)) AS frame_idx)
+SELECT media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       md5(substr(text,
+                  CAST(frame_idx * greatest(length(text) // 4, 1) + 1 AS INT),
+                  64)) AS frame_checksum
+FROM media CROSS JOIN idx
+"""
 
 
 # -------------------------------------------------------------- approx ---
@@ -290,6 +342,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_language_id": QuerySpec(docs_language_id, _lang_id_sql()),
     "docs_text_quality": QuerySpec(docs_text_quality, TEXT_QUALITY_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FINGERPRINT_SQL),
+    "docs_rolling_fingerprint": QuerySpec(docs_rolling_fingerprint, ROLLING_FP_SQL),
     "docs_exact_dedup": QuerySpec(docs_exact_dedup, EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
     "docs_minhash_near_dup": QuerySpec(docs_minhash_near_dup, None),
@@ -298,8 +351,8 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_near_dup_pairs": QuerySpec(emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
     "emb_lsh_ann": QuerySpec(emb_lsh_ann, None),
     "emb_label_centroids": QuerySpec(emb_label_centroids, CENTROIDS_SQL),
-    "docs_media_features": QuerySpec(docs_media_features, None),
-    "docs_video_frames": QuerySpec(docs_video_frames, None),
+    "docs_media_features": QuerySpec(docs_media_features, MEDIA_FEATURES_SQL),
+    "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "lineitem_approx_distinct": QuerySpec(approx_distinct, None),
     "events_value_percentiles": QuerySpec(value_percentiles, None),
 }
@@ -443,10 +496,15 @@ FROM lineitem GROUP BY 1
 
 
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (probe 3 of 10 clusters); recall gated vs brute."""
+    """IVF ANN: k-means-trained coarse quantizer (10 cells), probe the 5
+    nearest cells per query (50% candidate cut); mean top-10 recall >=0.7
+    vs brute force is gated in tests/test_llm_ops.py. The fixtures are
+    near-random 64-d vectors — the worst case for coarse quantization —
+    so the probe fraction is high; clustered real-world embeddings get
+    the same recall at a far smaller cut."""
     emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return similarity.ivf_topk(emb, queries, k=10, n_probe=3)
+    return similarity.ivf_topk(emb, queries, k=10, n_probe=5)
 
 
 QUERIES.update(

@@ -75,9 +75,9 @@ def test_percentiles_bounded(spark):
 
 
 def test_ivf_topk_recall_vs_brute(spark):
-    """IVF with 3/10 probes must recover most of the exact top-10 —
-    random embeddings are a worst case for clustering, so the bar is
-    recall of the top-1 neighbor plus majority of the top-10."""
+    """IVF with a k-means-trained quantizer probing 4/10 cells must
+    recover >=0.7 of the exact top-10 on average (near-random embeddings
+    are the worst case for clustering; label-based cells cap at ~0.38)."""
     brute = QUERIES["emb_cosine_topk"].fn(spark, SF_DIR).collect()
     ivf = QUERIES["emb_ivf_topk"].fn(spark, SF_DIR).collect()
     brute_top10 = {}
@@ -90,7 +90,7 @@ def test_ivf_topk_recall_vs_brute(spark):
     recalls = [
         len(brute_top10[q] & ivf_sets[q]) / len(brute_top10[q]) for q in brute_top10
     ]
-    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
 def test_dedup_groups_are_consistent_with_pairs(spark):

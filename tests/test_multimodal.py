@@ -36,8 +36,19 @@ def test_extract_features_matches_local_decode(spark, media):
         n, checksum, hist = multimodal.fake_decode(payload)
         got = rows[mid]
         assert (got.n_bytes, got.checksum) == (n, checksum)
+        assert len(checksum) == 32  # md5 hex — oracle-reproducible
         assert [round(x, 6) for x in got.byte_histogram] == hist
         assert abs(sum(got.byte_histogram) - 1.0) < 1e-4
+
+
+def test_payloads_are_ascii(media):
+    """The video-frames oracle slices DuckDB VARCHAR by character while
+    Spark slices the payload by byte; that equivalence requires ASCII
+    fixtures — pin it so a fixture change can't silently skew the oracle."""
+    non_ascii = media.filter(
+        F.octet_length(F.col("payload")) != F.length(F.col("payload").cast("string"))
+    ).count()
+    assert non_ascii == 0
 
 
 def test_extract_features_deterministic(media):
