@@ -65,12 +65,34 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm the JVM + file listing once with a trivial action.
+    # Warm the JVM, codegen, and file listing: run the headline set once
+    # at the smallest scale factor so first-query timings measure the
+    # plan, not one-time JIT/codegen compilation (~2s on the first heavy
+    # query otherwise). Standard steady-state benching; not timed.
     from multi_report_etl_pipeline_spark.io import read_table
 
     read_table(spark, sf_dir, "lineitem").count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in names:
+            try:
+                _force(registry[name].fn(spark, warm_dir))
+            except Exception:  # noqa: BLE001 - warmup must never fail the bench
+                pass
 
     timings: dict[str, float] = {}
+
+    # Materialize the staging layer once (bucketed by account_id — the
+    # reference's CREATE TABLE + CREATE INDEX physical design,
+    # 01_staging_layer.sql:13-14). The reports and clean views then read
+    # pre-hashed input and skip their window/join exchanges. The build
+    # cost is timed and counted in the total.
+    from multi_report_etl_pipeline_spark.queries.reference import materialize_staging
+
+    t0 = time.perf_counter()
+    materialize_staging(spark, sf_dir)
+    timings["staging_materialize"] = round(time.perf_counter() - t0, 3)
+
     for name in names:
         df = registry[name].fn(spark, sf_dir)
         t0 = time.perf_counter()

@@ -22,16 +22,25 @@ from pyspark.sql import functions as F
 from multi_report_etl_pipeline_spark.operators.text import fingerprint, normalized
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: list[str] | None = None,
+) -> DataFrame:
     """Keep one row per distinct normalized text (lowest id wins —
-    deterministic, unlike dropDuplicates)."""
+    deterministic, unlike dropDuplicates).
+
+    ``keep`` projects the row down BEFORE the fingerprint shuffle; when
+    the caller only needs (id, fingerprint), this keeps the full text
+    column (the wide part of the row) out of the exchange — at corpus
+    scale that is the difference between shuffling ids and shuffling the
+    corpus."""
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("fingerprint", fingerprint(text_col))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    fp = df.withColumn("fingerprint", fingerprint(text_col))
+    if keep is not None:
+        fp = fp.select(*keep)
+    return fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

@@ -145,8 +145,11 @@ FROM documents
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs).select("doc_id", "fingerprint")
+    # fan_out parallelizes the normalize+md5 map (regex over long text is
+    # the dominant cost); keep=... drops the text column before the
+    # fingerprint shuffle. Together: 1.33s -> 0.53s at sf0.1.
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
+    return dedup.exact_dedup(docs, keep=["doc_id", "fingerprint"])
 
 
 EXACT_DEDUP_SQL = f"""

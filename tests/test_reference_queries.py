@@ -76,3 +76,27 @@ def test_date_parsing_nulls_malformed(spark):
         & F.col("activity_date").isNotNull()
     )
     assert good.filter(F.col("parsed").isNull()).count() == 0
+
+
+def test_materialized_staging_matches_lazy(spark):
+    """The staging materialization (bench path / the reference's
+    CREATE TABLE staging analog) must be result-identical to the lazy
+    view path and must actually be read by downstream queries."""
+    from multi_report_etl_pipeline_spark.queries import reference
+
+    lazy = {
+        n: sorted(map(tuple, QUERIES[n].fn(spark, SF_DIR).collect()))
+        for n in ("clean_contacts_primary", "report_mortgage_portfolio")
+    }
+    reference.materialize_staging(spark, SF_DIR, n_splits=4)
+    try:
+        primary = QUERIES["clean_contacts_primary"].fn(spark, SF_DIR)
+        mat = {
+            n: sorted(map(tuple, QUERIES[n].fn(spark, SF_DIR).collect()))
+            for n in ("clean_contacts_primary", "report_mortgage_portfolio")
+        }
+        assert mat == lazy
+        plan = primary._jdf.queryExecution().executedPlan().toString()
+        assert "multi_report_etl_pipeline_spark_staging" in plan, plan
+    finally:
+        reference.clear_materialized_staging()
