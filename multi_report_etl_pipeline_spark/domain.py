@@ -43,10 +43,38 @@ def _plus_days_duck(col: str, days: str) -> str:
     return f"(CAST({col} AS DATE) + CAST({days} AS INT))"
 
 
+def _hash60_spark(expr: str) -> str:
+    return f"CAST(CONV(SUBSTRING(md5(CAST({expr} AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _hash60_duck(expr: str) -> str:
+    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 DIALECTS = {
-    "spark": {"fmt": _fmt_ddmmyyyy_spark, "plus_days": _plus_days_spark},
-    "duckdb": {"fmt": _fmt_ddmmyyyy_duck, "plus_days": _plus_days_duck},
+    "spark": {
+        "fmt": _fmt_ddmmyyyy_spark,
+        "plus_days": _plus_days_spark,
+        "hash60": _hash60_spark,
+    },
+    "duckdb": {
+        "fmt": _fmt_ddmmyyyy_duck,
+        "plus_days": _plus_days_duck,
+        "hash60": _hash60_duck,
+    },
 }
+
+# String identity of a lineitem row for the activity fingerprint: the
+# 6-column tuple is verified unique at every test scale factor; the money
+# columns enter as exact integer cents so both engines stringify
+# identically. (activity_id = l_orderkey*10 + l_linenumber is NOT unique
+# in the fixtures — (orderkey, linenumber) repeats — so dedup windows
+# need this fingerprint as their final tiebreaker to have a total order.)
+_ROW_IDENTITY = (
+    "CONCAT_WS('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+    "CAST(ROUND(l_quantity * 100) AS BIGINT), "
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+)
 
 
 def _account_cols(d: dict) -> list[tuple[str, str]]:
@@ -112,6 +140,10 @@ def _activity_cols(d: dict) -> list[tuple[str, str]]:
             "THEN CAST(NULL AS BIGINT) ELSE o_custkey END",
         ),
         ("activity_id", "l_orderkey * 10 + l_linenumber"),
+        # deterministic 60-bit row fingerprint: the TRUE unique key
+        # (activity_id is dirty — duplicated — like real operational ids);
+        # windows use it as the final ORDER BY tiebreaker
+        ("row_fp", d["hash60"](_ROW_IDENTITY)),
         # DD/MM/YYYY strings, ~1% malformed (impossible date) + ~0.5% garbage,
         # matching the reference's dirty-date reality (README.md:118,132-136)
         (

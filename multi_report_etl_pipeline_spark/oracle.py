@@ -81,6 +81,7 @@ def _pre(channel_expr: str, contact_expr: str, where: str = "", dialect: str = "
     return f"""SELECT
         account_id,
         activity_id,
+        row_fp,
         {ad} AS activity_date,
         activity_time,
         {nad} AS next_activity_date,
@@ -91,11 +92,13 @@ def _pre(channel_expr: str, contact_expr: str, where: str = "", dialect: str = "
 
 
 def _top1(pre_name: str, order_by: str) -> str:
+    # activity_id is duplicated in the raw data (dirty id), so the unique
+    # row_fp fingerprint closes the total order — same as staging._top1
     return f"""SELECT {_OUT_COLS}
     FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY account_id
-            ORDER BY {order_by}, activity_id ASC
+            ORDER BY {order_by}, activity_id ASC, row_fp ASC
         ) AS row_num FROM {pre_name}
     ) ranked WHERE row_num = 1"""
 
@@ -344,5 +347,5 @@ def quality_date_parse_failures_sql() -> str:
     return with_prelude(
         f"SELECT account_id, activity_id, activity_date AS raw_activity_date "
         f"FROM stg_activities WHERE {parsed} IS NULL AND activity_date IS NOT NULL "
-        "ORDER BY activity_id ASC LIMIT 10"
+        "ORDER BY activity_id ASC, row_fp ASC LIMIT 10"
     )

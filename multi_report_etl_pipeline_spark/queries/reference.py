@@ -58,11 +58,19 @@ def materialize_staging(
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem").repartition(n_splits)
     sact = domain.stg_activities_df(lineitem, F.broadcast(orders))
-    path = os.path.join(
+    base = os.path.join(
         tempfile.gettempdir(), "multi_report_etl_pipeline_spark_staging", suffix
     )
+    path = os.path.join(base, "stg_activities")
     sact.write.mode("overwrite").parquet(path)
-    _MATERIALIZED[sf_dir] = path
+    # All four contact views' survivors in ONE account_id exchange
+    # (four sorts, one shuffle) — <=4 rows/account, so the write is tiny
+    # and each clean view becomes a filter over this table.
+    combined_path = os.path.join(base, "contact_ranks")
+    staging.combined_contact_ranks(spark.read.parquet(path)).write.mode(
+        "overwrite"
+    ).parquet(combined_path)
+    _MATERIALIZED[sf_dir] = (path, combined_path)
 
 
 def clear_materialized_staging(sf_dir: str | None = None) -> None:
@@ -85,18 +93,27 @@ def build_staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     orders = read_table(spark, sf_dir, "orders")
     stg_accounts = domain.stg_accounts_df(orders)
     if sf_dir in _MATERIALIZED:
-        stg_activities = spark.read.parquet(_MATERIALIZED[sf_dir])
+        stg_path, combined_path = _MATERIALIZED[sf_dir]
+        stg_activities = spark.read.parquet(stg_path)
+        contact_views = staging.clean_views_from_combined(
+            spark.read.parquet(combined_path)
+        )
     else:
         lineitem = read_table(spark, sf_dir, "lineitem")
         stg_activities = domain.stg_activities_df(lineitem, orders)
+        contact_views = {
+            "clean_contacts_primary": staging.clean_contacts_primary(stg_activities),
+            "clean_contacts_field": staging.clean_contacts_field(stg_activities),
+            "clean_contacts_promise": staging.clean_contacts_promise(stg_activities),
+            "clean_contacts_restructure": staging.clean_contacts_restructure(
+                stg_activities
+            ),
+        }
     return {
         "stg_accounts": stg_accounts,
         "stg_activities": stg_activities,
         "clean_accounts": staging.clean_accounts(stg_accounts),
-        "clean_contacts_primary": staging.clean_contacts_primary(stg_activities),
-        "clean_contacts_field": staging.clean_contacts_field(stg_activities),
-        "clean_contacts_promise": staging.clean_contacts_promise(stg_activities),
-        "clean_contacts_restructure": staging.clean_contacts_restructure(stg_activities),
+        **contact_views,
     }
 
 
@@ -185,8 +202,14 @@ def _quality_date_parse_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
             staging.parse_ddmmyyyy("activity_date").isNull()
             & F.col("activity_date").isNotNull()
         )
-        .select("account_id", "activity_id", F.col("activity_date").alias("raw_activity_date"))
-        .orderBy(F.col("activity_id").asc())
+        .select(
+            "account_id",
+            "activity_id",
+            "row_fp",
+            F.col("activity_date").alias("raw_activity_date"),
+        )
+        .orderBy(F.col("activity_id").asc(), F.col("row_fp").asc())
+        .drop("row_fp")
         .limit(10)
     )
 

@@ -129,6 +129,7 @@ def _preprocessed(stg_activities: DataFrame, contact_expr: Column) -> DataFrame:
     return stg_activities.select(
         "account_id",
         "activity_id",
+        "row_fp",
         parse_ddmmyyyy("activity_date").alias("activity_date"),
         "activity_time",
         parse_ddmmyyyy("next_activity_date").alias("next_activity_date"),
@@ -146,12 +147,13 @@ def _preprocessed(stg_activities: DataFrame, contact_expr: Column) -> DataFrame:
 
 
 def _top1(df: DataFrame, *order_cols: Column) -> DataFrame:
-    """Keep the first row per account under a TOTAL order (activity_id
-    tiebreaker appended). filter(row_number()=1) compiles to a per-group
-    limit (WindowGroupLimit) — no second pass over the data."""
+    """Keep the first row per account under a TOTAL order (activity_id,
+    then the unique row_fp fingerprint appended — activity_id alone is
+    duplicated in the raw data). filter(row_number()=1) compiles to a
+    per-group limit (WindowGroupLimit) — no second pass over the data."""
     w = (
         Window.partitionBy("account_id")
-        .orderBy(*order_cols, F.col("activity_id").asc())
+        .orderBy(*order_cols, F.col("activity_id").asc(), F.col("row_fp").asc())
     )
     return (
         df.withColumn("row_num", F.row_number().over(w))
@@ -183,6 +185,7 @@ def clean_contacts_field(stg_activities: DataFrame) -> DataFrame:
     pre = stg_activities.filter(F.col("collection_channel") == "FIELD").select(
         "account_id",
         "activity_id",
+        "row_fp",
         parse_ddmmyyyy("activity_date").alias("activity_date"),
         "activity_time",
         parse_ddmmyyyy("next_activity_date").alias("next_activity_date"),
@@ -209,6 +212,7 @@ def _outcome_view(stg_activities: DataFrame, outcome: str, label: str) -> DataFr
     pre = stg_activities.filter(F.col("contact_outcome") == outcome).select(
         "account_id",
         "activity_id",
+        "row_fp",
         parse_ddmmyyyy("activity_date").alias("activity_date"),
         "activity_time",
         parse_ddmmyyyy("next_activity_date").alias("next_activity_date"),
@@ -236,6 +240,182 @@ def clean_contacts_promise(stg_activities: DataFrame) -> DataFrame:
 
 def clean_contacts_restructure(stg_activities: DataFrame) -> DataFrame:
     return _outcome_view(stg_activities, "RESTRUCTURE_REQUEST", "RESTRUCTURE")
+
+
+# ---------------------------------------------------------------------------
+# Single-exchange combined ranking: all four contact views share the same
+# window partition key (account_id), so their four top-1 windows can run
+# over ONE hash exchange with four sorts instead of four full
+# shuffle+sort passes. Filtered views (field/promise/restructure) become
+# conditional ranks — the predicate leads the sort key, so rank 1 AND
+# pred is exactly "top-1 among predicate rows". Used by the materialized
+# staging path; the lazy per-view builders above stay the reference
+# semantics (and the parity test pins the two paths equal).
+
+def _rank_exprs() -> list[Column]:
+    """The four views' conditional row_number ranks (shared account_id
+    partition, per-view order keys; pred-first so rank 1 AND pred ==
+    top-1 among predicate rows)."""
+
+    def rank(*order_cols):
+        w = Window.partitionBy("account_id").orderBy(
+            *order_cols, F.col("activity_id").asc(), F.col("row_fp").asc()
+        )
+        return F.row_number().over(w)
+
+    pred_first = lambda flag: F.when(F.col(flag), 0).otherwise(1).asc()  # noqa: E731
+    return [
+        rank(
+            F.col("channel_prio").asc(),
+            F.col("type_norm").asc(),
+            F.col("activity_date").desc_nulls_last(),
+        ).alias("rank_primary"),
+        rank(
+            pred_first("is_field"),
+            F.col("type_field").asc(),
+            F.col("activity_date").desc_nulls_last(),
+        ).alias("rank_field"),
+        rank(
+            pred_first("is_promise"),
+            F.col("activity_date").desc_nulls_last(),
+            F.col("activity_time").desc(),
+        ).alias("rank_promise"),
+        rank(
+            pred_first("is_restructure"),
+            F.col("activity_date").desc_nulls_last(),
+            F.col("activity_time").desc(),
+        ).alias("rank_restructure"),
+    ]
+
+
+def combined_contact_ranks(stg_activities: DataFrame) -> DataFrame:
+    """One logical pass over stg_activities producing every contact
+    view's survivor rows: ranks for all four views over a single
+    account_id exchange, keeping only rows that win at least one view
+    (<=4 rows per account in the output).
+
+    Late materialization: the exchange + four sorts run over ONLY the
+    rank-key columns (parquet column pruning keeps the payload columns
+    out of the scan entirely), then the tiny winner set broadcast-joins
+    back to the full row on the unique activity_id. Sorting full-width
+    rows four times was measured ~3x slower at sf0.1."""
+    slim = stg_activities.select(
+        "account_id",
+        "activity_id",
+        "row_fp",
+        parse_ddmmyyyy("activity_date").alias("activity_date"),
+        "activity_time",
+        channel_priority("collection_channel").alias("channel_prio"),
+        contact_type_normalized(
+            F.col("contact_type"), F.col("collection_channel"), F.col("agent_name")
+        ).alias("type_norm"),
+        field_contact_type(F.col("contact_type"), F.col("agent_name")).alias("type_field"),
+        (F.col("collection_channel") == "FIELD").alias("is_field"),
+        (F.col("contact_outcome") == "PAYMENT_PROMISE").alias("is_promise"),
+        (F.col("contact_outcome") == "RESTRUCTURE_REQUEST").alias("is_restructure"),
+    )
+    winners = (
+        slim.select("*", *_rank_exprs())
+        .filter(
+            (F.col("rank_primary") == 1)
+            | ((F.col("rank_field") == 1) & F.col("is_field"))
+            | ((F.col("rank_promise") == 1) & F.col("is_promise"))
+            | ((F.col("rank_restructure") == 1) & F.col("is_restructure"))
+        )
+        .select(
+            F.col("row_fp").alias("w_row_fp"),
+            "rank_primary",
+            "rank_field",
+            "rank_promise",
+            "rank_restructure",
+        )
+    )
+    return (
+        stg_activities.join(
+            F.broadcast(winners),
+            stg_activities.row_fp == winners.w_row_fp,
+        )
+        .select(
+            "account_id",
+            "activity_id",
+            parse_ddmmyyyy("activity_date").alias("activity_date"),
+            "activity_time",
+            parse_ddmmyyyy("next_activity_date").alias("next_activity_date"),
+            channel_priority("collection_channel").alias("channel_prio"),
+            contact_type_normalized(
+                F.col("contact_type"), F.col("collection_channel"), F.col("agent_name")
+            ).alias("type_norm"),
+            field_contact_type(F.col("contact_type"), F.col("agent_name")).alias(
+                "type_field"
+            ),
+            (F.col("collection_channel") == "FIELD").alias("is_field"),
+            (F.col("contact_outcome") == "PAYMENT_PROMISE").alias("is_promise"),
+            (F.col("contact_outcome") == "RESTRUCTURE_REQUEST").alias("is_restructure"),
+            "contact_outcome",
+            "non_payment_reason",
+            "contact_location",
+            "next_action",
+            "notes",
+            "phone_number",
+            "department",
+            "agent_name",
+            "rank_primary",
+            "rank_field",
+            "rank_promise",
+            "rank_restructure",
+        )
+    )
+
+
+def _extract(combined: DataFrame, cond: Column, channel: Column, ctype: Column) -> DataFrame:
+    out = [
+        "account_id",
+        "activity_date",
+        "activity_time",
+        "next_activity_date",
+        channel.alias("collection_channel"),
+        ctype.alias("contact_type"),
+        "contact_outcome",
+        "non_payment_reason",
+        "contact_location",
+        "next_action",
+        "notes",
+        "phone_number",
+        "department",
+        "agent_name",
+    ]
+    return combined.filter(cond).select(*out)
+
+
+def clean_views_from_combined(combined: DataFrame) -> dict[str, DataFrame]:
+    """The four contact views as cheap filters over the combined ranking
+    (column order matches ACTIVITY_OUTPUT_COLS exactly)."""
+    return {
+        "clean_contacts_primary": _extract(
+            combined,
+            F.col("rank_primary") == 1,
+            F.col("channel_prio"),
+            F.col("type_norm"),
+        ),
+        "clean_contacts_field": _extract(
+            combined,
+            (F.col("rank_field") == 1) & F.col("is_field"),
+            F.lit("02.FIELD"),
+            F.col("type_field"),
+        ),
+        "clean_contacts_promise": _extract(
+            combined,
+            (F.col("rank_promise") == 1) & F.col("is_promise"),
+            F.col("channel_prio"),
+            F.lit("PROMISE"),
+        ),
+        "clean_contacts_restructure": _extract(
+            combined,
+            (F.col("rank_restructure") == 1) & F.col("is_restructure"),
+            F.col("channel_prio"),
+            F.lit("RESTRUCTURE"),
+        ),
+    }
 
 
 STAGING_BUILDERS = {

@@ -12,6 +12,7 @@ from multi_report_etl_pipeline_spark import reports, staging
 ACT_FIELDS = [
     "account_id",
     "activity_id",
+    "row_fp",
     "activity_date",
     "activity_time",
     "next_activity_date",
@@ -32,6 +33,7 @@ def _activity(**kw):
     base = {
         "account_id": 1,
         "activity_id": 1,
+        "row_fp": None,  # defaults to activity_id (unique in these fixtures)
         "activity_date": "15/06/2025",
         "activity_time": "10:00:00",
         "next_activity_date": "22/06/2025",
@@ -47,12 +49,14 @@ def _activity(**kw):
         "agent_name": "AGENT_1",
     }
     base.update(kw)
+    if base["row_fp"] is None:
+        base["row_fp"] = base["activity_id"]
     return Row(**{k: base[k] for k in ACT_FIELDS})
 
 
 def _activities_df(spark, rows):
     schema = (
-        "account_id bigint, activity_id bigint, activity_date string, "
+        "account_id bigint, activity_id bigint, row_fp bigint, activity_date string, "
         "activity_time string, next_activity_date string, collection_channel string, "
         "contact_type string, contact_outcome string, non_payment_reason string, "
         "contact_location string, next_action string, notes string, "
@@ -184,3 +188,18 @@ def test_report_dedup_keeps_worst_risk_then_lowest_operation(spark):
     ).collect()
     assert len(report) == 1
     assert (report[0].risk_segment, report[0].operation_number) == ("E", 11)
+
+
+def test_duplicate_activity_id_broken_by_row_fp(spark):
+    """activity_id is duplicated in the raw fixtures (it is a dirty
+    operational id); full ties through activity_id must fall to the
+    unique row_fp fingerprint so the survivor is deterministic."""
+    df = _activities_df(
+        spark,
+        [
+            _activity(account_id=1, activity_id=5, row_fp=200, notes="late"),
+            _activity(account_id=1, activity_id=5, row_fp=100, notes="early"),
+        ],
+    )
+    out = staging.clean_contacts_primary(df).collect()
+    assert len(out) == 1 and out[0].notes == "early"

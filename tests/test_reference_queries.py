@@ -84,18 +84,26 @@ def test_materialized_staging_matches_lazy(spark):
     view path and must actually be read by downstream queries."""
     from multi_report_etl_pipeline_spark.queries import reference
 
-    lazy = {
-        n: sorted(map(tuple, QUERIES[n].fn(spark, SF_DIR).collect()))
-        for n in ("clean_contacts_primary", "report_mortgage_portfolio")
-    }
+    checked = (
+        "clean_contacts_primary",
+        "clean_contacts_field",
+        "clean_contacts_promise",
+        "clean_contacts_restructure",
+        "report_mortgage_portfolio",
+        "report_restructuring_pipeline",
+        "report_commercial_promises",
+        "quality_view_counts",
+    )
+    def rows_of(df):
+        return sorted((tuple(map(repr, r)) for r in df.collect()))
+
+    lazy = {n: rows_of(QUERIES[n].fn(spark, SF_DIR)) for n in checked}
     reference.materialize_staging(spark, SF_DIR, n_splits=4)
     try:
         primary = QUERIES["clean_contacts_primary"].fn(spark, SF_DIR)
-        mat = {
-            n: sorted(map(tuple, QUERIES[n].fn(spark, SF_DIR).collect()))
-            for n in ("clean_contacts_primary", "report_mortgage_portfolio")
-        }
-        assert mat == lazy
+        mat = {n: rows_of(QUERIES[n].fn(spark, SF_DIR)) for n in checked}
+        for n in checked:
+            assert mat[n] == lazy[n], f"{n}: materialized path diverges from lazy"
         plan = primary._jdf.queryExecution().executedPlan().toString()
         assert "multi_report_etl_pipeline_spark_staging" in plan, plan
     finally:
