@@ -18,7 +18,7 @@ from multi_report_etl_pipeline_spark import domain, oracle, reports, staging
 from multi_report_etl_pipeline_spark.io import read_table
 from multi_report_etl_pipeline_spark.queries import QuerySpec
 
-# sf_dir -> table-name suffix of materialized (bucketed) staging tables.
+# sf_dir -> parquet path of the materialized contact-survivor table.
 # Empty by default: the verification driver always gets the pure lazy
 # path. bench.py (or any caller running several staging consumers in one
 # session) opts in via materialize_staging().
@@ -28,26 +28,24 @@ _MATERIALIZED: dict[str, str] = {}
 def materialize_staging(
     spark: SparkSession, sf_dir: str, n_splits: int | None = None
 ) -> None:
-    """Materialize stg_activities as a parquet table and route subsequent
-    build_staging() calls to it.
+    """Materialize the four contact views' survivor rows and route
+    subsequent build_staging() calls to them.
 
     The Spark analog of the reference's physical staging design
-    (01_staging_layer.sql:13-14 materializes staging and indexes it):
-    the lineitem⋈orders join + 15 derived columns are computed ONCE for
-    all downstream consumers (5 clean views, 3 reports, quality probes).
-    Order of operations matters: repartition the RAW fact scan first
-    (narrow columns cross the shuffle), broadcast the orders side, and
-    project the wide derived strings AFTER the shuffle at full
-    parallelism — projecting before the shuffle triples the write cost
-    (measured 7.0s -> 1.7s at sf0.1). Bucketing by account_id was
-    measured a wash at local scale (exchange-free windows save ~0.1s/
-    report but the bucketed write costs 2s more); at cluster scale with
-    many consumers per write, flip to ``io.write_parquet(bucket_by=...)``.
+    (01_staging_layer.sql:13-14 materializes staging and indexes it),
+    collapsed further: the four top-1-per-account views are computed in
+    ONE ``min_by`` partial-aggregation pass over the lineitem⋈orders
+    scan (staging.combined_contact_survivors) — each map partition
+    reduces to <=1 row per account per view before the exchange, so the
+    shuffle carries ~n_accounts rows instead of the whole fact table and
+    there is no global sort and no wide intermediate write. Every clean
+    view then becomes a struct-expansion over this tiny table.
 
-    stg_accounts stays lazy: it is a narrow map over the orders scan and
-    re-deriving it costs less than reading it back. The materialization
-    is a plain parquet path (no catalog) so repeated runs and foreign
-    sessions can't collide on managed-table locations."""
+    stg_accounts and stg_activities stay lazy: they are narrow maps over
+    the raw scans and re-deriving them costs less than writing and
+    reading them back. The materialization is a plain parquet path (no
+    catalog) so repeated runs and foreign sessions can't collide on
+    managed-table locations."""
     import os
     import tempfile
 
@@ -56,21 +54,18 @@ def materialize_staging(
     suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
     n_splits = n_splits or spark.sparkContext.defaultParallelism
     orders = read_table(spark, sf_dir, "orders")
-    lineitem = read_table(spark, sf_dir, "lineitem").repartition(n_splits)
-    sact = domain.stg_activities_df(lineitem, F.broadcast(orders))
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    sact = domain.stg_activities_df(
+        lineitem, F.broadcast(orders), repartition_by_account=n_splits
+    )
     base = os.path.join(
         tempfile.gettempdir(), "multi_report_etl_pipeline_spark_staging", suffix
     )
-    path = os.path.join(base, "stg_activities")
-    sact.write.mode("overwrite").parquet(path)
-    # All four contact views' survivors in ONE account_id exchange
-    # (four sorts, one shuffle) — <=4 rows/account, so the write is tiny
-    # and each clean view becomes a filter over this table.
-    combined_path = os.path.join(base, "contact_ranks")
-    staging.combined_contact_ranks(spark.read.parquet(path)).write.mode(
-        "overwrite"
-    ).parquet(combined_path)
-    _MATERIALIZED[sf_dir] = (path, combined_path)
+    survivors_path = os.path.join(base, "contact_survivors")
+    staging.combined_contact_survivors(sact).write.mode("overwrite").parquet(
+        survivors_path
+    )
+    _MATERIALIZED[sf_dir] = survivors_path
 
 
 def clear_materialized_staging(sf_dir: str | None = None) -> None:
@@ -92,15 +87,13 @@ def build_staging(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     orders = read_table(spark, sf_dir, "orders")
     stg_accounts = domain.stg_accounts_df(orders)
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    stg_activities = domain.stg_activities_df(lineitem, orders)
     if sf_dir in _MATERIALIZED:
-        stg_path, combined_path = _MATERIALIZED[sf_dir]
-        stg_activities = spark.read.parquet(stg_path)
-        contact_views = staging.clean_views_from_combined(
-            spark.read.parquet(combined_path)
+        contact_views = staging.clean_views_from_survivors(
+            spark.read.parquet(_MATERIALIZED[sf_dir])
         )
     else:
-        lineitem = read_table(spark, sf_dir, "lineitem")
-        stg_activities = domain.stg_activities_df(lineitem, orders)
         contact_views = {
             "clean_contacts_primary": staging.clean_contacts_primary(stg_activities),
             "clean_contacts_field": staging.clean_contacts_field(stg_activities),

@@ -243,177 +243,123 @@ def clean_contacts_restructure(stg_activities: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Single-exchange combined ranking: all four contact views share the same
-# window partition key (account_id), so their four top-1 windows can run
-# over ONE hash exchange with four sorts instead of four full
-# shuffle+sort passes. Filtered views (field/promise/restructure) become
-# conditional ranks — the predicate leads the sort key, so rank 1 AND
-# pred is exactly "top-1 among predicate rows". Used by the materialized
-# staging path; the lazy per-view builders above stay the reference
-# semantics (and the parity test pins the two paths equal).
-
-def _rank_exprs() -> list[Column]:
-    """The four views' conditional row_number ranks (shared account_id
-    partition, per-view order keys; pred-first so rank 1 AND pred ==
-    top-1 among predicate rows)."""
-
-    def rank(*order_cols):
-        w = Window.partitionBy("account_id").orderBy(
-            *order_cols, F.col("activity_id").asc(), F.col("row_fp").asc()
-        )
-        return F.row_number().over(w)
-
-    pred_first = lambda flag: F.when(F.col(flag), 0).otherwise(1).asc()  # noqa: E731
-    return [
-        rank(
-            F.col("channel_prio").asc(),
-            F.col("type_norm").asc(),
-            F.col("activity_date").desc_nulls_last(),
-        ).alias("rank_primary"),
-        rank(
-            pred_first("is_field"),
-            F.col("type_field").asc(),
-            F.col("activity_date").desc_nulls_last(),
-        ).alias("rank_field"),
-        rank(
-            pred_first("is_promise"),
-            F.col("activity_date").desc_nulls_last(),
-            F.col("activity_time").desc(),
-        ).alias("rank_promise"),
-        rank(
-            pred_first("is_restructure"),
-            F.col("activity_date").desc_nulls_last(),
-            F.col("activity_time").desc(),
-        ).alias("rank_restructure"),
-    ]
+# Single-pass combined survivors: all four contact views are top-1-per-
+# account selections, i.e. aggregations — min_by(payload, order_key).
+# One groupBy(account_id) computes all four at once, and because min_by
+# is a partial-aggregable function, each map partition collapses to <=1
+# row per account per view BEFORE the exchange: only ~n_accounts tiny
+# pre-aggregated rows cross the shuffle and nothing is ever globally
+# sorted. At 100 TB that is the difference between shuffle+sorting the
+# fact table four times (the window formulation) and shuffling one small
+# row per account. The lazy per-view window builders above stay the
+# reference semantics; the parity test pins the two paths equal.
+#
+# Each view's DESC sort keys are re-encoded as ascending integers so one
+# lexicographic struct comparison reproduces the exact window order:
+#   activity_date DESC NULLS LAST -> coalesce(-unix_date(d), INT_MAX)
+#   activity_time DESC ('HH:MM:SS' fixed-width, digits-only)
+#                                 -> coalesce(-int('HHMMSS'), LONG_MAX)
+# ASC string keys (channel/type priority labels) compare natively. The
+# unique (activity_id, row_fp) suffix makes every key total, so min_by
+# ties are impossible and the survivor is deterministic.
 
 
-def combined_contact_ranks(stg_activities: DataFrame) -> DataFrame:
-    """One logical pass over stg_activities producing every contact
-    view's survivor rows: ranks for all four views over a single
-    account_id exchange, keeping only rows that win at least one view
-    (<=4 rows per account in the output).
+def _survivor_keys() -> dict[str, Column]:
+    """Per-view ascending order-key structs (null key = row not in view)."""
+    date_enc = F.coalesce(
+        -F.unix_date(parse_ddmmyyyy("activity_date")), F.lit(2147483647)
+    )
+    time_enc = F.coalesce(
+        -F.translate(F.col("activity_time"), ":", "").cast("bigint"),
+        F.lit(2**62),
+    )
+    chan = channel_priority("collection_channel")
+    tnorm = contact_type_normalized(
+        F.col("contact_type"), F.col("collection_channel"), F.col("agent_name")
+    )
+    tfield = field_contact_type(F.col("contact_type"), F.col("agent_name"))
+    tie = (F.col("activity_id"), F.col("row_fp"))
+    return {
+        "p_primary": F.struct(chan, tnorm, date_enc, *tie),
+        "p_field": F.when(
+            F.col("collection_channel") == "FIELD", F.struct(tfield, date_enc, *tie)
+        ),
+        "p_promise": F.when(
+            F.col("contact_outcome") == "PAYMENT_PROMISE",
+            F.struct(date_enc, time_enc, *tie),
+        ),
+        "p_restructure": F.when(
+            F.col("contact_outcome") == "RESTRUCTURE_REQUEST",
+            F.struct(date_enc, time_enc, *tie),
+        ),
+    }
 
-    Late materialization: the exchange + four sorts run over ONLY the
-    rank-key columns (parquet column pruning keeps the payload columns
-    out of the scan entirely), then the tiny winner set broadcast-joins
-    back to the full row on the unique activity_id. Sorting full-width
-    rows four times was measured ~3x slower at sf0.1."""
-    slim = stg_activities.select(
-        "account_id",
-        "activity_id",
-        "row_fp",
+
+# Payload fields shared by all four views (per-view channel/type labels are
+# picked out of the struct at extraction time).
+_SURVIVOR_PASSTHROUGH = [
+    "contact_outcome",
+    "non_payment_reason",
+    "contact_location",
+    "next_action",
+    "notes",
+    "phone_number",
+    "department",
+    "agent_name",
+]
+
+
+def combined_contact_survivors(stg_activities: DataFrame) -> DataFrame:
+    """Every contact view's survivor row in ONE partial-agg pass:
+    one row per account with four (nullable) payload structs."""
+    payload = F.struct(
         parse_ddmmyyyy("activity_date").alias("activity_date"),
-        "activity_time",
+        F.col("activity_time").alias("activity_time"),
+        parse_ddmmyyyy("next_activity_date").alias("next_activity_date"),
         channel_priority("collection_channel").alias("channel_prio"),
         contact_type_normalized(
             F.col("contact_type"), F.col("collection_channel"), F.col("agent_name")
         ).alias("type_norm"),
-        field_contact_type(F.col("contact_type"), F.col("agent_name")).alias("type_field"),
-        (F.col("collection_channel") == "FIELD").alias("is_field"),
-        (F.col("contact_outcome") == "PAYMENT_PROMISE").alias("is_promise"),
-        (F.col("contact_outcome") == "RESTRUCTURE_REQUEST").alias("is_restructure"),
+        field_contact_type(F.col("contact_type"), F.col("agent_name")).alias(
+            "type_field"
+        ),
+        *(F.col(c).alias(c) for c in _SURVIVOR_PASSTHROUGH),
     )
-    winners = (
-        slim.select("*", *_rank_exprs())
-        .filter(
-            (F.col("rank_primary") == 1)
-            | ((F.col("rank_field") == 1) & F.col("is_field"))
-            | ((F.col("rank_promise") == 1) & F.col("is_promise"))
-            | ((F.col("rank_restructure") == 1) & F.col("is_restructure"))
-        )
-        .select(
-            F.col("row_fp").alias("w_row_fp"),
-            "rank_primary",
-            "rank_field",
-            "rank_promise",
-            "rank_restructure",
-        )
+    keys = _survivor_keys()
+    return stg_activities.groupBy("account_id").agg(
+        *(F.min_by(payload, key).alias(name) for name, key in keys.items())
     )
-    return (
-        stg_activities.join(
-            F.broadcast(winners),
-            stg_activities.row_fp == winners.w_row_fp,
-        )
-        .select(
+
+
+def clean_views_from_survivors(survivors: DataFrame) -> dict[str, DataFrame]:
+    """The four contact views as cheap struct-expansions over the
+    survivor table (column order matches ACTIVITY_OUTPUT_COLS exactly)."""
+
+    def extract(field: str, channel, ctype) -> DataFrame:
+        p = F.col(field)
+        return survivors.filter(p.isNotNull()).select(
             "account_id",
-            "activity_id",
-            parse_ddmmyyyy("activity_date").alias("activity_date"),
-            "activity_time",
-            parse_ddmmyyyy("next_activity_date").alias("next_activity_date"),
-            channel_priority("collection_channel").alias("channel_prio"),
-            contact_type_normalized(
-                F.col("contact_type"), F.col("collection_channel"), F.col("agent_name")
-            ).alias("type_norm"),
-            field_contact_type(F.col("contact_type"), F.col("agent_name")).alias(
-                "type_field"
-            ),
-            (F.col("collection_channel") == "FIELD").alias("is_field"),
-            (F.col("contact_outcome") == "PAYMENT_PROMISE").alias("is_promise"),
-            (F.col("contact_outcome") == "RESTRUCTURE_REQUEST").alias("is_restructure"),
-            "contact_outcome",
-            "non_payment_reason",
-            "contact_location",
-            "next_action",
-            "notes",
-            "phone_number",
-            "department",
-            "agent_name",
-            "rank_primary",
-            "rank_field",
-            "rank_promise",
-            "rank_restructure",
+            p["activity_date"].alias("activity_date"),
+            p["activity_time"].alias("activity_time"),
+            p["next_activity_date"].alias("next_activity_date"),
+            channel(p).alias("collection_channel"),
+            ctype(p).alias("contact_type"),
+            *(p[c].alias(c) for c in _SURVIVOR_PASSTHROUGH),
         )
-    )
 
-
-def _extract(combined: DataFrame, cond: Column, channel: Column, ctype: Column) -> DataFrame:
-    out = [
-        "account_id",
-        "activity_date",
-        "activity_time",
-        "next_activity_date",
-        channel.alias("collection_channel"),
-        ctype.alias("contact_type"),
-        "contact_outcome",
-        "non_payment_reason",
-        "contact_location",
-        "next_action",
-        "notes",
-        "phone_number",
-        "department",
-        "agent_name",
-    ]
-    return combined.filter(cond).select(*out)
-
-
-def clean_views_from_combined(combined: DataFrame) -> dict[str, DataFrame]:
-    """The four contact views as cheap filters over the combined ranking
-    (column order matches ACTIVITY_OUTPUT_COLS exactly)."""
+    chan = lambda p: p["channel_prio"]  # noqa: E731
     return {
-        "clean_contacts_primary": _extract(
-            combined,
-            F.col("rank_primary") == 1,
-            F.col("channel_prio"),
-            F.col("type_norm"),
+        "clean_contacts_primary": extract(
+            "p_primary", chan, lambda p: p["type_norm"]
         ),
-        "clean_contacts_field": _extract(
-            combined,
-            (F.col("rank_field") == 1) & F.col("is_field"),
-            F.lit("02.FIELD"),
-            F.col("type_field"),
+        "clean_contacts_field": extract(
+            "p_field", lambda p: F.lit("02.FIELD"), lambda p: p["type_field"]
         ),
-        "clean_contacts_promise": _extract(
-            combined,
-            (F.col("rank_promise") == 1) & F.col("is_promise"),
-            F.col("channel_prio"),
-            F.lit("PROMISE"),
+        "clean_contacts_promise": extract(
+            "p_promise", chan, lambda p: F.lit("PROMISE")
         ),
-        "clean_contacts_restructure": _extract(
-            combined,
-            (F.col("rank_restructure") == 1) & F.col("is_restructure"),
-            F.col("channel_prio"),
-            F.lit("RESTRUCTURE"),
+        "clean_contacts_restructure": extract(
+            "p_restructure", chan, lambda p: F.lit("RESTRUCTURE")
         ),
     }
 
