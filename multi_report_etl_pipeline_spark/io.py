@@ -49,15 +49,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fan_out(df: DataFrame, spark: SparkSession, target: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    spark: SparkSession,
+    target: int | None = None,
+    cols: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Raise scan parallelism when the source has fewer splits than cores.
 
     Single-row-group parquet files (like the local test fixtures) give the
     scan one task, which serializes every downstream narrow op. When the
-    consumer shuffles full rows anyway (window dedup), a round-robin
-    repartition first costs one extra small shuffle and buys cores-wide
-    parallelism for the expensive projections. On a real cluster the scan
-    has >= target splits and this is a no-op, so it is safe at 100 TB.
+    consumer shuffles full rows anyway (window dedup), a repartition first
+    costs one extra small shuffle and buys cores-wide parallelism for the
+    expensive projections. On a real cluster the scan has >= target splits
+    and this is a no-op, so it is safe at 100 TB.
+
+    Pass ``cols`` (e.g. a join key) to hash-partition instead of the
+    round-robin default: round-robin repartition LOCALLY SORTS each
+    partition for deterministic retries (measured ~2x the exchange cost
+    on narrow rows), which hash partitioning skips entirely.
 
     The probe uses ``df.inputFiles()`` — a metadata-only file-index call —
     instead of ``df.rdd.getNumPartitions()``, which would force a
@@ -69,6 +79,8 @@ def fan_out(df: DataFrame, spark: SparkSession, target: int | None = None) -> Da
     except Exception:
         return df
     if 0 < n_files < max(2, target // 2):
+        if cols:
+            return df.repartition(target, *cols)
         return df.repartition(target)
     return df
 

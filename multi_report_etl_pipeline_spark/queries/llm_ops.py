@@ -247,7 +247,9 @@ SELECT id_1, id_2, cosine_sim FROM sims WHERE cosine_sim >= 0.4
 def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     # for unit-norm vectors, L2 <= sqrt(2*(1-cos)) <=> cosine >= 0.4
-    return similarity.lsh_ann_pairs(emb, max_l2_dist=1.0954451150103324)
+    return similarity.lsh_ann_pairs(
+        emb, max_l2_dist=1.0954451150103324, bucket_length=1.25, num_hash_tables=6
+    )
 
 
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

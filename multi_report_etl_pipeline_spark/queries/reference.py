@@ -51,10 +51,24 @@ def materialize_staging(
 
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    from multi_report_etl_pipeline_spark.io import fan_out  # noqa: PLC0415
+
     suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
     n_splits = n_splits or spark.sparkContext.defaultParallelism
-    orders = read_table(spark, sf_dir, "orders")
-    lineitem = read_table(spark, sf_dir, "lineitem")
+    # project BOTH sides down before the exchange/broadcast explicitly:
+    # Catalyst does not prune columns below a user repartition or a
+    # forced broadcast hint, and shuffling the unused lineitem columns
+    # (or broadcasting all of orders) was measured ~1s extra at sf0.1
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l_cols = [c for c in domain._ACTIVITY_SOURCE_COLS if c.startswith("l_")]
+    # hash fan-out on the join key: the local fixtures have ~3 row groups,
+    # which would serialize the md5/derive map work to 3 tasks otherwise
+    lineitem = fan_out(
+        read_table(spark, sf_dir, "lineitem").select(*l_cols),
+        spark,
+        n_splits,
+        cols=("l_orderkey",),
+    )
     sact = domain.stg_activities_df(
         lineitem, F.broadcast(orders), repartition_by_account=n_splits
     )
