@@ -67,6 +67,50 @@ def test_field_filter_reaches_scan(spark):
     assert "l_linenumber" in scan_section[:1200], scan_section[:1200]
 
 
+def test_survivor_agg_is_partial_min_by(spark):
+    """The materialized staging path must stay a partial aggregation:
+    min_by reduces map-side, so the account exchange carries ~1 row per
+    account per view, never the fact table."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark import domain, staging
+    from multi_report_etl_pipeline_spark.io import read_table
+
+    orders = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    lineitem = read_table(spark, SF_DIR, "lineitem")
+    sact = domain.stg_activities_df(
+        lineitem, F.broadcast(orders), repartition_by_account=8
+    )
+    plan = physical_plan(staging.combined_contact_survivors(sact))
+    assert "partial_min_by" in plan, plan[:3000]
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    # exactly the explicit account repartition; the aggregation must NOT
+    # add a second hash exchange (its requirement is already satisfied)
+    assert len(exchanges) == 1 and "account_id" in exchanges[0], exchanges
+
+
+def test_lsh_ann_is_single_gemm_stage(spark):
+    """emb_lsh_ann: one Arrow-batched grouped-pandas kernel (the GEMM),
+    no nested-loop join anywhere."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["emb_lsh_ann"].fn(spark, SF_DIR))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_minhash_stays_jvm_side(spark):
+    """docs_minhash_near_dup is pure codegen: signatures via xxhash64 in
+    a partial agg, no Python evaluation node in the plan."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_minhash_near_dup"].fn(spark, SF_DIR))
+    assert "xxhash64" in plan, plan[:2000]
+    assert "partial_min" in plan, plan[:2000]
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert python_node not in plan, python_node
+
+
 def test_report_joins_share_account_partitioning(spark):
     """The report join chain must not introduce exchanges beyond the
     per-input hash partitioning on account_id."""
