@@ -120,9 +120,21 @@ def main() -> None:
 
     timings["staging_materialize"] = _timed(_run_materialize)
 
+    # Queries whose *construction* already runs cluster jobs (iterative
+    # driver loops: label propagation, quantizer training). For these the
+    # build IS execution and must sit inside the timer. For declarative
+    # queries, construction is client-side plan authoring (Py4J + analysis,
+    # ~0.3-1 s of pure Python chatter) that a deployed pipeline pays once,
+    # so it stays outside — the DuckDB counterpart (SQL parse) is ~1 ms.
+    iterative = {"docs_dedup_groups", "emb_ivf_topk"}
+
     for name in names:
-        df = registry[name].fn(spark, sf_dir)
-        timings[name] = _timed(lambda: _force(df))
+        fn = registry[name].fn
+        if name in iterative:
+            timings[name] = _timed(lambda: _force(fn(spark, sf_dir)))
+        else:
+            df = fn(spark, sf_dir)
+            timings[name] = _timed(lambda: _force(df))
 
     total = round(sum(timings.values()), 3)
     print(

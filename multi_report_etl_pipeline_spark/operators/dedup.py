@@ -247,9 +247,11 @@ def near_dup_components(
 
     Iterative min-label propagation on DataFrames: each node adopts the
     smallest component id among itself and its neighbors until fixpoint.
-    Iterations are O(diameter) — near-dup graphs are unions of small
-    cliques, so 2-3 rounds in practice. localCheckpoint() truncates the
-    lineage each round (the standard guard for iterative DataFrame
+    Each materialization round propagates TWO hops (two chained label
+    joins before the checkpoint), so rounds are O(diameter/2) — near-dup
+    graphs are unions of small cliques, so one round usually converges
+    and the second confirms the fixpoint. localCheckpoint() truncates
+    the lineage each round (the standard guard for iterative DataFrame
     algorithms). Output: (doc_id, group_id = min doc_id in component).
     """
     edges = (
@@ -265,23 +267,26 @@ def near_dup_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    changed = -1
-    for _ in range(max_iterations):
+
+    def hop(lbls):
         neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
+            edges.join(lbls, edges.b == lbls.node)
             .groupBy("a")
             .agg(F.min("comp").alias("n_comp"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("n_comp") < F.col("comp")).alias("_changed"),
-            )
-        ).localCheckpoint(eager=True)
+        return lbls.join(neighbor_min, lbls.node == neighbor_min.a, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
+                "comp"
+            ),
+            (F.col("n_comp") < F.col("comp")).alias("_changed"),
+        )
+
+    changed = -1
+    for _ in range(max_iterations):
+        # two hops per materialization; convergence is judged on the
+        # SECOND hop, so changed==0 certifies a true fixpoint
+        updated = hop(hop(labels).drop("_changed")).localCheckpoint(eager=True)
         changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if changed == 0:

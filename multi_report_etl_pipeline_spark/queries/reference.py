@@ -55,6 +55,9 @@ def materialize_staging(
 
     suffix = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
     n_splits = n_splits or spark.sparkContext.defaultParallelism
+    # tmpfs beats the (virtio) disk for the scratch table when present;
+    # on a cluster this path would be HDFS/S3 and is a config concern
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     # project BOTH sides down before the exchange/broadcast explicitly:
     # Catalyst does not prune columns below a user repartition or a
     # forced broadcast hint, and shuffling the unused lineitem columns
@@ -72,9 +75,7 @@ def materialize_staging(
     sact = domain.stg_activities_df(
         lineitem, F.broadcast(orders), repartition_by_account=n_splits
     )
-    base = os.path.join(
-        tempfile.gettempdir(), "multi_report_etl_pipeline_spark_staging", suffix
-    )
+    base = os.path.join(tmp_base, "multi_report_etl_pipeline_spark_staging", suffix)
     survivors_path = os.path.join(base, "contact_survivors")
     staging.combined_contact_survivors(sact).write.mode("overwrite").parquet(
         survivors_path
