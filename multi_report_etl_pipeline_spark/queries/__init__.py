@@ -39,6 +39,8 @@ class QuerySpec:
 #   parts_at_max_size        scalar-subquery cousin of orders_above_customer_avg
 #   emb_near_dup_pairs       quadratic baseline of emb_cosine_topk/emb_lsh_ann
 #   docs_rolling_fingerprint order-sensitive variant of docs_fingerprint
+#   docs_simhash_near_dup    no-oracle twin of docs_minhash_near_dup; its
+#                            real gate is the pytest recall threshold
 _TAIL = (
     "docs_fingerprint",
     "docs_rolling_fingerprint",
@@ -47,6 +49,7 @@ _TAIL = (
     "customers_without_orders",
     "parts_at_max_size",
     "emb_near_dup_pairs",
+    "docs_simhash_near_dup",
 )
 
 

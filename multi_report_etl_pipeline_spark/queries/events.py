@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multi_report_etl_pipeline_spark import oracle
 from multi_report_etl_pipeline_spark.io import read_table
 from multi_report_etl_pipeline_spark.queries import QuerySpec
 
@@ -257,6 +258,22 @@ FROM events
 """
 
 
+def streaming_contact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STAGING layer: the reference's core view
+    (clean_contacts_primary) maintained incrementally by the min_by
+    survivor aggregation over a lineitem file stream. Drained with
+    availableNow, the result must be row-identical to the batch view —
+    the full view oracle hash-checks the streaming path end-to-end."""
+    from multi_report_etl_pipeline_spark import staging, streaming
+
+    stg = streaming.read_activities_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.contact_survivors_stream(stg), "q_stream_surv", "complete"
+    )
+    views = staging.clean_views_from_survivors(spark.table("q_stream_surv"))
+    return views["clean_contacts_primary"]
+
+
 QUERIES.update(
     {
         "streaming_windowed_counts": QuerySpec(
@@ -266,5 +283,9 @@ QUERIES.update(
             streaming_sessionization, SESSIONIZATION_SQL
         ),
         "streaming_dedup": QuerySpec(streaming_dedup, STREAM_DEDUP_SQL),
+        "streaming_contact_survivors": QuerySpec(
+            streaming_contact_survivors,
+            oracle.view_sql("clean_contacts_primary"),
+        ),
     }
 )

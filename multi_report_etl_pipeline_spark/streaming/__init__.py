@@ -25,10 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 EVENTS_SCHEMA = StructType(
@@ -41,6 +43,51 @@ EVENTS_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+
+LINEITEM_SOURCE_SCHEMA = StructType(
+    [
+        StructField("l_orderkey", LongType()),
+        StructField("l_partkey", LongType()),
+        StructField("l_suppkey", LongType()),
+        StructField("l_linenumber", IntegerType()),
+        StructField("l_quantity", DoubleType()),
+        StructField("l_extendedprice", DoubleType()),
+        StructField("l_shipdate", TimestampType()),
+    ]
+)
+
+
+def read_activities_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of the activity fact: a file-source stream over the
+    lineitem landing zone, stream-static broadcast-joined to orders, with
+    the same derived-column adapter as batch (domain.stg_activities_df).
+    At scale the landing zone is the directory a collector appends to;
+    every new file becomes an incremental micro-batch of activities."""
+    from multi_report_etl_pipeline_spark import domain  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.io import read_table  # noqa: PLC0415
+
+    raw = (
+        spark.readStream.schema(LINEITEM_SOURCE_SCHEMA)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return domain.stg_activities_df(raw, F.broadcast(orders))
+
+
+def contact_survivors_stream(stg_activities: DataFrame) -> DataFrame:
+    """Incrementally-maintained staging layer: the SAME min_by survivor
+    aggregation the batch materialization uses
+    (staging.combined_contact_survivors) run as a streaming aggregation —
+    per-account state is four payload structs, bounded by account count
+    and independent of stream length. Under complete output mode each
+    micro-batch re-emits the current survivors, i.e. the reference's
+    clean contact views stay continuously up to date as activities
+    arrive, instead of being recomputed on demand (README.md:116)."""
+    from multi_report_etl_pipeline_spark import staging  # noqa: PLC0415
+
+    return staging.combined_contact_survivors(stg_activities)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

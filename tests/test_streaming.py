@@ -65,3 +65,25 @@ def test_user_totals_stateful(spark):
     got_rows = {r.user_id: (r.events_seen, round(r.value_total, 2)) for r in got.collect()}
     want_rows = {r.user_id: (r.events_seen, round(r.value_total, 2)) for r in want.collect()}
     assert got_rows == want_rows
+
+
+def test_streaming_contact_survivors_equals_batch_view(spark):
+    """The incrementally-maintained staging layer (min_by survivor agg
+    over the lineitem stream) must reproduce the batch
+    clean_contacts_primary view row-for-row after an availableNow drain."""
+    from multi_report_etl_pipeline_spark.queries.events import (
+        streaming_contact_survivors,
+    )
+    from multi_report_etl_pipeline_spark.queries.reference import (
+        QUERIES as REF_QUERIES,
+    )
+
+    got = sorted(
+        tuple(map(repr, r))
+        for r in streaming_contact_survivors(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(map(repr, r))
+        for r in REF_QUERIES["clean_contacts_primary"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want
