@@ -102,6 +102,33 @@ def register_tables(
     return dfs
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    corrupt_record_col: str | None = None,
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema — the ingestion path of the
+    reference's raw tables (its loaders run `.mode csv` / `.import`,
+    README.md:71-76).
+
+    Schema inference is deliberately not offered: at 100 TB an inference
+    pass reads the data twice and silently changes types between drops.
+    PERMISSIVE mode + an optional ``corrupt_record_col`` keeps bad lines
+    (the reference's dirty-data reality) as quarantine rows instead of
+    failing the load; pipe the non-null ones to a quality probe."""
+    reader = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("enforceSchema", "false")
+    )
+    if corrupt_record_col:
+        schema = f"{schema}, {corrupt_record_col} string"
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+    return reader.schema(schema).csv(path)
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """CSV export sink (reference README.md:72-76 `.mode csv`).
 

@@ -9,5 +9,6 @@ from multi_report_etl_pipeline_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     similarity,
+    skew,
     text,
 )

@@ -203,3 +203,30 @@ def test_duplicate_activity_id_broken_by_row_fp(spark):
     )
     out = staging.clean_contacts_primary(df).collect()
     assert len(out) == 1 and out[0].notes == "early"
+
+
+def test_clean_views_invariant_under_input_permutation(spark):
+    """Dedup windows must be total orders: reshuffling the input rows
+    (different partitioning AND different within-partition order) may
+    never change any clean view's output. This is the regression net for
+    the duplicated-activity_id class of bug that row_fp closes."""
+    import random
+
+    from multi_report_etl_pipeline_spark.queries.reference import build_staging
+
+    base = build_staging(spark, "/root/testdata/sf0.001")["stg_activities"]
+    rows = base.collect()
+    want = None
+    for seed in (1, 2, 3):
+        shuffled = rows[:]
+        random.Random(seed).shuffle(shuffled)
+        df = spark.createDataFrame(shuffled, base.schema).repartition(seed + 2)
+        got = {
+            name: sorted(tuple(map(repr, r)) for r in fn(df).collect())
+            for name, fn in staging.STAGING_BUILDERS.items()
+            if name != "clean_accounts"
+        }
+        if want is None:
+            want = got
+        else:
+            assert got == want, "clean view changed under input permutation"

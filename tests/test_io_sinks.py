@@ -60,3 +60,33 @@ def test_bucketed_table_join_avoids_shuffle(spark, tmp_path):
     assert joined.count() == li.count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_csv_source_round_trips_orders(spark, tmp_path):
+    """read_csv with explicit schema must reproduce the parquet rows
+    (the reference's `.mode csv` ingestion path)."""
+    from multi_report_etl_pipeline_spark.io import read_csv, read_table, write_csv
+
+    orders = read_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders, path)
+    schema = ", ".join(f"{n} {t}" for n, t in orders.dtypes)
+    back = read_csv(spark, path, schema)
+    want = sorted(tuple(map(repr, r)) for r in orders.collect())
+    got = sorted(tuple(map(repr, r)) for r in back.collect())
+    assert got == want
+
+
+def test_csv_source_quarantines_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE mode with a corrupt-record column keeps bad lines as
+    quarantine rows instead of failing the load."""
+    from multi_report_etl_pipeline_spark.io import read_csv
+
+    f = tmp_path / "dirty.csv"
+    f.write_text("id,amount\n1,10.5\nnot_a_number,oops,extra\n2,20.0\n")
+    df = read_csv(spark, str(f), "id bigint, amount double", corrupt_record_col="_bad")
+    rows = df.collect()
+    good = [r for r in rows if r["_bad"] is None]
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert {(r["id"], r["amount"]) for r in good} == {(1, 10.5), (2, 20.0)}
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_bad"]

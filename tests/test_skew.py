@@ -1,0 +1,44 @@
+"""Salted-join semantics: result must equal the plain equi-join for
+inner and left joins, including skewed and missing keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_report_etl_pipeline_spark.operators.skew import salted_join
+
+
+def _rows(df):
+    return sorted(tuple(map(repr, r)) for r in df.collect())
+
+
+def _fixture(spark):
+    # one pathologically hot key (0), a normal key, and a dim-less key
+    fact = spark.range(0, 3000).select(
+        F.when(F.col("id") < 2800, 0)
+        .when(F.col("id") < 2950, 1)
+        .otherwise(2)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame([(0, "hot"), (1, "warm")], "k long, name string")
+    return fact, dim
+
+
+def test_salted_inner_matches_plain(spark):
+    fact, dim = _fixture(spark)
+    want = _rows(fact.join(dim, "k"))
+    got = _rows(salted_join(fact, dim, "k", n_salts=4))
+    assert got == want
+
+
+def test_salted_left_matches_plain(spark):
+    fact, dim = _fixture(spark)
+    want = _rows(fact.join(dim, "k", "left"))
+    got = _rows(salted_join(fact, dim, "k", how="left", n_salts=4))
+    assert got == want
+
+
+def test_salt_never_escapes(spark):
+    fact, dim = _fixture(spark)
+    assert salted_join(fact, dim, "k").columns == fact.join(dim, "k").columns
