@@ -126,6 +126,35 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
 
 
+def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """"Resize" in fake-codec mode: deterministic byte-stride downsample
+    to ~``target_bytes`` per payload (a real deployment swaps the stride
+    slice for codec decode + interpolation; the Spark plumbing — Arrow
+    batches in, binary column out, original row count preserved — is
+    identical). Output payloads are stable under repartitioning, so the
+    thumbnail checksum is test-pinnable."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                stride = max(len(b) // target_bytes, 1)
+                thumbs.append(b[::stride][:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "thumb": thumbs,
+                    "thumb_bytes": [len(t) for t in thumbs],
+                }
+            )
+
+    return media.mapInPandas(
+        _resize, "media_id long, media_type string, thumb binary, thumb_bytes long"
+    )
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4, frame_size: int = 64) -> DataFrame:
     """Deterministic "frame sampling" for video-typed payloads: slice the
     byte stream at n evenly spaced offsets (the real operator would seek

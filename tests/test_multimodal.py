@@ -75,3 +75,16 @@ def test_decode_image_is_a_guarded_stub(media):
         pass
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(payload)
+
+
+def test_resize_media_deterministic_and_bounded(media):
+    resized = multimodal.resize_media(media, target_bytes=64)
+    rows = resized.collect()
+    assert len(rows) == media.count()  # row count preserved
+    assert all(r["thumb_bytes"] <= 64 and r["thumb_bytes"] > 0 for r in rows)
+    # deterministic under repartitioning
+    again = {
+        r["media_id"]: bytes(r["thumb"])
+        for r in multimodal.resize_media(media.repartition(5), target_bytes=64).collect()
+    }
+    assert {r["media_id"]: bytes(r["thumb"]) for r in rows} == again
