@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL
+inputs, not just the fixtures.
+
+Each example ships a whole batch of generated values through one Spark
+round trip, so the per-example JVM cost is paid once per batch rather
+than once per value.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from multi_report_etl_pipeline_spark import staging
+
+_shared_spark = {"spark": None}
+
+
+def _attach(spark):
+    # hypothesis forbids function-scoped fixtures inside @given; the
+    # session-scoped spark fixture is safe to stash once per module
+    _shared_spark["spark"] = spark
+
+
+def test_capture_spark(spark):
+    _attach(spark)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99),
+            st.integers(min_value=0, max_value=99),
+            st.integers(min_value=1, max_value=9999),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_parse_ddmmyyyy_matches_python_calendar(triples):
+    """try_to_date('dd/MM/yyyy') must agree with Python's proleptic
+    Gregorian calendar on EVERY (day, month, year) — valid dates parse,
+    impossible ones (31/04, 30/02, 29/02 on non-leap years, zero
+    day/month) return NULL, never a shifted date."""
+    spark = _shared_spark["spark"]
+    strings = [f"{d:02d}/{m:02d}/{y:04d}" for d, m, y in triples]
+    df = spark.createDataFrame([(s,) for s in strings], "s string").select(
+        "s", staging.parse_ddmmyyyy("s").alias("parsed")
+    )
+    got = {r["s"]: r["parsed"] for r in df.collect()}
+    for (d, m, y), s in zip(triples, strings):
+        try:
+            want = datetime.date(y, m, d)
+        except ValueError:
+            want = None
+        assert got[s] == want, f"{s}: spark={got[s]} python={want}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_salted_join_equals_plain_join(pairs, n_salts):
+    """salted_join must be result-identical to the plain equi-join for
+    any fact multiset, any salt count, inner and left."""
+    from multi_report_etl_pipeline_spark.operators.skew import salted_join
+
+    spark = _shared_spark["spark"]
+    fact = spark.createDataFrame(pairs, "k long, v long")
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, name string")
+    for how in ("inner", "left"):
+        want = sorted(
+            tuple(map(repr, r)) for r in fact.join(dim, "k", how).collect()
+        )
+        got = sorted(
+            tuple(map(repr, r))
+            for r in salted_join(fact, dim, "k", how=how, n_salts=n_salts).collect()
+        )
+        assert got == want, how
