@@ -148,7 +148,7 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out parallelizes the normalize+md5 map (regex over long text is
     # the dominant cost); keep=... drops the text column before the
     # fingerprint shuffle. Together: 1.33s -> 0.53s at sf0.1.
-    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     return dedup.exact_dedup(docs, keep=["doc_id", "fingerprint"])
 
 
@@ -188,12 +188,12 @@ WHERE ROUND(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) >= 0.8
 
 
 def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     return dedup.minhash_near_dup_pairs(docs, jaccard_threshold=0.8)
 
 
 def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
@@ -201,7 +201,7 @@ def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark)
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.brute_topk(emb, queries, k=10)
 
@@ -226,7 +226,7 @@ QUALIFY rank <= 10
 
 
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark)
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
     return similarity.near_dup_pairs(emb, threshold=0.4)
 
 
@@ -274,7 +274,7 @@ def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(VARCHAR) hashes the same UTF-8 bytes the payload carries."""
     from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
 
-    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     feats = multimodal.extract_features(multimodal.documents_as_media(docs))
     return feats.select("media_id", "media_type", "n_bytes", "checksum")
 
@@ -460,7 +460,7 @@ GROUP BY 1
 def docs_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact near-dup pairs -> dedup group ids
     (iterative min-label propagation; oracle = recursive CTE)."""
-    docs = fan_out(read_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     return dedup.near_dup_components(pairs)
 
@@ -507,7 +507,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-random 64-d vectors — the worst case for coarse quantization —
     so the probe fraction is high; clustered real-world embeddings get
     the same recall at a far smaller cut."""
-    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark)
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.ivf_topk(emb, queries, k=10, n_probe=5)
 
