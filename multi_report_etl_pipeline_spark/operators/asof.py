@@ -14,8 +14,9 @@ range join strategy:
   equi-join on the key plus an inequality on timestamps. Spark executes
   this as a hash join on the key with the range as a post-filter, which
   is right when keys are selective; for low-selectivity keys at 100 TB,
-  bucket timestamps into bins and join on (key, bin±1) — provided here
-  as ``bin_hint`` for that regime.
+  ``binned_range_join`` buckets timestamps into bins and equi-joins on
+  (key, bin) so a hot key cannot concentrate its whole history on one
+  task — semantics pinned identical to ``range_join``.
 """
 
 from __future__ import annotations
@@ -90,3 +91,53 @@ def range_join(
         right.alias("r"),
         (lk == rk) & (rts >= lts - lower) & (rts < lts + upper),
     )
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+    bin_width_s: float = 3600.0,
+) -> DataFrame:
+    """``range_join`` rewritten for low-selectivity keys: timestamps are
+    bucketed into ``bin_width_s``-wide bins, each left row is expanded to
+    every bin its [left_ts - lower_s, left_ts + upper_s) window overlaps
+    (⌈window/bin⌉+1 rows, a small constant), and the join becomes an
+    EQUI-join on (key, bin) with the exact range predicate as a residual
+    filter. A key with millions of rows spreads over its time bins
+    instead of hashing to one task, and the per-task candidate set is
+    bounded by rows-per-(key, bin) — pick ``bin_width_s`` ≈ the window
+    size. Output rows are identical to ``range_join`` (tests pin it).
+
+    ``lower_s``/``upper_s`` are seconds (the interval form of
+    ``range_join`` expressed numerically so bin arithmetic stays exact
+    in integer microseconds)."""
+    w_us = int(bin_width_s * 1_000_000)
+    lo_us = int(lower_s * 1_000_000)
+    hi_us = int(upper_s * 1_000_000)
+    l = left.withColumn("_lus", F.unix_micros(F.col(left_ts)))
+    l = l.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("_lus") - F.lit(lo_us)) / F.lit(w_us)),
+                F.floor((F.col("_lus") + F.lit(hi_us) - F.lit(1)) / F.lit(w_us)),
+            )
+        ),
+    )
+    r = right.withColumn("_rus", F.unix_micros(F.col(right_ts))).withColumn(
+        "_bin", F.floor(F.col("_rus") / F.lit(w_us))
+    )
+    lk, rk = F.col(f"l.{key}"), F.col(f"r.{key}")
+    joined = l.alias("l").join(
+        r.alias("r"),
+        (lk == rk)
+        & (F.col("l._bin") == F.col("r._bin"))
+        & (F.col("r._rus") >= F.col("l._lus") - F.lit(lo_us))
+        & (F.col("r._rus") < F.col("l._lus") + F.lit(hi_us)),
+    )
+    return joined.drop("_lus", "_rus").drop(F.col("l._bin")).drop(F.col("r._bin"))

@@ -14,3 +14,39 @@ def test_matches_oracle(spark, duck, name):
     assert spec.oracle is not None
     df = spec.fn(spark, SF_DIR)
     assert_matches_oracle(df, duck, spec.oracle)
+
+
+def test_binned_range_join_matches_plain(spark):
+    """The (key, time-bin) equi-join rewrite must produce exactly the
+    plain range join's pairs — including window-boundary rows and pairs
+    that straddle a bin edge."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.asof import (
+        binned_range_join,
+        range_join,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def pairs(df):
+        out = df.select(
+            F.col("l.user_id").alias("u"),
+            F.col("l.ts").alias("lt"),
+            F.col("r.ts").alias("rt"),
+        )
+        return sorted(tuple(map(repr, r)) for r in out.collect())
+
+    plain = range_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        lower=F.expr("INTERVAL 5 MINUTES"), upper=F.expr("INTERVAL 0 SECONDS"),
+    )
+    for bin_width in (60.0, 300.0, 3600.0):
+        binned = binned_range_join(
+            errors, clicks, key="user_id", left_ts="ts", right_ts="ts",
+            lower_s=300.0, upper_s=0.0, bin_width_s=bin_width,
+        )
+        assert pairs(binned) == pairs(plain), f"bin_width={bin_width}"
