@@ -65,12 +65,6 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm the JVM, codegen, and file listing: run the headline set once
-    # at the smallest scale factor so first-query timings measure the
-    # plan, not one-time JIT/codegen compilation (~2s on the first heavy
-    # query otherwise). Standard steady-state benching; not timed.
-    from multi_report_etl_pipeline_spark.io import read_table
-
     from multi_report_etl_pipeline_spark.queries.reference import (
         clear_materialized_staging,
         materialize_staging,
