@@ -93,3 +93,68 @@ def test_salted_join_equals_plain_join(pairs, n_salts):
             for r in salted_join(fact, dim, "k", how=how, n_salts=n_salts).collect()
         )
         assert got == want, how
+
+
+_CHANNELS = ["PHONE", "FIELD", "MESSAGING", "EMAIL", "AGENT_BANK", "WHATSAPP"]
+_CONTACTS = ["PRIMARY", "THIRD_PARTY", "NO_CONTACT", "GUARANTOR", "UNKNOWN_TYPE"]
+_OUTCOMES = ["PAYMENT_PROMISE", "RESTRUCTURE_REQUEST", "NO_ANSWER", "CALLBACK"]
+_DATES = ["15/06/2025", "14/06/2025", "31/02/2025", "GARBAGE", "01/01/2020"]
+_TIMES = ["10:00:00", "10:00:00", "23:59:59", "00:00:01"]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),  # account_id — few, to force collisions
+            st.integers(1, 6),  # activity_id — deliberately duplicated
+            st.sampled_from(_DATES),
+            st.sampled_from(_TIMES),
+            st.sampled_from(_CHANNELS),
+            st.sampled_from(_CONTACTS),
+            st.sampled_from(_OUTCOMES),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_survivor_agg_equals_window_path_and_dedups(rows):
+    """SURVEY.md §5.2 property 4 + the materialization rewrite contract,
+    for ARBITRARY activity inputs (duplicated ids, tied dates/times,
+    malformed dates): every clean contact view keeps <=1 row per
+    account, and the min_by survivor-aggregation path produces exactly
+    the window path's rows."""
+    from tests.test_edge_cases import _activities_df, _activity
+
+    spark = _shared_spark["spark"]
+    data = [
+        _activity(
+            account_id=a,
+            activity_id=i,
+            row_fp=fp,  # unique by contract; ids/dates/times collide freely
+            activity_date=d,
+            activity_time=t,
+            collection_channel=ch,
+            contact_type=ct,
+            contact_outcome=oc,
+        )
+        for fp, (a, i, d, t, ch, ct, oc) in enumerate(rows)
+    ]
+    df = _activities_df(spark, data)
+    lazy = {
+        name: sorted(tuple(map(repr, r)) for r in fn(df).collect())
+        for name, fn in staging.STAGING_BUILDERS.items()
+        if name != "clean_accounts"
+    }
+    surv = staging.clean_views_from_survivors(
+        staging.combined_contact_survivors(df)
+    )
+    for name, want in lazy.items():
+        got = sorted(tuple(map(repr, r)) for r in surv[name].collect())
+        assert got == want, f"{name}: survivor path != window path"
+        accounts = [r[0] for r in want]
+        assert len(accounts) == len(set(accounts)), f"{name}: >1 row per account"
