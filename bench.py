@@ -76,15 +76,17 @@ def main() -> None:
     # answers it from footers), JIT-compiles the hot codegen loops, and
     # compiles every plan. The timed pass below then measures the query
     # plans, not one-time I/O and compiler effects.
+    # Warm-up must never fail the bench, but a swallowed failure means the
+    # query is then timed cold — log it so the skew is visible.
     try:
         materialize_staging(spark, sf_dir)
-    except Exception:  # noqa: BLE001 - warmup must never fail the bench
-        pass
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup failed: staging_materialize: {exc!r}", file=sys.stderr)
     for name in names:
         try:
             _force(registry[name].fn(spark, sf_dir))
-        except Exception:  # noqa: BLE001 - warmup must never fail the bench
-            pass
+        except Exception as exc:  # noqa: BLE001
+            print(f"warmup failed: {name}: {exc!r}", file=sys.stderr)
     clear_materialized_staging(sf_dir)
 
     timings: dict[str, float] = {}

@@ -65,15 +65,22 @@ DIALECTS = {
 }
 
 # String identity of a lineitem row for the activity fingerprint: the
-# 6-column tuple is verified unique at every test scale factor; the money
-# columns enter as exact integer cents so both engines stringify
-# identically. (activity_id = l_orderkey*10 + l_linenumber is NOT unique
-# in the fixtures — (orderkey, linenumber) repeats — so dedup windows
-# need this fingerprint as their final tiebreaker to have a total order.)
+# 7-column tuple includes every source column that feeds a window order
+# key (l_shipdate drives activity_date/next_activity_date — without it,
+# two rows equal on the other six but differing in shipdate would share
+# row_fp and reopen the nondeterministic-survivor hole). The money
+# columns enter as exact integer cents and the date as its ISO string
+# (DATE -> VARCHAR renders 'yyyy-MM-dd' on both engines), so both
+# dialects stringify identically. (activity_id = l_orderkey*10 +
+# l_linenumber is NOT unique in the fixtures — (orderkey, linenumber)
+# repeats — so dedup windows need this fingerprint as their final
+# tiebreaker to have a total order; uniqueness per scale factor is
+# asserted in tests/test_properties.py.)
 _ROW_IDENTITY = (
     "CONCAT_WS('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, "
     "CAST(ROUND(l_quantity * 100) AS BIGINT), "
-    "CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT), "
+    "CAST(CAST(l_shipdate AS DATE) AS VARCHAR(32)))"
 )
 
 
@@ -128,9 +135,11 @@ def _account_cols(d: dict) -> list[tuple[str, str]]:
 def _activity_cols(d: dict) -> list[tuple[str, str]]:
     """stg_activities columns (reference schema: 01_staging_layer.sql:61-105).
 
-    ``activity_id`` is an extra unique key used ONLY as the deterministic
-    window tiebreaker (SURVEY.md §2.5 hazard) — l_linenumber < 10 so
-    ``l_orderkey * 10 + l_linenumber`` is unique.
+    ``activity_id`` (l_orderkey*10 + l_linenumber) is a dirty, DUPLICATED
+    operational id — (orderkey, linenumber) repeats in the fixtures, like
+    real operational keys. The deterministic window tiebreaker
+    (SURVEY.md §2.5 hazard) is ``row_fp``, the 60-bit hash of
+    ``_ROW_IDENTITY`` above, which IS unique per row.
     """
     fmt, plus = d["fmt"], d["plus_days"]
     return [

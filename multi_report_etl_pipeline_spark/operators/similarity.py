@@ -101,6 +101,7 @@ def lsh_ann_pairs(
     bucket_length: float = 1.0,
     num_hash_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate neighbor pairs via random-projection LSH buckets
     (Euclidean): bucket_i = floor(<v, r_i> / bucket_length) for
@@ -118,20 +119,27 @@ def lsh_ann_pairs(
     100 TB the bucket width controls both recall and the GEMM tile
     size; skewed buckets should be salted (split + cross-join tiles)
     before the groupBy. Checked by recall against near_dup_pairs in
-    tests (not SQL-expressible)."""
-    import numpy as np  # noqa: PLC0415
+    tests (not SQL-expressible).
 
-    dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(num_hash_tables, dim))
-
+    ``dim`` (vector dimensionality) should be passed by the caller so
+    plan construction stays purely declarative; when omitted, it is
+    probed from the first corpus row (one tiny driver job, and an error
+    on an empty corpus)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
+
+    if dim is None:
+        head = corpus.select(vec_col).first()
+        if head is None:
+            raise ValueError("empty corpus: pass dim= explicitly")
+        dim = len(head[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_hash_tables, dim))
 
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     buckets = [
         F.floor(
-            dot("v", "array({})".format(",".join(f"{x!r}D" for x in planes[t])))
+            dot("v", "array({})".format(",".join(f"{float(x)!r}D" for x in planes[t])))
             / F.lit(float(bucket_length))
         ).alias(f"b{t}")
         for t in range(num_hash_tables)

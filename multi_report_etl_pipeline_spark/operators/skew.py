@@ -47,6 +47,14 @@ def salted_join(
     dim side replicated ``n_salts`` ways so a skewed join key cannot
     concentrate on one task. Output columns match ``fact.join(dim, on,
     how)`` exactly (the salt column never escapes)."""
+    how_norm = how.lower().replace("_", "")
+    if how_norm not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        # dim-side replication corrupts right/full-outer joins: unmatched
+        # dim rows would surface n_salts times. Fail loudly.
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}; "
+            "salt the other side for right-outer shapes"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted_fact = fact.withColumn(SALT_COL, _fact_salt(n_salts))
     replicated_dim = dim.withColumn(

@@ -28,29 +28,39 @@ class QuerySpec:
 # The verification driver audits the registry in iteration order and caps
 # at 50 entries; round 1 had 56 and silently lost the last 6 (session
 # windows, JSON props, pivot, and the whole streaming family). Every
-# distinct operator family must land inside the first 50, so these
-# redundant VARIANTS of queries that stay in the window are pinned to the
-# tail — each is a twin of a checked entry, so demoting them loses no
-# family coverage:
-#   docs_fingerprint         same md5 key docs_exact_dedup dedups on
-#   lineitem_cube            grouping-sets twin of lineitem_rollup
-#   lineitem_distinct_counts exact-distinct twin of quality_view_counts
-#   customers_without_orders NOT EXISTS twin of orders_semi_anti_join
-#   parts_at_max_size        scalar-subquery cousin of orders_above_customer_avg
-#   emb_near_dup_pairs       quadratic baseline of emb_cosine_topk/emb_lsh_ann
-#   docs_rolling_fingerprint order-sensitive variant of docs_fingerprint
-#   docs_simhash_near_dup    no-oracle twin of docs_minhash_near_dup; its
-#                            real gate is the pytest recall threshold
+# distinct operator family must land inside the first 50, and entries
+# past the cap get no driver CORRECTNESS row that round — so the tail is
+# ROTATED each round: entries with two consecutive driver-green rounds
+# are demoted so that never-driver-checked (or not-recently-checked)
+# entries earn a row. Pytest still runs every oracle-checked entry every
+# round regardless of position (tests parametrize over the full QUERIES
+# dicts), so demotion never loses local coverage.
+#
+# Round-3 tail: the round-1 tail (docs_fingerprint, docs_rolling_
+# fingerprint, lineitem_cube, lineitem_distinct_counts, customers_
+# without_orders, parts_at_max_size, emb_near_dup_pairs, docs_simhash_
+# near_dup) is promoted into the window — docs_rolling_fingerprint has
+# never had a driver row — plus the two new scale-path twins
+# (orders_top_customers_salted, events_clicks_before_errors_binned).
+# Demoted in exchange: ten reference-surface rows that were hash-green
+# in BOTH round 1 and round 2 (CORRECTNESS_r01/r02.json).
 _TAIL = (
-    "docs_fingerprint",
-    "docs_rolling_fingerprint",
-    "lineitem_cube",
-    "lineitem_distinct_counts",
-    "customers_without_orders",
-    "parts_at_max_size",
-    "emb_near_dup_pairs",
-    "docs_simhash_near_dup",
+    "stg_accounts",
+    "clean_accounts",
+    "clean_contacts_primary",
+    "clean_contacts_field",
+    "clean_contacts_promise",
+    "clean_contacts_restructure",
+    "quality_view_counts",
+    "quality_duplicate_operations",
+    "quality_null_keys",
+    "quality_date_parse_failures",
 )
+
+# The driver's audit cap. all_queries() fails loudly when the non-tail
+# window outgrows it, so adding a query without rebalancing _TAIL cannot
+# silently evict an audited operator family past the cap.
+DRIVER_AUDIT_CAP = 50
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -64,6 +74,13 @@ def all_queries() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for module in (reference, tpch, llm_ops, events):
         merged.update(module.QUERIES)
+    n_window = len(merged) - sum(1 for n in _TAIL if n in merged)
+    if n_window > DRIVER_AUDIT_CAP:
+        raise AssertionError(
+            f"{n_window} non-tail registry entries exceed the driver's "
+            f"{DRIVER_AUDIT_CAP}-entry audit cap; demote two-round-green "
+            "entries into _TAIL to keep every family driver-checked"
+        )
     ordered = {n: s for n, s in merged.items() if n not in _TAIL}
     ordered.update({n: merged[n] for n in _TAIL if n in merged})
     return ordered

@@ -246,9 +246,11 @@ SELECT id_1, id_2, cosine_sim FROM sims WHERE cosine_sim >= 0.4
 
 def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    # for unit-norm vectors, L2 <= sqrt(2*(1-cos)) <=> cosine >= 0.4
+    # for unit-norm vectors, L2 <= sqrt(2*(1-cos)) <=> cosine >= 0.4;
+    # dim=64 passed explicitly so plan construction runs no driver job
     return similarity.lsh_ann_pairs(
-        emb, max_l2_dist=1.0954451150103324, bucket_length=1.25, num_hash_tables=6
+        emb, max_l2_dist=1.0954451150103324, bucket_length=1.25, num_hash_tables=6,
+        dim=64,
     )
 
 
@@ -457,6 +459,26 @@ GROUP BY 1
 """
 
 
+def events_clicks_before_errors_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same range join via ``binned_range_join`` — the 100 TB path
+    for low-selectivity keys: (key, time-bin) EQUI-join with the exact
+    range predicate as a residual filter, so a hot key spreads over its
+    time bins instead of hashing to one task. Same oracle as the plain
+    range join — the rewrite must be invisible in the result."""
+    from multi_report_etl_pipeline_spark.operators.asof import binned_range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = binned_range_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        lower_s=300.0, upper_s=0.0, bin_width_s=300.0,
+    )
+    return joined.groupBy(F.col("l.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("click_error_pairs")
+    )
+
+
 def docs_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact near-dup pairs -> dedup group ids
     (iterative min-label propagation; oracle = recursive CTE)."""
@@ -517,6 +539,9 @@ QUERIES.update(
         "events_asof_last_click": QuerySpec(events_asof_last_click, ASOF_SQL),
         "events_clicks_before_errors": QuerySpec(
             events_clicks_before_errors, RANGE_JOIN_SQL
+        ),
+        "events_clicks_before_errors_binned": QuerySpec(
+            events_clicks_before_errors_binned, RANGE_JOIN_SQL
         ),
         "docs_dedup_groups": QuerySpec(docs_dedup_groups, DEDUP_GROUPS_SQL),
         "lineitem_quantity_quantiles": QuerySpec(

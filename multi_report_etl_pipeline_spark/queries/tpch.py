@@ -51,9 +51,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.5x faster than Spark's boxed Decimal sum at sf0.1), and results
     are order-independent like decimal. Precision budget: the charge
     accumulator holds |price_c * (100-disc_c) * (100+tax_c)| < 2^37 per
-    row, so int64 group sums are safe to ~1e9 rows per group (~sf100);
-    beyond that switch the two product sums to DECIMAL(38) — and under
-    ANSI mode (our default) an overflow raises rather than wrapping.
+    row, so int64 group sums are safe to 2^63/2^37 ≈ 6.7e7 rows per
+    group (≈ sf10 for TPC-H's 6-group Q1); beyond that switch the two
+    product sums to DECIMAL(38) — and under ANSI mode (our default) an
+    overflow raises rather than wrapping.
     """
     li = read_table(spark, sf_dir, "lineitem")
     qc = F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
@@ -218,6 +219,31 @@ LIMIT 20
 """
 
 
+def orders_top_customers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``orders_top_customers`` through the explicit skew-salted join
+    (operators/skew.py) instead of the broadcast: the fact side is salted
+    n-ways and the dim side replicated, the shape for a
+    broadcast-ineligible dimension on a skewed key. Same oracle as the
+    plain variant — salting must be invisible in the result."""
+    from multi_report_etl_pipeline_spark.operators.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, on="c_custkey",
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def lineitem_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking windows (rank / dense_rank / lag / lead) per order — the
     analytic-function family the reference lacks (SURVEY.md §2.6)."""
@@ -346,6 +372,9 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "tpch_q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
     "orders_top_customers": QuerySpec(orders_top_customers, TOP_CUSTOMERS_SQL),
+    "orders_top_customers_salted": QuerySpec(
+        orders_top_customers_salted, TOP_CUSTOMERS_SQL
+    ),
     "lineitem_window_rank": QuerySpec(lineitem_window_rank, WINDOW_RANK_SQL),
     "lineitem_rollup": QuerySpec(lineitem_rollup, ROLLUP_SQL),
     "lineitem_cube": QuerySpec(lineitem_cube, CUBE_SQL),

@@ -34,15 +34,35 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(exact)} exact pairs)"
 
 
-def test_simhash_finds_near_dups(spark):
-    """SimHash banding should surface a meaningful share of the exact
-    near-dup pairs (it targets higher similarity than Jaccard 0.8, so the
-    bar is lower than MinHash)."""
-    exact = _pair_set(QUERIES["docs_ngram_jaccard"].fn(spark, SF_DIR), "doc_id_1", "doc_id_2")
-    sim = _pair_set(QUERIES["docs_simhash_near_dup"].fn(spark, SF_DIR), "doc_id_1", "doc_id_2")
-    assert exact
-    recall = len(exact & sim) / len(exact)
-    assert recall >= 0.5, f"simhash recall {recall:.2f} < 0.5"
+def test_simhash_exact_hamming_verification(spark):
+    """SimHash banding is EXACT for Hamming <= 3: with 4 x 16-bit bands,
+    any pair within distance 3 must collide on >= 1 band (pigeonhole), and
+    the operator's final bit_count filter removes every false positive —
+    so its output must EQUAL the quadratic all-pairs computation over the
+    (deterministic) signatures. Any banding regression (missed band,
+    wrong shift/mask, broken dedup) breaks this equality. This replaces
+    the earlier recall-vs-Jaccard threshold, which measured the fixture's
+    Jaccard/Hamming disagreement, not the operator."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.dedup import simhash_signatures
+
+    docs = read_table(spark, SF_DIR, "documents")
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
+    }
+    got = _pair_set(
+        QUERIES["docs_simhash_near_dup"].fn(spark, SF_DIR), "doc_id_1", "doc_id_2"
+    )
+    assert exact, "fixture should contain Hamming<=3 signature pairs"
+    assert got == exact, (
+        f"banding missed {len(exact - got)} true pairs / "
+        f"emitted {len(got - exact)} false pairs"
+    )
 
 
 def test_lsh_ann_recall_vs_brute(spark):

@@ -95,6 +95,79 @@ def test_salted_join_equals_plain_join(pairs, n_salts):
         assert got == want, how
 
 
+def test_row_fp_unique_per_scale_factor(duck):
+    """row_fp is the staging layer's claimed total-order tiebreaker; its
+    uniqueness must be ENFORCED per scale factor, not assumed. Checks
+    both the string identity and the 60-bit hash (collision would also
+    break it) on every fixture the tests read."""
+    from multi_report_etl_pipeline_spark.domain import stg_activities_sql
+
+    for schema in ("sf_small", "sf_med"):
+        duck.execute(f"SET search_path = '{schema}'")
+        n, d = duck.execute(
+            "SELECT COUNT(*), COUNT(DISTINCT row_fp) FROM ("
+            + stg_activities_sql("duckdb")
+            + ")"
+        ).fetchone()
+        assert n == d, f"{schema}: {n - d} row_fp collisions in {n} rows"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # left rows: (key, ts) — ties and duplicates welcome
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(  # right rows: (key, ts) — deduped to unique (key, ts) below
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=0,
+        max_size=30,
+    ),
+    st.booleans(),
+)
+def test_asof_backward_matches_reference(left_rows, right_rows, strict):
+    """asof_join_backward must agree with a brute-force reference on
+    ARBITRARY inputs for both strict modes: each left row gets the
+    payload of the latest right row with right_ts <= left_ts (strict:
+    right_ts < left_ts) within its key, NULL when none exists. Right
+    rows are unique per (key, ts) — the operator's documented
+    precondition (pre-aggregate otherwise, as the asof query does)."""
+    from multi_report_etl_pipeline_spark.operators.asof import asof_join_backward
+
+    spark = _shared_spark["spark"]
+    right_uniq = {(k, ts): k * 1000 + ts for k, ts in right_rows}
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left_rows)],
+        "lid long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts, p) for (k, ts), p in sorted(right_uniq.items())] or [(None, None, None)],
+        "k long, ts long, payload long",
+    )
+    if not right_uniq:
+        right = right.filter("k IS NOT NULL")
+    got = {
+        r["lid"]: r["last_payload"]
+        for r in asof_join_backward(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            payload={"payload": "last_payload"}, strict=strict,
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(left_rows):
+        cands = [
+            (rts, p)
+            for (rk, rts), p in right_uniq.items()
+            if rk == k and (rts < ts if strict else rts <= ts)
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"lid={i} key={k} ts={ts} strict={strict}"
+
+
 _CHANNELS = ["PHONE", "FIELD", "MESSAGING", "EMAIL", "AGENT_BANK", "WHATSAPP"]
 _CONTACTS = ["PRIMARY", "THIRD_PARTY", "NO_CONTACT", "GUARANTOR", "UNKNOWN_TYPE"]
 _OUTCOMES = ["PAYMENT_PROMISE", "RESTRUCTURE_REQUEST", "NO_ANSWER", "CALLBACK"]

@@ -42,3 +42,22 @@ def test_salted_left_matches_plain(spark):
 def test_salt_never_escapes(spark):
     fact, dim = _fixture(spark)
     assert salted_join(fact, dim, "k").columns == fact.join(dim, "k").columns
+
+
+def test_salted_rejects_outer_shapes(spark):
+    """Dim replication corrupts right/full-outer joins (unmatched dim
+    rows would surface n_salts times) — the operator must refuse them."""
+    import pytest
+
+    fact, dim = _fixture(spark)
+    for how in ("right", "right_outer", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fact, dim, "k", how=how)
+
+
+def test_salted_left_semi_and_anti_match_plain(spark):
+    fact, dim = _fixture(spark)
+    for how in ("left_semi", "left_anti"):
+        want = _rows(fact.join(dim, "k", how))
+        got = _rows(salted_join(fact, dim, "k", how=how, n_salts=4))
+        assert got == want, how
