@@ -122,7 +122,7 @@ def main() -> None:
     # queries, construction is client-side plan authoring (Py4J + analysis,
     # ~0.3-1 s of pure Python chatter) that a deployed pipeline pays once,
     # so it stays outside — the DuckDB counterpart (SQL parse) is ~1 ms.
-    iterative = {"docs_dedup_groups", "emb_ivf_topk"}
+    iterative = {"docs_dedup_groups", "emb_ivf_topk", "emb_cosine_topk"}
 
     for name in names:
         fn = registry[name].fn

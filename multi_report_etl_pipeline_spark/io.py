@@ -129,6 +129,32 @@ def read_csv(
     return reader.schema(schema).csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_record_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema — the interchange format
+    web-scale text corpora actually arrive in (one document object per
+    line). Same posture as ``read_csv``: no inference (a 100 TB inference
+    pass reads everything twice and can flip types between drops),
+    PERMISSIVE mode, optional quarantine column for malformed lines so
+    dirty data lands in a quality probe instead of failing the load."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if corrupt_record_col:
+        schema = f"{schema}, {corrupt_record_col} string"
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+    return reader.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines sink (one object per line, splittable, append-friendly —
+    the standard handoff format to tokenizer/training jobs)."""
+    writer = df.coalesce(1) if single_file else df
+    writer.write.mode("overwrite").json(path)
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """CSV export sink (reference README.md:72-76 `.mode csv`).
 

@@ -34,7 +34,10 @@ def _lang_pat(lang: str) -> str:
 
 
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # fan_out: the regex maps are the cost; a single-file local fixture
+    # would otherwise run them on one task (no-op on real multi-split
+    # sources)
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     return docs.select(
         "doc_id",
         text.token_count_ws("text").alias("n_tokens_ws"),
@@ -56,7 +59,7 @@ FROM documents
 
 
 def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     return docs.select("doc_id", "lang", text.language_id("text").alias("lang_pred"))
 
 
@@ -80,7 +83,7 @@ FROM documents
 
 
 def docs_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     feats = text.quality_features("text")
     return docs.select(
         "doc_id",

@@ -60,8 +60,24 @@ def get_spark(
         # matches DuckDB's ns->us cast.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Split parquet scans finer than the 128m default: the local
+        # fixtures are single files (sf1 lineitem = 143 MB -> 2 tasks at
+        # 128m, starving 32 cores; measured 2x on q1 at 16m). On a real
+        # cluster raise this back toward 128m-256m — scan task count
+        # there is file-count-dominated and 16m would over-schedule.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        # local mode runs every executor thread inside the driver JVM,
+        # whose default heap (1g) OOMs once inputs pass ~sf0.5; on a real
+        # cluster this knob is per-executor memory instead. Only takes
+        # effect at JVM launch — set the env var before first getOrCreate.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

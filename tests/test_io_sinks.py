@@ -90,3 +90,36 @@ def test_csv_source_quarantines_corrupt_rows(spark, tmp_path):
     bad = [r for r in rows if r["_bad"] is not None]
     assert {(r["id"], r["amount"]) for r in good} == {(1, 10.5), (2, 20.0)}
     assert len(bad) == 1 and "not_a_number" in bad[0]["_bad"]
+
+
+def test_jsonl_round_trips_documents(spark, tmp_path):
+    """write_jsonl -> read_jsonl with explicit schema must reproduce the
+    documents table (the corpus interchange format)."""
+    from multi_report_etl_pipeline_spark.io import read_jsonl, read_table, write_jsonl
+
+    docs = read_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    schema = ", ".join(f"{n} {t}" for n, t in docs.dtypes)
+    back = read_jsonl(spark, path, schema)
+    want = sorted(tuple(map(repr, r)) for r in docs.collect())
+    got = sorted(tuple(map(repr, r)) for r in back.collect())
+    assert got == want
+
+
+def test_jsonl_source_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed JSON lines land in the quarantine column, not an error."""
+    from multi_report_etl_pipeline_spark.io import read_jsonl
+
+    f = tmp_path / "dirty.jsonl"
+    f.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "text": "also ok"}\n'
+    )
+    df = read_jsonl(spark, str(f), "id bigint, text string", corrupt_record_col="_bad")
+    rows = df.collect()
+    good = [r for r in rows if r["_bad"] is None]
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert {(r["id"], r["text"]) for r in good} == {(1, "ok"), (2, "also ok")}
+    assert len(bad) == 1 and "not json" in bad[0]["_bad"]

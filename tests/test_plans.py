@@ -121,3 +121,17 @@ def test_report_joins_share_account_partitioning(spark):
     # all of them on account_id
     assert len(exchanges) <= 3, plan[:3000]
     assert all("account_id" in l for l in exchanges), exchanges
+
+
+def test_brute_topk_gemm_prunes_without_corpus_crossjoin(spark):
+    """emb_cosine_topk's GEMM-prune path: the corpus flows through ONE
+    Arrow mapInPandas kernel (candidate vectors carried through — no
+    corpus join-back, no |Q| x |C| cross join in the plan); the final
+    rescoring join touches only the broadcast query set."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["emb_cosine_topk"].fn(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
