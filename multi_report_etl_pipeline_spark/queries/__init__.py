@@ -41,11 +41,13 @@ class QuerySpec:
 # without_orders, parts_at_max_size, emb_near_dup_pairs, docs_simhash_
 # near_dup) is promoted into the window — docs_rolling_fingerprint has
 # never had a driver row — plus the two new scale-path twins
-# (orders_top_customers_salted, events_clicks_before_errors_binned).
-# Demoted in exchange: ten reference-surface rows that were hash-green
-# in BOTH round 1 and round 2 (CORRECTNESS_r01/r02.json).
+# (orders_top_customers_salted, events_clicks_before_errors_binned) and
+# the new streaming_interval_join. Demoted in exchange: eleven rows
+# that were hash-green in BOTH round 1 and round 2
+# (CORRECTNESS_r01/r02.json).
 _TAIL = (
     "stg_accounts",
+    "customer_set_ops",
     "clean_accounts",
     "clean_contacts_primary",
     "clean_contacts_field",

@@ -258,6 +258,39 @@ FROM events
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase x preceding
+    clicks), drained with availableNow and checked against the batch
+    interval join oracle."""
+    from multi_report_etl_pipeline_spark import streaming
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.interval_join_stream(st), "q_stream_ij", "append"
+    )
+    return spark.table("q_stream_ij").select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 5 MINUTE
+ AND c.ts < p.ts
+"""
+
+
 def streaming_contact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming STAGING layer: the reference's core view
     (clean_contacts_primary) maintained incrementally by the min_by
@@ -283,6 +316,9 @@ QUERIES.update(
             streaming_sessionization, SESSIONIZATION_SQL
         ),
         "streaming_dedup": QuerySpec(streaming_dedup, STREAM_DEDUP_SQL),
+        "streaming_interval_join": QuerySpec(
+            streaming_interval_join, STREAM_INTERVAL_JOIN_SQL
+        ),
         "streaming_contact_survivors": QuerySpec(
             streaming_contact_survivors,
             oracle.view_sql("clean_contacts_primary"),

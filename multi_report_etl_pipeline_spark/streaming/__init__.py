@@ -158,6 +158,46 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def interval_join_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval self-join: each purchase joins the clicks
+    of the same user in the 5 minutes before it.
+
+    The canonical watermarked two-stream join: both sides buffer state,
+    the event-time range condition bounds how long a click must be kept
+    (watermark + 5 min) and how long a purchase can wait for late clicks
+    (watermark), so state is reclaimed on both sides — this is the
+    operator that makes stream-stream joins feasible at 100 TB, where an
+    unbounded join buffer is not. Append output mode: a pair is emitted
+    exactly once, when the watermark proves no earlier match can arrive.
+    Batch twin = the same interval join over the static table (the
+    driver's oracle)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
 USER_TOTALS_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -87,3 +87,31 @@ def test_streaming_contact_survivors_equals_batch_view(spark):
         for r in REF_QUERIES["clean_contacts_primary"].fn(spark, SF_DIR).collect()
     )
     assert got == want
+
+
+def test_interval_join_parity(spark):
+    """The watermarked stream-stream interval join drained with
+    availableNow must emit exactly the batch interval join's pairs."""
+    stream = streaming.read_events_stream(spark, SF_DIR)
+    joined = streaming.interval_join_stream(stream)
+    streaming.run_available_now(joined, "ij_stream", "append")
+    got = spark.table("ij_stream")
+    ev = read_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    )
+    cols = ["purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
