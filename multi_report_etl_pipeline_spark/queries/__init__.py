@@ -42,12 +42,13 @@ class QuerySpec:
 # near_dup) is promoted into the window — docs_rolling_fingerprint has
 # never had a driver row — plus the two new scale-path twins
 # (orders_top_customers_salted, events_clicks_before_errors_binned) and
-# the new streaming_interval_join. Demoted in exchange: eleven rows
-# that were hash-green in BOTH round 1 and round 2
-# (CORRECTNESS_r01/r02.json).
+# the new streaming_interval_join and events_multi_resolution_rollup.
+# Demoted in exchange: twelve rows that were hash-green in BOTH round 1
+# and round 2 (CORRECTNESS_r01/r02.json).
 _TAIL = (
     "stg_accounts",
     "customer_set_ops",
+    "orders_semi_anti_join",
     "clean_accounts",
     "clean_contacts_primary",
     "clean_contacts_field",

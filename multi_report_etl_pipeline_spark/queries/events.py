@@ -52,6 +52,59 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: minute -> hour ->
+    day, where each coarser level RE-AGGREGATES the finer one (count of
+    counts, sum of sums) instead of rescanning the fact table.
+
+    This is the scale pattern for multi-resolution time-series serving:
+    at 100 TB the minute aggregate is the only pass over raw events
+    (partial agg map-side, one shuffle on (minute, type)); the hour and
+    day levels then reduce ~1440x fewer rows each, and in a deployment
+    they are incrementally maintained views over the level below. The
+    day-level output is verified against DuckDB aggregating the raw
+    events directly — pinning that rollup-from-rollup equals
+    aggregate-from-raw (exact decimal sums make the re-aggregation
+    lossless; a mean or distinct-count would need sum/count or sketch
+    carriers instead)."""
+    ev = read_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    hour = minute.groupBy(
+        F.window(F.col("w.start"), "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+    day = hour.groupBy(
+        F.window(F.col("w.start"), "1 day").alias("w"), "event_type"
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+    return day.select(
+        F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+MULTI_RES_ROLLUP_SQL = """
+SELECT
+    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+    event_type,
+    COUNT(*) AS cnt,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 WINDOWED_COUNTS_SQL = """
 SELECT
     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -203,6 +256,9 @@ FROM events GROUP BY 1
 
 QUERIES: dict[str, QuerySpec] = {
     "events_windowed_counts": QuerySpec(windowed_counts, WINDOWED_COUNTS_SQL),
+    "events_multi_resolution_rollup": QuerySpec(
+        multi_resolution_rollup, MULTI_RES_ROLLUP_SQL
+    ),
     "events_sliding_avg": QuerySpec(sliding_avg, SLIDING_AVG_SQL),
     "events_sessionization": QuerySpec(sessionization, SESSIONIZATION_SQL),
     "events_json_props": QuerySpec(json_props_stats, JSON_PROPS_SQL),
