@@ -154,6 +154,7 @@ def lsh_ann_pairs(
     num_hash_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate neighbor pairs via random-projection LSH buckets
     (Euclidean): bucket_i = floor(<v, r_i> / bucket_length) for
@@ -169,9 +170,18 @@ def lsh_ann_pairs(
     (measured: 5.4s -> 0.7s at sf0.1 vs a zip_with/aggregate fold per
     pair; Spark ML's approxSimilarityJoin UDF is slower still). At
     100 TB the bucket width controls both recall and the GEMM tile
-    size; skewed buckets should be salted (split + cross-join tiles)
-    before the groupBy. Checked by recall against near_dup_pairs in
-    tests (not SQL-expressible).
+    size.
+
+    ``max_bucket`` is the skew guard for hot buckets (near-duplicate
+    floods, degenerate projections): buckets larger than the cap are
+    split into T = ceil(size/cap) hash-tiles and the all-pairs work
+    becomes one (tile_i, tile_j) group per unordered tile pair — a
+    T-way replication that turns one monster GEMM on one task into
+    T(T+1)/2 bounded GEMMs across the cluster. Total flops are
+    unchanged (all-pairs within a bucket is inherently quadratic); what
+    the cap bounds is PER-TASK memory and latency, which is what kills
+    a 100 TB run. Results are identical to the untiled path (pinned in
+    tests); ``None`` skips the bucket-size pass entirely.
 
     ``dim`` (vector dimensionality) should be passed by the caller so
     plan construction stays purely declarative; when omitted, it is
@@ -215,25 +225,88 @@ def lsh_ann_pairs(
 
     max_d = float(max_l2_dist)
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_1": [], "id_2": [], "l2_dist": []}).astype(
-                {"id_1": "int64", "id_2": "int64", "l2_dist": "float64"}
+    _empty = {"id_1": "int64", "id_2": "int64", "l2_dist": "float64"}
+
+    def _emit(ids_a, m_a, ids_b, m_b, exclude_self: bool) -> pd.DataFrame:
+        # L2 distances between every row of a and every row of b (one
+        # GEMM); when a IS b, keep only the upper triangle
+        d2 = (
+            (m_a * m_a).sum(axis=1)[:, None]
+            + (m_b * m_b).sum(axis=1)[None, :]
+            - 2.0 * (m_a @ m_b.T)
+        )
+        if exclude_self:
+            iu, ju = np.triu_indices(len(ids_a), 1)
+        else:
+            iu, ju = np.meshgrid(
+                np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij"
             )
-        m = np.stack(pdf["v"].to_numpy()).astype("float64")
-        ids = pdf["id"].to_numpy()
-        sq = (m * m).sum(axis=1)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * (m @ m.T)
-        iu, ju = np.triu_indices(len(ids), 1)
+            iu, ju = iu.reshape(-1), ju.reshape(-1)
         d = np.sqrt(np.maximum(d2[iu, ju], 0.0))
         keep = d <= max_d
-        a, b = ids[iu[keep]], ids[ju[keep]]
+        a, b = ids_a[iu[keep]], ids_b[ju[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_1": lo, "id_2": hi, "l2_dist": d[keep]})
 
-    pairs = bands.groupBy("t", "b").applyInPandas(
-        bucket_pairs, "id_1 long, id_2 long, l2_dist double"
-    )
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
+        m = np.stack(pdf["v"].to_numpy()).astype("float64")
+        ids = pdf["id"].to_numpy()
+        return _emit(ids, m, ids, m, exclude_self=True)
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group = one unordered (tile_i, tile_j) pair of one bucket
+        if len(pdf) < 2:
+            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
+        i, j = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
+        if i == j:
+            return bucket_pairs(pdf)
+        left = pdf[pdf["tile"] == i]
+        right = pdf[pdf["tile"] == j]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
+        return _emit(
+            left["id"].to_numpy(),
+            np.stack(left["v"].to_numpy()).astype("float64"),
+            right["id"].to_numpy(),
+            np.stack(right["v"].to_numpy()).astype("float64"),
+            exclude_self=False,
+        )
+
+    if max_bucket is None:
+        pairs = bands.groupBy("t", "b").applyInPandas(
+            bucket_pairs, "id_1 long, id_2 long, l2_dist double"
+        )
+    else:
+        sizes = bands.groupBy("t", "b").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(int(max_bucket))).alias("n_tiles")
+        )
+        tiled = (
+            bands.join(F.broadcast(sizes), ["t", "b"])
+            .withColumn(
+                "tile", F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.col("n_tiles"))
+            )
+            # replicate each row into every unordered tile pair it joins:
+            # {(min(tile, w), max(tile, w)) : w in [0, n_tiles)}
+            .select(
+                "t",
+                "b",
+                "id",
+                "v",
+                "tile",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, CAST(n_tiles AS INT) - 1), "
+                        "w -> struct(least(tile, w) AS ti, greatest(tile, w) AS tj))"
+                    )
+                ).alias("tp"),
+            )
+            .select("t", "b", "id", "v", "tile", F.col("tp.ti").alias("ti"), F.col("tp.tj").alias("tj"))
+        )
+        pairs = tiled.groupBy("t", "b", "ti", "tj").applyInPandas(
+            tile_pairs, "id_1 long, id_2 long, l2_dist double"
+        )
     return pairs.dropDuplicates(["id_1", "id_2"]).select(
         "id_1", "id_2", F.round("l2_dist", 6).alias("l2_dist")
     )

@@ -121,3 +121,27 @@ def test_dedup_groups_are_consistent_with_pairs(spark):
         assert groups[p.doc_id_1] == groups[p.doc_id_2]
     for doc, g in groups.items():
         assert g <= doc  # canonical id is the component minimum
+
+
+def test_lsh_tiled_buckets_match_untiled(spark):
+    """The skew guard (max_bucket tiling) must not change the result:
+    forcing every bucket to split into multiple hash-tiles yields
+    exactly the same neighbor pairs and distances as the untiled path."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.similarity import lsh_ann_pairs
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    kwargs = dict(
+        max_l2_dist=1.0954451150103324, bucket_length=1.25,
+        num_hash_tables=6, dim=64,
+    )
+    plain = {
+        (r.id_1, r.id_2, r.l2_dist)
+        for r in lsh_ann_pairs(emb, **kwargs).collect()
+    }
+    tiled = {
+        (r.id_1, r.id_2, r.l2_dist)
+        for r in lsh_ann_pairs(emb, max_bucket=4, **kwargs).collect()
+    }
+    assert plain, "fixture should produce LSH pairs"
+    assert tiled == plain
