@@ -109,20 +109,40 @@ GROUP BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective 3-way join + grouped revenue + top-10.
 
-    customer is the small side (broadcast); orders⋈lineitem shuffles on
-    the shared orderkey. Top-10 via TakeOrderedAndProject.
+    Join order propagates the BUILDING filter into orders BEFORE the
+    orderkey join (the round-3 sf1 measurement showed the old
+    lineitem-first order shuffling 5x more orders rows than survive):
+    customer/5 prunes orders to ~1/5, projected to 3 narrow columns, so
+    the only data-proportional join sees a pre-pruned build side.
+
+    The pruning is a LEFT SEMI join deliberately: without CBO, an inner
+    join's sizeInBytes estimate is the PRODUCT of its children, which
+    makes the pruned-orders subtree look enormous and flips Catalyst
+    into statically broadcasting the lineitem side instead (measured:
+    0.7 s -> 9.9 s at sf1). A semi join keeps the estimate at the
+    orders table's own (file-size-proportional) stats, so Catalyst
+    broadcasts the pruned orders at bench SF and falls back to a
+    pre-pruned shuffle join once the files outgrow the threshold —
+    no forced hint on any data-proportional side. Top-10 via
+    TakeOrderedAndProject.
     """
-    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-02 00:00:00").cast("timestamp")
     )
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -153,24 +173,69 @@ LIMIT 10
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join, dims broadcast, grouped revenue."""
+    """TPC-H Q5 shape: 6-way star join with join-filter propagation.
+
+    The round-2 plan joined the full lineitem to the full orders before
+    any region pruning touched either — the sf1 measurement put it 22x
+    behind DuckDB, whose join-filter propagation prunes both fact scans
+    to the ASIA fifth. This plan expresses that pruning declaratively:
+    region⋈nation resolves to the 5 ASIA nation keys (constant-size
+    broadcast at any SF), supplier / customer / orders pre-prune
+    against them, and lineitem joins only pre-pruned sides — so every
+    data-proportional join sees its build side already cut ~5x and
+    projected narrow.
+
+    Every pruning step is a LEFT SEMI join deliberately: without CBO an
+    inner join's sizeInBytes estimate is the PRODUCT of its children,
+    so an inner-join pruning subtree looks enormous to the planner and
+    flips Catalyst into statically broadcasting the fact side
+    (measured on q3: 0.7 s -> 9.9 s at sf1). Semi joins keep each
+    pruned table's estimate at its own file-proportional stats:
+    Catalyst broadcasts the pruned orders/supplier/customer sides at
+    bench SF and degrades to pre-pruned shuffle joins once the files
+    outgrow the threshold. Only the constant-size nation/region sides
+    carry forced broadcast hints.
+    """
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = read_table(spark, sf_dir, "nation")
-    supplier = read_table(spark, sf_dir, "supplier")
-    cust = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
+    # 5 rows: the ASIA nation keys + display names
+    asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    asia_keys = asia.select("n_nationkey")
+    supplier = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(asia_keys),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_nationkey")
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_keys),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supplier),
-            (li.l_suppkey == supplier.s_suppkey)
-            & (cust.c_nationkey == supplier.s_nationkey),
-        )
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
@@ -192,16 +257,28 @@ GROUP BY n_name
 
 
 def orders_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 customers by order volume: join + agg + deterministic top-k."""
+    """Top-20 customers by order volume: agg-below-join + deterministic top-k.
+
+    Aggregation is pushed BELOW the join: orders pre-aggregates to one
+    row per custkey (partial agg map-side, ~|customer| rows after), and
+    only that reduced set joins customer for the display columns. The
+    join input shrinks by the orders:customer ratio (10x here) and the
+    join carries no wide fact rows — the shape that survives a 100x
+    scale-up. Equivalent to joining first because o_custkey is a
+    foreign key into customer's unique c_custkey (inner join neither
+    drops nor duplicates groups). Top-20 via TakeOrderedAndProject.
+    """
     orders = read_table(spark, sf_dir, "orders")
-    cust = read_table(spark, sf_dir, "customer")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
-            F.count(F.lit(1)).alias("order_count"),
-        )
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", "total_spend", "order_count")
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
