@@ -1,0 +1,119 @@
+"""Deterministic sampling and sequence-packing operators for
+training-data curation.
+
+A 100 TB curation pipeline needs samples that are (a) reproducible
+across reruns and engines — no RNG state, no seed-per-partition
+coupling — and (b) computable in one narrow pass. All three operators
+here derive their randomness from md5 of a key column, which both Spark
+and DuckDB compute identically, so every operator is differentially
+oracle-checked value-for-value (no rows-only weak gate):
+
+- ``hash_sample``: Bernoulli-style p% sample — keep rows whose keyed
+  hash bucket falls under the rate. Pure narrow filter: no shuffle, no
+  state, evaluates inside the parquet scan's codegen stage at any
+  scale, and membership is stable under repartitioning/reruns.
+- ``stratified_sample``: exact k rows per stratum, picked by hash
+  order. One shuffle on the strata columns; row_number over the hash
+  ordering compiles to WindowGroupLimit, so each map task keeps at
+  most k rows per stratum before the exchange.
+- ``pack_by_token_budget``: assign documents to fixed-token-budget
+  packs (context-window packing for LLM pretraining). Documents are
+  hash-sharded, ordered deterministically within each shard, and a
+  running token total maps each doc to the pack its start offset falls
+  in. One shuffle on the shard id; shard count scales with the
+  cluster, and each shard's cumulative sum is an independent window.
+
+The reference pipeline has no sampling surface (its scale needs none —
+README.md:116 "current scale" keeps views unmaterialized); these extend
+SURVEY.md §2.9's training-data family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(key: Column, buckets: int) -> Column:
+    """Uniform bucket in [0, buckets) derived from md5 of the key.
+
+    Uses the first 4 hex digits (16 bits) of md5 — identical on Spark
+    and DuckDB, and 65536 source values are enough for percent-level
+    sampling rates to be accurate to ~0.002%.
+    """
+    h16 = F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+    return F.pmod(h16.cast("int"), F.lit(buckets))
+
+
+def hash_sample(df: DataFrame, key_col: str, pct: int) -> DataFrame:
+    """Deterministic ~pct% sample keyed on ``key_col``.
+
+    Unlike ``DataFrame.sample`` this is reproducible across engines,
+    reruns, and repartitioning (membership depends only on the key),
+    and it composes with joins: sampling two tables on a shared key at
+    the same rate yields aligned samples.
+    """
+    if not 0 <= pct <= 100:
+        raise ValueError(f"pct must be in [0, 100], got {pct}")
+    return df.filter(_hash_bucket(F.col(key_col), 100) < pct)
+
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by hash order.
+
+    The hash ordering makes the pick pseudo-random but deterministic;
+    ``key_col`` (unique) breaks md5-collision ties so the survivor set
+    is total-ordered. The row_number-<=-k shape compiles to Spark's
+    WindowGroupLimit: each task pre-prunes to k rows per stratum before
+    the exchange, so the shuffle carries O(strata * k), not the table.
+    Output keeps ``sample_rank`` (1..k within the stratum) so consumers
+    can sub-slice without re-sampling.
+    """
+    from pyspark.sql import Window
+
+    order = [F.md5(F.col(key_col).cast("string")), F.col(key_col)]
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    key_col: str,
+    token_count: Column,
+    budget: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Assign each document to a (shard, pack) so packs hold ~``budget``
+    tokens — offset-based sequence packing for pretraining batches.
+
+    Within a shard (pmod of the key), documents are ordered by key and
+    a running token total assigns each doc to the pack containing its
+    start offset: pack_id = floor((running - own_tokens) / budget).
+    Packs can overflow by at most one document — the standard
+    greedy-offset packing tradeoff, chosen because it is a pure window
+    expression (no sequential driver loop, no stateful UDF) and
+    deterministic. At cluster scale ``n_shards`` rises with parallelism;
+    each shard's cumulative sum is an independent 1-pass window, so the
+    operator is one hash shuffle of (key, n_tokens) pairs — the text
+    column never moves.
+    """
+    key = F.col(key_col)
+    shard = F.pmod(key, F.lit(n_shards)).alias("shard")
+    from pyspark.sql import Window
+
+    slim = df.select(key.alias(key_col), shard, token_count.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w)
+    return slim.withColumn(
+        "pack_id",
+        F.floor((running - F.col("n_tokens")) / F.lit(float(budget))).cast("bigint"),
+    )

@@ -44,9 +44,15 @@ class QuerySpec:
 # (orders_top_customers_salted, events_clicks_before_errors_binned) and
 # the new streaming_interval_join and events_multi_resolution_rollup.
 # Demoted in exchange: twelve rows that were hash-green in BOTH round 1
-# and round 2 (CORRECTNESS_r01/r02.json).
+# and round 2 (CORRECTNESS_r01/r02.json), plus — to make room for the
+# round-3 sampling/packing family (docs_hash_sample,
+# docs_stratified_sample, docs_token_packing) — three more twice-green
+# rows: stg_activities, docs_token_stats, emb_label_centroids.
 _TAIL = (
     "stg_accounts",
+    "stg_activities",
+    "docs_token_stats",
+    "emb_label_centroids",
     "customer_set_ops",
     "orders_semi_anti_join",
     "clean_accounts",

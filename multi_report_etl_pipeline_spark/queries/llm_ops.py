@@ -324,6 +324,76 @@ FROM media CROSS JOIN idx
 """
 
 
+# --------------------------------------------- sampling / curation ---
+
+
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% document sample (operators/sampling.py): md5
+    bucket of doc_id under the rate. Membership is a pure narrow filter
+    both engines compute identically — hash-checked, not rows-only."""
+    from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return sampling.hash_sample(docs, "doc_id", 10)
+
+
+HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 10
+"""
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 docs per language, picked by hash order — per-stratum
+    row_number compiles to WindowGroupLimit (top-k pruned pre-shuffle)."""
+    from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(docs, ["lang"], "doc_id", 50)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, sample_rank FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS sample_rank
+    FROM documents
+) t
+WHERE sample_rank <= 50
+"""
+
+
+def docs_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign docs to 2048-token packs within 8
+    hash shards (operators/sampling.py). fan_out parallelizes the
+    token-count regex over the single-split local fixture."""
+    from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return sampling.pack_by_token_budget(
+        docs, "doc_id", text.token_count_ws("text"), budget=2048, n_shards=8
+    )
+
+
+TOKEN_PACKING_SQL = f"""
+WITH t AS (
+    SELECT doc_id, doc_id % 8 AS shard, len({_WORDS}) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+FROM t
+"""
+
+
 # -------------------------------------------------------------- approx ---
 
 
@@ -363,6 +433,9 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_label_centroids": QuerySpec(emb_label_centroids, CENTROIDS_SQL),
     "docs_media_features": QuerySpec(docs_media_features, MEDIA_FEATURES_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
+    "docs_hash_sample": QuerySpec(docs_hash_sample, HASH_SAMPLE_SQL),
+    "docs_stratified_sample": QuerySpec(docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "docs_token_packing": QuerySpec(docs_token_packing, TOKEN_PACKING_SQL),
     "lineitem_approx_distinct": QuerySpec(approx_distinct, None),
     "events_value_percentiles": QuerySpec(value_percentiles, None),
 }

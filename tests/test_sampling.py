@@ -1,0 +1,77 @@
+"""Sampling/packing operators: determinism, exactness, and plan-shape
+properties beyond the oracle differential in test_llm_ops.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_report_etl_pipeline_spark.io import read_table
+from multi_report_etl_pipeline_spark.operators import sampling
+from multi_report_etl_pipeline_spark.plans import physical_plan
+from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+from tests.conftest import SF_DIR, SF_DIR_MED
+
+
+def test_hash_sample_rate_and_stability(spark):
+    docs = read_table(spark, SF_DIR_MED, "documents")
+    n = docs.count()
+    picked = sampling.hash_sample(docs, "doc_id", 10)
+    ids = {r.doc_id for r in picked.select("doc_id").collect()}
+    # 16-bit hash at 10%: binomial tolerance, fixture n=500
+    assert 0.05 * n <= len(ids) <= 0.15 * n, (len(ids), n)
+    # membership is a key property: repartitioning must not change it
+    reparted = sampling.hash_sample(docs.repartition(7), "doc_id", 10)
+    assert {r.doc_id for r in reparted.select("doc_id").collect()} == ids
+    # rate=0 and rate=100 are exact
+    assert sampling.hash_sample(docs, "doc_id", 0).count() == 0
+    assert sampling.hash_sample(docs, "doc_id", 100).count() == n
+
+
+def test_hash_sample_is_narrow_no_shuffle(spark):
+    docs = read_table(spark, SF_DIR_MED, "documents")
+    plan = physical_plan(sampling.hash_sample(docs, "doc_id", 10))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    docs = read_table(spark, SF_DIR_MED, "documents")
+    k = 7
+    out = sampling.stratified_sample(docs, ["lang"], "doc_id", k)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    truth = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {lang: min(k, n) for lang, n in truth.items()}
+    # deterministic: same pick on rerun
+    again = sampling.stratified_sample(docs, ["lang"], "doc_id", k)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    plan = physical_plan(QUERIES["docs_stratified_sample"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_token_packing_budget_overflow_bound(spark):
+    budget = 512
+    docs = read_table(spark, SF_DIR_MED, "documents")
+    from multi_report_etl_pipeline_spark.operators.text import token_count_ws
+
+    packed = sampling.pack_by_token_budget(
+        docs, "doc_id", token_count_ws("text"), budget=budget, n_shards=4
+    )
+    rows = packed.collect()
+    # every document is assigned exactly once
+    assert len(rows) == docs.count()
+    by_pack: dict[tuple, list[int]] = {}
+    for r in rows:
+        by_pack.setdefault((r.shard, r.pack_id), []).append(r.n_tokens)
+    for (shard, pack), toks in by_pack.items():
+        # offset packing: a pack holds < budget tokens before its last
+        # doc lands, so total < budget + max single doc
+        assert sum(toks) < budget + max(toks), (shard, pack, sum(toks))
+    # the first pack of every shard starts at offset 0 (pack ids can
+    # legitimately skip a multiple when one doc spans a whole budget)
+    for shard in {r.shard for r in rows}:
+        packs = sorted({r.pack_id for r in rows if r.shard == shard})
+        assert packs[0] == 0, (shard, packs)
