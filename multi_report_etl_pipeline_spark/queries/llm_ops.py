@@ -250,10 +250,13 @@ SELECT id_1, id_2, cosine_sim FROM sims WHERE cosine_sim >= 0.4
 def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     # for unit-norm vectors, L2 <= sqrt(2*(1-cos)) <=> cosine >= 0.4;
-    # dim=64 passed explicitly so plan construction runs no driver job
+    # dim=64 passed explicitly so plan construction runs no driver job.
+    # max_bucket=1000 engages the hot-bucket tiling guard: ~0.4 s of
+    # extra shuffle at sf0.1, but 18.1 s -> 4.4 s at sf1 (same sitting)
+    # once buckets grow quadratic — the 100 TB posture.
     return similarity.lsh_ann_pairs(
         emb, max_l2_dist=1.0954451150103324, bucket_length=1.25, num_hash_tables=6,
-        dim=64,
+        dim=64, max_bucket=1000,
     )
 
 
