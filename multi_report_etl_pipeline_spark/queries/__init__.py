@@ -47,11 +47,14 @@ class QuerySpec:
 # and round 2 (CORRECTNESS_r01/r02.json), plus — to make room for the
 # round-3 sampling/packing family (docs_hash_sample,
 # docs_stratified_sample, docs_token_packing) — three more twice-green
-# rows: stg_activities, docs_token_stats, emb_label_centroids.
+# rows: stg_activities, docs_token_stats, emb_label_centroids, and
+# docs_language_id for the curation-pipeline composition (which runs
+# the same language-id + quality arms inside a driver-checked whole).
 _TAIL = (
     "stg_accounts",
     "stg_activities",
     "docs_token_stats",
+    "docs_language_id",
     "emb_label_centroids",
     "customer_set_ops",
     "orders_semi_anti_join",

@@ -63,21 +63,26 @@ def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", text.language_id("text").alias("lang_pred"))
 
 
-def _lang_id_sql() -> str:
-    scores = {
+def _lang_case_sql() -> str:
+    """The language-id argmax as one DuckDB CASE expression (mirrors
+    text.language_id arm for arm)."""
+    s = {
         lang: f"len(regexp_extract_all(lower(text), '{_lang_pat(lang)}'))"
         for lang in text.LANG_MARKERS
     }
-    s = scores
-    return f"""
-SELECT doc_id, lang,
-    CASE
+    return f"""CASE
         WHEN {s['en']} + {s['es']} + {s['fr']} + {s['de']} = 0 THEN 'unknown'
         WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['fr']} AND {s['en']} >= {s['de']} THEN 'en'
         WHEN {s['es']} >= {s['fr']} AND {s['es']} >= {s['de']} THEN 'es'
         WHEN {s['fr']} >= {s['de']} THEN 'fr'
         ELSE 'de'
-    END AS lang_pred
+    END"""
+
+
+def _lang_id_sql() -> str:
+    return f"""
+SELECT doc_id, lang,
+    {_lang_case_sql()} AS lang_pred
 FROM documents
 """
 
@@ -330,6 +335,78 @@ FROM media CROSS JOIN idx
 # --------------------------------------------- sampling / curation ---
 
 
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation composition — the extension
+    family's analog of the reference's staging→report pipelines: score
+    (quality + language-id + token count), filter (quality ≥ 0.5, known
+    language), exact-dedup survivors (min doc_id per fingerprint, a
+    min(struct) partial agg — map-side combine, the staging-layer
+    pattern), then a deterministic 50% hash sample. One narrow scan
+    pass computes every feature; the only shuffle carries the slim
+    (fingerprint, survivor-struct) pairs. Value-level oracle-checked as
+    a whole, so the composition — not just each piece — is pinned."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    scored = docs.select(
+        "doc_id",
+        text.fingerprint("text").alias("fingerprint"),
+        text.language_id("text").alias("lang_pred"),
+        text.token_count_ws("text").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "unknown"))
+    surv = (
+        kept.groupBy("fingerprint")
+        .agg(
+            F.min(F.struct("doc_id", "lang_pred", "n_tokens", "quality")).alias("s")
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            "fingerprint",
+            F.col("s.lang_pred").alias("lang_pred"),
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.quality").alias("quality"),
+        )
+    )
+    from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    return sampling.hash_sample(surv, "doc_id", 50)
+
+
+def _curation_sql() -> str:
+    return f"""
+WITH feats AS (
+    SELECT doc_id,
+           md5({_NORM}) AS fingerprint,
+           {_lang_case_sql()} AS lang_pred,
+           len({_WORDS}) AS n_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS DOUBLE)
+                 / CAST(len({_WORDS}) AS DOUBLE), 6) AS stopword_ratio
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, fingerprint, lang_pred, n_tokens,
+           ROUND(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * least(stopword_ratio * 5, 1.0), 6) AS quality
+    FROM feats
+),
+kept AS (
+    SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred <> 'unknown'
+),
+surv AS (
+    SELECT doc_id, fingerprint, lang_pred, n_tokens, quality FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM kept
+    ) WHERE rn = 1
+)
+SELECT doc_id, fingerprint, lang_pred, n_tokens, quality
+FROM surv
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 50
+"""
+
+
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% document sample (operators/sampling.py): md5
     bucket of doc_id under the rate. Membership is a pure narrow filter
@@ -436,6 +513,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_label_centroids": QuerySpec(emb_label_centroids, CENTROIDS_SQL),
     "docs_media_features": QuerySpec(docs_media_features, MEDIA_FEATURES_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
+    "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
     "docs_hash_sample": QuerySpec(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "docs_token_packing": QuerySpec(docs_token_packing, TOKEN_PACKING_SQL),
