@@ -38,6 +38,7 @@ HEADLINE = [
     "events_windowed_counts",
     "events_sessionization",
     "docs_exact_dedup",
+    "docs_curation_pipeline",
     "docs_minhash_near_dup",
     "docs_text_quality",
     "docs_language_id",

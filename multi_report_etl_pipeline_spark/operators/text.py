@@ -148,3 +148,42 @@ def rolling_fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: F.pmod(acc * F.lit(31) + x, F.lit(ROLLING_HASH_PRIME)),
     )
+
+
+def curation_survivors(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Curation core shared by the batch query and the streaming twin:
+    score (fingerprint / language / tokens / quality), filter
+    (quality >= 0.5, known language), and reduce to the min-doc_id
+    survivor per content fingerprint.
+
+    The survivor step is a ``min(struct)`` aggregation — doc_id leads
+    the struct, so the minimum IS the smallest doc_id and the result is
+    arrival-order-independent. That one property makes the identical
+    plan valid as a batch aggregation (partial agg map-side) AND as a
+    streaming aggregation (state = one slim struct per distinct
+    fingerprint, exactly the output table).
+    """
+    scored = df.select(
+        "doc_id",
+        fingerprint(text_col).alias("fingerprint"),
+        language_id(text_col).alias("lang_pred"),
+        token_count_ws(text_col).alias("n_tokens"),
+        quality_score(text_col).alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") != "unknown")
+    )
+    return kept.groupBy("fingerprint").agg(
+        F.min(F.struct("doc_id", "lang_pred", "n_tokens", "quality")).alias("s")
+    )
+
+
+def expand_curation_survivors(surv: DataFrame) -> DataFrame:
+    """Unpack the survivor struct produced by ``curation_survivors``."""
+    return surv.select(
+        F.col("s.doc_id").alias("doc_id"),
+        "fingerprint",
+        F.col("s.lang_pred").alias("lang_pred"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.quality").alias("quality"),
+    )

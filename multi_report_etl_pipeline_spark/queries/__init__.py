@@ -47,14 +47,16 @@ class QuerySpec:
 # and round 2 (CORRECTNESS_r01/r02.json), plus — to make room for the
 # round-3 sampling/packing family (docs_hash_sample,
 # docs_stratified_sample, docs_token_packing) — three more twice-green
-# rows: stg_activities, docs_token_stats, emb_label_centroids, and
-# docs_language_id for the curation-pipeline composition (which runs
-# the same language-id + quality arms inside a driver-checked whole).
+# rows: stg_activities, docs_token_stats, emb_label_centroids, and —
+# for the curation composition + its streaming twin (which run the same
+# language-id/quality arms inside driver-checked wholes) —
+# docs_language_id and docs_text_quality.
 _TAIL = (
     "stg_accounts",
     "stg_activities",
     "docs_token_stats",
     "docs_language_id",
+    "docs_text_quality",
     "emb_label_centroids",
     "customer_set_ops",
     "orders_semi_anti_join",

@@ -363,6 +363,30 @@ def streaming_contact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views["clean_contacts_primary"]
 
 
+def _curation_oracle_sql() -> str:
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    return llm_ops._curation_sql()
+
+
+def streaming_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of docs_curation_pipeline: documents arrive as a
+    file stream, the survivor table is maintained incrementally by the
+    shared min(struct) curation aggregation (text.curation_survivors —
+    the identical plan the batch query runs), drained with availableNow,
+    then sampled. Hash-checked against the same CTE oracle as the batch
+    query, so stream-vs-batch parity is driver-enforced."""
+    from multi_report_etl_pipeline_spark import streaming
+    from multi_report_etl_pipeline_spark.operators import sampling, text
+
+    docs = streaming.read_documents_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.curation_survivors_stream(docs), "q_stream_curation", "complete"
+    )
+    surv = text.expand_curation_survivors(spark.table("q_stream_curation"))
+    return sampling.hash_sample(surv, "doc_id", 50)
+
+
 QUERIES.update(
     {
         "streaming_windowed_counts": QuerySpec(
@@ -378,6 +402,9 @@ QUERIES.update(
         "streaming_contact_survivors": QuerySpec(
             streaming_contact_survivors,
             oracle.view_sql("clean_contacts_primary"),
+        ),
+        "streaming_doc_curation": QuerySpec(
+            streaming_doc_curation, _curation_oracle_sql()
         ),
     }
 )

@@ -346,27 +346,7 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fingerprint, survivor-struct) pairs. Value-level oracle-checked as
     a whole, so the composition — not just each piece — is pinned."""
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
-    scored = docs.select(
-        "doc_id",
-        text.fingerprint("text").alias("fingerprint"),
-        text.language_id("text").alias("lang_pred"),
-        text.token_count_ws("text").alias("n_tokens"),
-        text.quality_score("text").alias("quality"),
-    )
-    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "unknown"))
-    surv = (
-        kept.groupBy("fingerprint")
-        .agg(
-            F.min(F.struct("doc_id", "lang_pred", "n_tokens", "quality")).alias("s")
-        )
-        .select(
-            F.col("s.doc_id").alias("doc_id"),
-            "fingerprint",
-            F.col("s.lang_pred").alias("lang_pred"),
-            F.col("s.n_tokens").alias("n_tokens"),
-            F.col("s.quality").alias("quality"),
-        )
-    )
+    surv = text.expand_curation_survivors(text.curation_survivors(docs))
     from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
 
     return sampling.hash_sample(surv, "doc_id", 50)

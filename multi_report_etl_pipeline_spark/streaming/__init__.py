@@ -58,6 +58,44 @@ LINEITEM_SOURCE_SCHEMA = StructType(
 )
 
 
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming document landing zone: each new corpus file becomes a
+    micro-batch (the shape a crawler/collector hands a training-data
+    pipeline)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def curation_survivors_stream(docs: DataFrame) -> DataFrame:
+    """Incremental curation: quality/language scoring is stateless per
+    micro-batch; the exact-dedup survivor table is a streaming
+    ``min(struct)`` aggregation keyed on the content fingerprint, so the
+    survivor per duplicate set is min-doc_id — identical to the batch
+    rule regardless of arrival order (the PLAN is literally the batch
+    one: text.curation_survivors builds both). State is one slim struct
+    per distinct fingerprint, i.e. exactly the output table (the same
+    bound the batch materialization pays); at warehouse scale this
+    state lives in the RocksDB state store and is the incremental
+    alternative to re-scanning the corpus per curation run."""
+    from multi_report_etl_pipeline_spark.operators import text  # noqa: PLC0415
+
+    return text.curation_survivors(docs)
+
+
 def read_activities_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form of the activity fact: a file-source stream over the
     lineitem landing zone, stream-static broadcast-joined to orders, with

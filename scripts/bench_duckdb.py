@@ -39,6 +39,7 @@ COMPARABLE = [
     "events_sessionization",
     "events_asof_last_click",
     "docs_exact_dedup",
+    "docs_curation_pipeline",
     "docs_text_quality",
     "docs_language_id",
     "emb_cosine_topk",
