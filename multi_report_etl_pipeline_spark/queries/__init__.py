@@ -58,6 +58,7 @@ _TAIL = (
     "docs_language_id",
     "docs_text_quality",
     "emb_label_centroids",
+    "lineitem_quantity_quantiles",
     "customer_set_ops",
     "orders_semi_anti_join",
     "clean_accounts",

@@ -321,6 +321,52 @@ def orders_top_customers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join —
+    per-month revenue share of one part class (CASE numerator over the
+    same sum's denominator). The join carries only (p_partkey, p_type);
+    no forced broadcast — file stats broadcast the part side at bench SF
+    and a shuffle join takes over when part outgrows the threshold.
+    Sums stay exact DECIMAL until the final double division, so the
+    share is bit-identical on both engines."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    economy = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(economy).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("economy_share"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT
+    strftime(l_shipdate, '%Y-%m') AS ship_month,
+    ROUND(100.0
+        * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        6) AS economy_share,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def lineitem_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking windows (rank / dense_rank / lag / lead) per order — the
     analytic-function family the reference lacks (SURVEY.md §2.6)."""
@@ -448,6 +494,7 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "tpch_q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
+    "tpch_q14_type_share": QuerySpec(q14_type_share, Q14_SQL),
     "orders_top_customers": QuerySpec(orders_top_customers, TOP_CUSTOMERS_SQL),
     "orders_top_customers_salted": QuerySpec(
         orders_top_customers_salted, TOP_CUSTOMERS_SQL
