@@ -168,6 +168,55 @@ def test_asof_backward_matches_reference(left_rows, right_rows, strict):
         assert got[i] == want, f"lid={i} key={k} ts={ts} strict={strict}"
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # (doc key, token count) — zero-token and huge docs welcome
+        st.tuples(st.integers(0, 10_000), st.integers(0, 3000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda kv: kv[0],
+    ),
+    st.integers(min_value=1, max_value=1024),
+    st.integers(min_value=1, max_value=8),
+)
+def test_token_packing_matches_reference(docs, budget, n_shards):
+    """pack_by_token_budget must equal the sequential reference EXACTLY
+    for arbitrary token counts, budgets, and shard counts: within a
+    shard (pmod of key), docs ordered by key, each doc's pack is the one
+    containing its start offset — floor(prefix_sum_before / budget)."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.operators.sampling import (
+        pack_by_token_budget,
+    )
+
+    spark = _shared_spark["spark"]
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["n_tokens"])
+        for r in pack_by_token_budget(
+            df, "doc_id", F.col("n_tokens"), budget=budget, n_shards=n_shards
+        ).collect()
+    }
+    assert len(got) == len(docs)  # every doc assigned exactly once
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for k, t in docs:
+        shards.setdefault(k % n_shards, []).append((k, t))
+    for shard, members in shards.items():
+        offset = 0
+        for k, t in sorted(members):
+            want_pack = offset // budget
+            assert got[k] == (shard, want_pack, t), (
+                f"doc={k} shard={shard} offset={offset}: "
+                f"got={got[k]} want=({shard}, {want_pack}, {t})"
+            )
+            offset += t
+
+
 _CHANNELS = ["PHONE", "FIELD", "MESSAGING", "EMAIL", "AGENT_BANK", "WHATSAPP"]
 _CONTACTS = ["PRIMARY", "THIRD_PARTY", "NO_CONTACT", "GUARANTOR", "UNKNOWN_TYPE"]
 _OUTCOMES = ["PAYMENT_PROMISE", "RESTRUCTURE_REQUEST", "NO_ANSWER", "CALLBACK"]
