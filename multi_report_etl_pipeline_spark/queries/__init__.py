@@ -51,7 +51,11 @@ class QuerySpec:
 # for the curation composition + its streaming twin (which run the same
 # language-id/quality arms inside driver-checked wholes) —
 # docs_language_id and docs_text_quality.
+# Round-3 late addition: orders_snapshot_merge (MERGE INTO analog) takes
+# the window slot of docs_ngram_jaccard, hash-green in both round 1 and
+# round 2 and still oracle-checked by pytest every round.
 _TAIL = (
+    "docs_ngram_jaccard",
     "stg_accounts",
     "stg_activities",
     "docs_token_stats",

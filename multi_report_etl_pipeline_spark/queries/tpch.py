@@ -615,3 +615,68 @@ QUERIES.update(
         "parts_at_max_size": QuerySpec(parts_at_max_size, MAX_SIZE_SQL),
     }
 )
+
+
+# -------------------------------------------------------- snapshot merge ---
+
+
+def orders_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO analog (operators/snapshot.py): upsert + tombstone
+    delete over an orders snapshot, as one partial-agg survivor pass.
+
+    The update batch is derived deterministically from the same table so
+    the oracle can rebuild it: every 7th order repriced +10.00 at
+    version 2, and of those, every 13th tombstoned. The merged result
+    must show version-2 prices for repriced keys, drop tombstoned keys,
+    and keep everything else at version 1 — value-checked per row.
+    """
+    from multi_report_etl_pipeline_spark.operators.snapshot import (  # noqa: PLC0415
+        merge_upsert,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        _dec("o_totalprice").alias("price"),
+        F.lit(1).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    upd = orders.filter(F.expr("o_orderkey % 7 = 0")).select(
+        "o_orderkey",
+        (_dec("o_totalprice") + F.lit(10).cast(DEC)).cast(DEC).alias("price"),
+        F.lit(2).alias("version"),
+        F.expr("o_orderkey % 13 = 0").alias("deleted"),
+    )
+    merged = merge_upsert(
+        base, upd, key_cols=["o_orderkey"], version_cols=["version"],
+        tombstone_col="deleted",
+    )
+    return merged.select(
+        "o_orderkey",
+        F.col("price").cast("double").alias("total_price"),
+        "version",
+    )
+
+
+SNAPSHOT_MERGE_SQL = """
+WITH base AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           1 AS version, FALSE AS deleted, 0 AS src
+    FROM orders
+), upd AS (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(10 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS price,
+           2 AS version, (o_orderkey % 13 = 0) AS deleted, 1 AS src
+    FROM orders WHERE o_orderkey % 7 = 0
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+)
+SELECT o_orderkey, CAST(price AS DOUBLE) AS total_price, version
+FROM ranked WHERE rn = 1 AND NOT deleted
+"""
+
+
+QUERIES["orders_snapshot_merge"] = QuerySpec(orders_snapshot_merge, SNAPSHOT_MERGE_SQL)
