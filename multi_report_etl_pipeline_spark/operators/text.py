@@ -111,6 +111,49 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized(col).cast("binary"))
 
 
+# PII redaction patterns, applied IN ORDER (URL first: a URL may embed
+# an @ that the email pattern would otherwise split). Patterns restrict
+# themselves to the regex subset where Java regex (Spark) and RE2
+# (DuckDB) agree: character classes, bounded repetition, alternation —
+# no lookaround (RE2 lacks it), no backreferences. DuckDB's
+# regexp_replace needs the 'g' flag to match Spark's replace-all.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9][0-9 -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    col: Column | str,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> Column:
+    """Redact PII-shaped spans (URLs, emails, IPv4s, intl phone numbers)
+    with typed placeholders — the standard pre-training scrub pass.
+    Chained regexp_replace: pure JVM codegen, one narrow projection, no
+    shuffle at any scale."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(
+    col: Column | str,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> dict[str, Column]:
+    """Per-class match counts (audit trail for the scrub pass). Counts
+    overlap the way scrubbing does: classes are counted on the RAW text,
+    so a URL containing an @ may count as both url and email even though
+    scrub_pii's ordering redacts it once."""
+    src = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(src, F.lit(pat)).cast("bigint")
+        for name, pat, _ in patterns
+    }
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     feats = quality_features(text_col)
     return df.select(

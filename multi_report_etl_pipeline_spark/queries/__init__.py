@@ -51,11 +51,14 @@ class QuerySpec:
 # for the curation composition + its streaming twin (which run the same
 # language-id/quality arms inside driver-checked wholes) —
 # docs_language_id and docs_text_quality.
-# Round-3 late addition: orders_snapshot_merge (MERGE INTO analog) takes
-# the window slot of docs_ngram_jaccard, hash-green in both round 1 and
-# round 2 and still oracle-checked by pytest every round.
+# Round-3 late additions: orders_snapshot_merge (MERGE INTO analog) and
+# docs_pii_scrub (redaction pass) take the window slots of
+# docs_ngram_jaccard and emb_cosine_topk — both hash-green in round 1
+# AND round 2, both still oracle-checked by pytest every round (and
+# cosine stays a bench headline regardless of window position).
 _TAIL = (
     "docs_ngram_jaccard",
+    "emb_cosine_topk",
     "stg_accounts",
     "stg_activities",
     "docs_token_stats",

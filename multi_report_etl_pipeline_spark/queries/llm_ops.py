@@ -120,6 +120,66 @@ FROM feats
 """
 
 
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (text.scrub_pii) + per-class audit counts.
+
+    The fixture text is synthetic word salad with no PII, so the query
+    plants deterministic PII built from doc_id — an email, a URL, an
+    IPv4, and an intl phone — on BOTH engines before scrubbing; the
+    oracle then checks the scrubbed text and counts value-for-value,
+    proving the Java-regex and RE2 pattern subset really does agree.
+    Pure narrow projection: chained regexp_replace in one codegen stage.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    sid = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), sid, F.lit("@example.com"),
+            F.lit(" or https://ex.example/p/"), sid,
+            F.lit(" node 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 555-0155"),
+        ).alias("text"),
+    )
+    counts = text.pii_counts("text")
+    return aug.select(
+        "doc_id",
+        text.scrub_pii("text").alias("scrubbed"),
+        counts["url"].alias("n_url"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+def _pii_sql() -> str:
+    from multi_report_etl_pipeline_spark.operators.text import PII_PATTERNS
+
+    pats = dict((name, pat) for name, pat, _ in PII_PATTERNS)
+    scrub = "text"
+    for name, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or https://ex.example/p/'
+                || CAST(doc_id AS VARCHAR)
+                || ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.7 tel +1 555-0155' AS text
+    FROM documents
+)
+SELECT doc_id,
+       {scrub} AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{pats["url"]}')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(text, '{pats["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{pats["ipv4"]}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{pats["phone"]}')) AS BIGINT) AS n_phone
+FROM aug
+"""
+
+
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
@@ -481,6 +541,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_token_stats": QuerySpec(docs_token_stats, TOKEN_STATS_SQL),
     "docs_language_id": QuerySpec(docs_language_id, _lang_id_sql()),
     "docs_text_quality": QuerySpec(docs_text_quality, TEXT_QUALITY_SQL),
+    "docs_pii_scrub": QuerySpec(docs_pii_scrub, _pii_sql()),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FINGERPRINT_SQL),
     "docs_rolling_fingerprint": QuerySpec(docs_rolling_fingerprint, ROLLING_FP_SQL),
     "docs_exact_dedup": QuerySpec(docs_exact_dedup, EXACT_DEDUP_SQL),

@@ -145,3 +145,34 @@ def test_lsh_tiled_buckets_match_untiled(spark):
     }
     assert plain, "fixture should produce LSH pairs"
     assert tiled == plain
+
+
+def test_pii_scrub_order_and_narrow_plan(spark):
+    """URL-first ordering: an @ inside a URL must redact as ONE <URL>,
+    not split into an <EMAIL>; standalone classes each redact; and the
+    scrub projection itself is narrow (no Exchange) — it runs inside the
+    scan's codegen stage at any scale."""
+    from multi_report_etl_pipeline_spark.operators.text import pii_counts, scrub_pii
+    from multi_report_etl_pipeline_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://u:pw@host.example/x?a=1 now"),
+            (2, "mail bob.smith+tag@corp.example.io please"),
+            (3, "peer 192.168.0.1 dialed +44 20-7946-0958 twice"),
+            (4, "clean text with no identifiers at all"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.s for r in df.select("id", scrub_pii("text").alias("s")).collect()}
+    assert got[1] == "see <URL> now"
+    assert got[2] == "mail <EMAIL> please"
+    assert got[3] == "peer <IP> dialed <PHONE> twice"
+    assert got[4] == "clean text with no identifiers at all"
+    counts = pii_counts("text")
+    r3 = df.filter("id = 3").select(
+        counts["ipv4"].alias("n_ip"), counts["phone"].alias("n_phone")
+    ).collect()[0]
+    assert (r3.n_ip, r3.n_phone) == (1, 1)
+    plan = physical_plan(df.select("id", scrub_pii("text").alias("s")))
+    assert "Exchange" not in plan, plan[:2000]
