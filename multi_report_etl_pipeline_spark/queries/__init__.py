@@ -51,14 +51,16 @@ class QuerySpec:
 # for the curation composition + its streaming twin (which run the same
 # language-id/quality arms inside driver-checked wholes) —
 # docs_language_id and docs_text_quality.
-# Round-3 late additions: orders_snapshot_merge (MERGE INTO analog) and
-# docs_pii_scrub (redaction pass) take the window slots of
-# docs_ngram_jaccard and emb_cosine_topk — both hash-green in round 1
-# AND round 2, both still oracle-checked by pytest every round (and
-# cosine stays a bench headline regardless of window position).
+# Round-3 late additions: orders_snapshot_merge (MERGE INTO analog),
+# docs_pii_scrub (redaction pass), and streaming_snapshot_merge (its
+# CDC twin) take the window slots of docs_ngram_jaccard,
+# emb_cosine_topk, and docs_exact_dedup — all hash-green in round 1 AND
+# round 2, all still oracle-checked by pytest every round (cosine and
+# exact-dedup stay bench headlines regardless of window position).
 _TAIL = (
     "docs_ngram_jaccard",
     "emb_cosine_topk",
+    "docs_exact_dedup",
     "stg_accounts",
     "stg_activities",
     "docs_token_stats",

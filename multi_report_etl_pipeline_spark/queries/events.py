@@ -369,6 +369,33 @@ def _curation_oracle_sql() -> str:
     return llm_ops._curation_sql()
 
 
+def _snapshot_merge_oracle_sql() -> str:
+    from multi_report_etl_pipeline_spark.queries import tpch  # noqa: PLC0415
+
+    return tpch.SNAPSHOT_MERGE_SQL
+
+
+def streaming_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of queries.tpch.orders_snapshot_merge: change rows
+    arrive as a file stream, the latest-wins snapshot is maintained by a
+    streaming max_by aggregation (streaming.snapshot_merge_stream),
+    drained with availableNow, then tombstones drop at read time. Same
+    per-row DuckDB merge oracle as the batch query — stream-vs-batch
+    MERGE parity is driver-enforced."""
+    from multi_report_etl_pipeline_spark import streaming
+
+    orders = streaming.read_orders_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.snapshot_merge_stream(orders), "q_stream_snapmerge", "complete"
+    )
+    snap = spark.table("q_stream_snapmerge")
+    return snap.filter(~F.col("s.deleted")).select(
+        "o_orderkey",
+        F.col("s.price").cast("double").alias("total_price"),
+        F.col("s.version").alias("version"),
+    )
+
+
 def streaming_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of docs_curation_pipeline: documents arrive as a
     file stream, the survivor table is maintained incrementally by the
@@ -405,6 +432,9 @@ QUERIES.update(
         ),
         "streaming_doc_curation": QuerySpec(
             streaming_doc_curation, _curation_oracle_sql()
+        ),
+        "streaming_snapshot_merge": QuerySpec(
+            streaming_snapshot_merge, _snapshot_merge_oracle_sql()
         ),
     }
 )

@@ -236,6 +236,68 @@ def interval_join_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
 
 
+ORDERS_SOURCE_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_totalprice", DoubleType()),
+    ]
+)
+
+
+def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the orders landing zone (schema pruned to
+    the merge's key + payload columns — the scan never reads the rest)."""
+    return (
+        spark.readStream.schema(ORDERS_SOURCE_SCHEMA)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def snapshot_merge_stream(orders: DataFrame) -> DataFrame:
+    """CDC-style incremental MERGE: the streaming form of
+    operators.snapshot.merge_upsert, maintaining a latest-wins snapshot
+    as change rows arrive.
+
+    Each arriving order contributes its base row and (deterministically,
+    mirroring queries.tpch.orders_snapshot_merge so the same oracle
+    applies) an update/tombstone row; the merged snapshot is a streaming
+    ``max_by(payload, (version, src))`` aggregation. State is one slim
+    struct per key — exactly the output table, the same bound the batch
+    merge's shuffle pays — so at 100 TB this is the standing alternative
+    to re-running the batch merge per update batch. Tombstones are kept
+    IN state (filtered by the consumer, see the query): dropping them
+    here would resurrect a key if a late older version arrived after its
+    delete."""
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    base = F.struct(
+        dec.alias("price"),
+        F.lit(1).alias("version"),
+        F.lit(False).alias("deleted"),
+        F.lit(0).alias("src"),
+    )
+    upd = F.struct(
+        (dec + F.lit(10).cast("decimal(18,2)")).cast("decimal(18,2)").alias("price"),
+        F.lit(2).alias("version"),
+        (F.col("o_orderkey") % 13 == 0).alias("deleted"),
+        F.lit(1).alias("src"),
+    )
+    changes = orders.select(
+        "o_orderkey",
+        F.explode(
+            F.when(F.col("o_orderkey") % 7 == 0, F.array(base, upd)).otherwise(
+                F.array(base)
+            )
+        ).alias("r"),
+    )
+    return changes.groupBy("o_orderkey").agg(
+        F.max_by(
+            F.struct("r.price", "r.version", "r.deleted"),
+            F.struct("r.version", "r.src"),
+        ).alias("s")
+    )
+
+
 USER_TOTALS_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),
