@@ -20,6 +20,8 @@ streaming path at 100 TB (same plan, incremental execution).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +44,12 @@ EVENTS_SCHEMA = StructType(
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ]
+)
+
+# Same table when the file carries a Spark-native TIMESTAMP(MICROS) ts
+# (the fixture generator has shipped both encodings across rounds).
+EVENTS_SCHEMA_US = StructType(
+    [f if f.name != "ts" else StructField("ts", TimestampType()) for f in EVENTS_SCHEMA]
 )
 
 
@@ -130,18 +138,26 @@ def contact_survivors_stream(stg_activities: DataFrame) -> DataFrame:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one-file directory; at
-    scale this is the landing zone a collector appends to). The ns
-    timestamp arrives as long (nanosAsLong) and converts exactly like the
-    batch reader."""
+    scale this is the landing zone a collector appends to). File streams
+    need an explicit schema, so the footer is probed once (driver-side
+    metadata read at plan time) to pick it: a TIMESTAMP(NANOS) file
+    arrives as long (nanosAsLong) and converts exactly like the batch
+    reader; a TIMESTAMP(MICROS) file is read natively — unconditionally
+    converting would shrink native-µs values 1000x."""
     # set at runtime so the stream works under ANY session, not just ones
     # built by session.get_spark (the driver's harness owns its session)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    schema = EVENTS_SCHEMA if ts_is_long else EVENTS_SCHEMA_US
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
