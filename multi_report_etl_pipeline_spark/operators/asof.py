@@ -25,6 +25,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_us(col: Column) -> Column:
+    """Integer microseconds for bin arithmetic, tolerant of both timestamp
+    flavors: ``unix_micros`` only accepts TIMESTAMP (LTZ), but parquet
+    fixtures written without UTC adjustment arrive as TIMESTAMP_NTZ. The
+    NTZ->LTZ cast applies the session-timezone offset, which cancels out
+    here — left/right rows and every bin boundary shift by the same
+    constant, so join results are offset-invariant."""
+    return F.unix_micros(col.cast("timestamp_ltz"))
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -119,7 +129,7 @@ def binned_range_join(
     w_us = int(bin_width_s * 1_000_000)
     lo_us = int(lower_s * 1_000_000)
     hi_us = int(upper_s * 1_000_000)
-    l = left.withColumn("_lus", F.unix_micros(F.col(left_ts)))
+    l = left.withColumn("_lus", _epoch_us(F.col(left_ts)))
     l = l.withColumn(
         "_bin",
         F.explode(
@@ -129,7 +139,7 @@ def binned_range_join(
             )
         ),
     )
-    r = right.withColumn("_rus", F.unix_micros(F.col(right_ts))).withColumn(
+    r = right.withColumn("_rus", _epoch_us(F.col(right_ts))).withColumn(
         "_bin", F.floor(F.col("_rus") / F.lit(w_us))
     )
     lk, rk = F.col(f"l.{key}"), F.col(f"r.{key}")
