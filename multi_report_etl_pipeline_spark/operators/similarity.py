@@ -145,6 +145,34 @@ def near_dup_pairs(
     )
 
 
+def cosine_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP: keep a vector only when no
+    lower-id vector is cosine-similar at >= ``threshold`` (the min-id
+    survivor rule every other dedup family here uses, applied to the
+    semantic-similarity graph instead of a content fingerprint).
+
+    ``candidate_pairs`` picks the candidate generator: by default the
+    exact quadratic ``near_dup_pairs`` (the oracle-parity baseline);
+    at scale pass ``lsh_ann_pairs(...)`` output — any DataFrame with
+    (id_1 < id_2) columns works, and the survivor step is the same
+    distinct + left_anti join either way (one shuffle on the id, dropped
+    set is |near-dup pairs|-bounded, never the corpus).
+    """
+    pairs = (
+        near_dup_pairs(corpus, threshold, id_col, vec_col)
+        if candidate_pairs is None
+        else candidate_pairs
+    )
+    dropped = pairs.select(F.col("id_2").alias(id_col)).distinct()
+    return corpus.join(dropped, id_col, "left_anti")
+
+
 def lsh_ann_pairs(
     corpus: DataFrame,
     max_l2_dist: float = 1.0,

@@ -193,6 +193,113 @@ def rolling_fingerprint(col: Column | str) -> Column:
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard pre-training/RAG preparation step (context-window packing
+    operates on these chunks, not whole documents).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; the last chunk may be short, and a
+    document shorter than ``chunk_size`` yields exactly one chunk. All
+    arithmetic is JVM array ops over the in-row token array (sequence /
+    slice / array_join): a narrow map with a bounded ~chunk_size/stride
+    fan-out and no shuffle, so it scales linearly with input splits.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    toks = words(text_col)
+    n = F.size(toks)
+    # integer ceil((n - overlap) / stride), clamped to >= 1 chunk; values
+    # are tiny so the double floor is exact
+    n_chunks = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("bigint"),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id").cast("int") * stride + 1, chunk_size
+    )
+    return exploded.select(
+        F.col(id_col),
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary / heavy hitters: the ``k`` most frequent tokens
+    with total occurrences (tf) and document frequency (df). The explode
+    feeds ONE hash aggregation keyed by token (count is map-side partial;
+    the distinct-doc count rides the same shuffle as a two-phase
+    aggregate), and the top-k is a TakeOrdered over ``k`` rows per
+    partition — no global sort. Tie-break on token keeps the cut
+    deterministic across engines."""
+    tok = df.select(F.col(id_col).alias("_doc"), F.explode(words(text_col)).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("_doc").alias("df"),
+    )
+    return agg.orderBy(F.desc("tf"), F.asc("token")).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_per_doc: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf
+    (idf = ln(N/df), the classic form). Three aggregations, one join:
+    per-(doc, token) counts and per-token document frequency both hash on
+    token, so the idf join reuses the exchange Catalyst already planned;
+    the corpus size N is a 1-row aggregate combined via broadcast. The
+    final per-doc top-k is a rank-1..k window (WindowGroupLimit prunes it
+    to a per-partition top-k, no full sort)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_per_doc)
+        .select("doc_id", "rank", "token", "tf", "tfidf")
+    )
+
+
 def curation_survivors(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Curation core shared by the batch query and the streaming twin:
     score (fingerprint / language / tokens / quality), filter

@@ -57,7 +57,19 @@ class QuerySpec:
 # emb_cosine_topk, and docs_exact_dedup — all hash-green in round 1 AND
 # round 2, all still oracle-checked by pytest every round (cosine and
 # exact-dedup stay bench headlines regardless of window position).
+# Round-3 final additions: docs_chunks, docs_vocabulary,
+# docs_tfidf_top_terms, and emb_cosine_dedup (the brief's
+# embedding-cosine near-dup family as a first-class survivor query)
+# take the slots of the three reports' rows and docs_dedup_groups —
+# all hash-green in rounds 1 AND 2 with code untouched since, all still
+# bench headlines and pytest-oracle-checked every round. tpch_q3/q5
+# stay in-window: their plans were rewritten this round, so they need
+# fresh driver rows.
 _TAIL = (
+    "report_mortgage_portfolio",
+    "report_restructuring_pipeline",
+    "report_commercial_promises",
+    "docs_dedup_groups",
     "docs_ngram_jaccard",
     "emb_cosine_topk",
     "docs_exact_dedup",

@@ -447,6 +447,101 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10
 """
 
 
+def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk 64 / overlap 16) — the
+    pre-training/RAG document splitter. Narrow map, bounded fan-out."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return text.chunk_tokens(docs, chunk_size=64, overlap=16)
+
+
+_CHUNK, _CHUNK_OV = 64, 16
+_CHUNK_STRIDE = _CHUNK - _CHUNK_OV
+CHUNKS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {_WORDS} AS toks, len({_WORDS}) AS n FROM documents
+),
+c AS (
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(1, CAST(floor((n - {_CHUNK_OV} + {_CHUNK_STRIDE - 1})
+                                                  / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT))))
+               AS chunk_id
+    FROM t
+)
+SELECT doc_id, chunk_id,
+       array_to_string(toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+                            chunk_id * {_CHUNK_STRIDE} + {_CHUNK}], ' ') AS chunk_text,
+       len(toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+                chunk_id * {_CHUNK_STRIDE} + {_CHUNK}]) AS n_chunk_tokens
+FROM c
+"""
+
+
+def docs_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-100 tokens by total occurrences with
+    document frequency. One hash agg on token + TakeOrdered top-k."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return text.vocabulary(docs, k=100)
+
+
+VOCABULARY_SQL = f"""
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({_WORDS}) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 100
+"""
+
+
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf-idf (idf=ln(N/df)).
+    The tf and df aggregations share the token hash partitioning; N is a
+    broadcast 1-row aggregate; per-doc top-k is a WindowGroupLimit."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return text.tfidf_top_terms(docs, k_per_doc=5)
+
+
+TFIDF_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf,
+           ROUND(CAST(tf.tf AS DOUBLE)
+                 * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank,
+       token, tf, tfidf
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: min-id survivors of the
+    cosine >= 0.4 similarity graph. Exact candidate generation here (the
+    oracle-parity baseline); the LSH candidate path is pinned by recall
+    tests (tests/test_llm_ops.py)."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    return similarity.cosine_dedup(emb, threshold=0.4).select("vec_id", "label")
+
+
+COSINE_DEDUP_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.vec, b.vec)
+          / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+          >= 0.4
+)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)
+"""
+
+
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% document sample (operators/sampling.py): md5
     bucket of doc_id under the rate. Membership is a pure narrow filter
@@ -555,6 +650,10 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_media_features": QuerySpec(docs_media_features, MEDIA_FEATURES_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
+    "docs_chunks": QuerySpec(docs_chunks, CHUNKS_SQL),
+    "docs_vocabulary": QuerySpec(docs_vocabulary, VOCABULARY_SQL),
+    "docs_tfidf_top_terms": QuerySpec(docs_tfidf_top_terms, TFIDF_SQL),
+    "emb_cosine_dedup": QuerySpec(emb_cosine_dedup, COSINE_DEDUP_SQL),
     "docs_hash_sample": QuerySpec(docs_hash_sample, HASH_SAMPLE_SQL),
     "docs_stratified_sample": QuerySpec(docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "docs_token_packing": QuerySpec(docs_token_packing, TOKEN_PACKING_SQL),

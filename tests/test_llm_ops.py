@@ -75,6 +75,68 @@ def test_lsh_ann_recall_vs_brute(spark):
     assert recall >= 0.9, f"LSH ANN recall {recall:.2f} < 0.9"
 
 
+def test_cosine_dedup_lsh_candidates_superset(spark):
+    """The LSH-candidate scale path of cosine_dedup can only MISS pairs,
+    never invent them — so its survivor set must contain every exact-path
+    survivor, and the dropped sets must overlap at >= 0.9 recall (same
+    bar as the pair-level LSH test)."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    exact_surv = {r.vec_id for r in similarity.cosine_dedup(emb, 0.4).collect()}
+    cand = similarity.lsh_ann_pairs(
+        emb, max_l2_dist=1.0954451150103324, bucket_length=1.25,
+        num_hash_tables=6, dim=64,
+    )
+    lsh_surv = {
+        r.vec_id
+        for r in similarity.cosine_dedup(emb, 0.4, candidate_pairs=cand).collect()
+    }
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert exact_surv <= lsh_surv, "LSH path dropped a vector the exact path kept"
+    exact_dropped = all_ids - exact_surv
+    assert exact_dropped, "fixture should contain near-dup vectors"
+    recall = len(exact_dropped & (all_ids - lsh_surv)) / len(exact_dropped)
+    assert recall >= 0.9, f"cosine-dedup LSH drop recall {recall:.2f} < 0.9"
+
+
+def test_chunking_reconstructs_token_stream(spark):
+    """Lossless-coverage property: stripping the overlap from every
+    chunk after the first and concatenating must reproduce the original
+    normalized token stream exactly, for every document — wrong stride,
+    slice bounds, or a missing final chunk all break this."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    chunks = text.chunk_tokens(docs, chunk_size=64, overlap=16).collect()
+    by_doc: dict = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_id)):
+        toks = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(toks) == r.n_chunk_tokens
+        assert r.n_chunk_tokens <= 64
+        by_doc.setdefault(r.doc_id, []).extend(toks if r.chunk_id == 0 else toks[16:])
+    originals = {
+        r.doc_id: r.toks
+        for r in docs.selectExpr(
+            "doc_id", "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ') AS toks"
+        ).collect()
+    }
+    assert set(by_doc) == set(originals)
+    for doc_id, toks in by_doc.items():
+        assert toks == list(originals[doc_id]), f"doc {doc_id} reconstruction mismatch"
+
+
+def test_chunking_rejects_bad_overlap():
+    from multi_report_etl_pipeline_spark.operators import text
+
+    with pytest.raises(ValueError):
+        text.chunk_tokens(None, chunk_size=16, overlap=16)
+    with pytest.raises(ValueError):
+        text.chunk_tokens(None, chunk_size=16, overlap=-1)
+
+
 def test_approx_distinct_accuracy(spark):
     row = QUERIES["lineitem_approx_distinct"].fn(spark, SF_DIR).collect()[0]
     from multi_report_etl_pipeline_spark.io import read_table
