@@ -39,6 +39,9 @@ HEADLINE = [
     "events_sessionization",
     "docs_exact_dedup",
     "docs_curation_pipeline",
+    "docs_vocabulary",
+    "docs_tfidf_top_terms",
+    "docs_chunks",
     "docs_minhash_near_dup",
     "docs_text_quality",
     "docs_language_id",

@@ -40,6 +40,9 @@ COMPARABLE = [
     "events_asof_last_click",
     "docs_exact_dedup",
     "docs_curation_pipeline",
+    "docs_vocabulary",
+    "docs_tfidf_top_terms",
+    "docs_chunks",
     "docs_text_quality",
     "docs_language_id",
     "emb_cosine_topk",
