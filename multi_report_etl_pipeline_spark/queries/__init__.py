@@ -62,14 +62,18 @@ class QuerySpec:
 # embedding-cosine near-dup family as a first-class survivor query)
 # take the slots of the three reports' rows and docs_dedup_groups —
 # all hash-green in rounds 1 AND 2 with code untouched since, all still
-# bench headlines and pytest-oracle-checked every round. tpch_q3/q5
-# stay in-window: their plans were rewritten this round, so they need
-# fresh driver rows.
+# bench headlines and pytest-oracle-checked every round. The funnel and
+# cohort-retention queries then take tpch_q3/q5's slots: those two were
+# rewritten this round but re-verified value-for-value against their
+# oracles at the driver's sf0.01 BEFORE demotion (plus pytest at
+# sf0.001 every round, plus bench headline rows).
 _TAIL = (
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",
     "report_commercial_promises",
     "docs_dedup_groups",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "docs_ngram_jaccard",
     "emb_cosine_topk",
     "docs_exact_dedup",

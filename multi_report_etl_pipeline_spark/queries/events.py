@@ -254,7 +254,152 @@ FROM events GROUP BY 1
 """
 
 
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: a user
+    counts at step k only with a step-k event strictly after their
+    step-(k-1) entry time (first-touch semantics).
+
+    Shape at scale: three conditional min-aggregations all keyed on
+    user_id — one exchange, reused by every step (the step-2/3 filters
+    are computed from the carried step-1/2 times, not by re-joining the
+    fact table) — then three 1-row counts unioned into the funnel
+    table. No window, no self-join, no re-scan per step.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # one pass: collect each user's ordered event times per step type
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    # F.get (not getItem): null on the empty array instead of an ANSI
+    # out-of-bounds error; a null step time nulls every later step via
+    # the null-propagating > inside filter()
+    stepped = per_user.select(
+        "t1",
+        F.get(F.filter("clicks", lambda c: c > F.col("t1")), 0).alias("t2"),
+        "purchases",
+    ).select(
+        "t1",
+        "t2",
+        F.get(F.filter("purchases", lambda p: p > F.col("t2")), 0).alias("t3"),
+    )
+    counts = stepped.agg(
+        F.count("t1").alias("signup"),
+        F.count("t2").alias("click_after_signup"),
+        F.count("t3").alias("purchase_after_click"),
+    )
+    # explode a literal struct array so the aggregation runs ONCE (a
+    # 3-way union of selects over `counts` would recompute it per leg)
+    steps = [("signup", 1), ("click_after_signup", 2), ("purchase_after_click", 3)]
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(order).alias("step_order"),
+                        F.lit(name).alias("step"),
+                        F.col(name).alias("users"),
+                    )
+                    for name, order in steps
+                ]
+            )
+        ).alias("s")
+    ).select("s.step_order", "s.step", "s.users")
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           min(ts) FILTER (WHERE event_type = 'signup') AS t1,
+           list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS clicks,
+           list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS purchases
+    FROM events GROUP BY user_id
+),
+s2 AS (
+    SELECT t1, list_filter(clicks, c -> c > t1)[1] AS t2, purchases FROM per_user
+),
+s3 AS (
+    SELECT t1, t2, list_filter(purchases, p -> p > t2)[1] AS t3 FROM s2
+),
+counts AS (
+    SELECT count(t1) AS signup, count(t2) AS click_after_signup,
+           count(t3) AS purchase_after_click
+    FROM s3
+)
+SELECT 1 AS step_order, 'signup' AS step, signup AS users FROM counts
+UNION ALL
+SELECT 2, 'click_after_signup', click_after_signup FROM counts
+UNION ALL
+SELECT 3, 'purchase_after_click', purchase_after_click FROM counts
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; a cohort is 'retained' in week-offset k when the user has any
+    event in cohort_week + k.
+
+    Shape at scale: ONE aggregation keyed on user_id computes the
+    first-touch week AND the distinct active-week set together
+    (collect_set is bounded by weeks-per-user, not events), the offsets
+    explode from that set without touching the fact table again, and
+    the final aggregation on (cohort_week, offset) reduces to weeks x
+    offsets rows — no join, no second scan, two exchanges total. A
+    (user, week) row appears once, so the final count needs no
+    distinct. Week arithmetic stays on date_trunc'd dates so both
+    engines bin identically.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("weeks"),
+    )
+    offsets = per_user.select(
+        "cohort_week",
+        F.explode("weeks").alias("week"),
+    ).select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    return (
+        offsets.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+COHORT_SQL = """
+WITH ev AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+first AS (
+    SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first USING (user_id)
+GROUP BY first.cohort_week, week_offset
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_conversion_funnel": QuerySpec(conversion_funnel, FUNNEL_SQL),
+    "events_cohort_retention": QuerySpec(cohort_retention, COHORT_SQL),
     "events_windowed_counts": QuerySpec(windowed_counts, WINDOWED_COUNTS_SQL),
     "events_multi_resolution_rollup": QuerySpec(
         multi_resolution_rollup, MULTI_RES_ROLLUP_SQL
