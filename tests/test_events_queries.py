@@ -50,3 +50,39 @@ def test_binned_range_join_matches_plain(spark):
             lower_s=300.0, upper_s=0.0, bin_width_s=bin_width,
         )
         assert pairs(binned) == pairs(plain), f"bin_width={bin_width}"
+
+
+def test_funnel_ordering_semantics(spark):
+    """Crafted cases the sf fixture can't isolate: a purchase BEFORE the
+    first post-signup click must not count at step 3, a click before
+    signup must not count at step 2, and a user with no signup counts
+    nowhere."""
+    import datetime as dt
+
+    from multi_report_etl_pipeline_spark.queries.events import conversion_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def ev(user, typ, minutes):
+        rows.append((user, typ, t0 + dt.timedelta(minutes=minutes)))
+
+    # u1: full ordered funnel
+    ev(1, "signup", 0), ev(1, "click", 10), ev(1, "purchase", 20)
+    # u2: purchase precedes the post-signup click -> steps 1,2 only
+    ev(2, "signup", 0), ev(2, "purchase", 5), ev(2, "click", 10)
+    # u3: click precedes signup -> step 1 only
+    ev(3, "click", 0), ev(3, "signup", 10)
+    # u4: no signup -> no steps
+    ev(4, "click", 0), ev(4, "purchase", 10)
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    import multi_report_etl_pipeline_spark.queries.events as events_mod
+
+    orig = events_mod.read_table
+    events_mod.read_table = lambda *_a, **_k: df
+    try:
+        got = {r.step: r.users for r in conversion_funnel(spark, "unused").collect()}
+    finally:
+        events_mod.read_table = orig
+    assert got == {"signup": 3, "click_after_signup": 2, "purchase_after_click": 1}
