@@ -57,6 +57,33 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word n-grams it shares with a benchmark/eval set. Any doc
+    with a row here is 'contaminated' and gets dropped or audited before
+    training — the standard eval-leakage guard in LLM data pipelines.
+    Real deployments window at ~13 grams; the fixture's short word-salad
+    documents need n=4 to exercise the path.
+
+    Scale shape: both sides shingle into (id, ngram) rows; the benchmark
+    side reduces to its DISTINCT n-gram set (bounded by the benchmark
+    corpus — typically millions of rows against a 100 TB training set,
+    broadcastable or hashed on the n-gram); the corpus side equi-joins
+    on the n-gram and aggregates per doc. Join volume is the number of
+    SHARED n-gram occurrences, never |corpus| x |benchmark|.
+    """
+    bench_set = shingles(benchmark, text_col, n).select("shingle").distinct()
+    hits = shingles(corpus, text_col, n).join(bench_set, "shingle")
+    # shingles() emits distinct n-grams per doc, so plain count == count
+    # of distinct shared n-grams (no countDistinct expand needed)
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

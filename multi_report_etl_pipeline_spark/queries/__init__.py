@@ -67,7 +67,12 @@ class QuerySpec:
 # rewritten this round but re-verified value-for-value against their
 # oracles at the driver's sf0.01 BEFORE demotion (plus pytest at
 # sf0.001 every round, plus bench headline rows).
+# docs_contamination (decontamination guard) takes lineitem_rollup's
+# slot: rollup was hash-green in round 2 with code untouched since, and
+# its grouping-sets family keeps a fresh driver row via lineitem_cube
+# (in-window this round after its round-2 demotion).
 _TAIL = (
+    "lineitem_rollup",
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",
     "report_commercial_promises",

@@ -255,6 +255,32 @@ WHERE ROUND(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) >= 0.8
 """
 
 
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 4-gram with the
+    held-out 'benchmark' slice (doc_id % 50 == 0), with shared-ngram
+    counts. The eval-leakage guard every training pipeline runs."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.contamination_flags(corpus, bench, n=4)
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([array_to_string(w[i:i+3], ' ')
+                                 for i in range(1, len(w) - 2)])) AS shingle
+    FROM toks WHERE len(w) >= 4
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+SELECT c.doc_id, COUNT(*) AS n_shared_ngrams
+FROM corpus c JOIN bench b USING (shingle)
+GROUP BY c.doc_id
+"""
+
+
 def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     return dedup.minhash_near_dup_pairs(docs, jaccard_threshold=0.8)
@@ -641,6 +667,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_rolling_fingerprint": QuerySpec(docs_rolling_fingerprint, ROLLING_FP_SQL),
     "docs_exact_dedup": QuerySpec(docs_exact_dedup, EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "docs_contamination": QuerySpec(docs_contamination, CONTAMINATION_SQL),
     "docs_minhash_near_dup": QuerySpec(docs_minhash_near_dup, None),
     "docs_simhash_near_dup": QuerySpec(docs_simhash_near_dup, None),
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, COSINE_TOPK_SQL),
