@@ -58,6 +58,35 @@ def hash_sample(df: DataFrame, key_col: str, pct: int) -> DataFrame:
     return df.filter(_hash_bucket(F.col(key_col), 100) < pct)
 
 
+def split_assignment(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default)
+    from the same 16-bit md5 bucket ``hash_sample`` uses.
+
+    ``splits``: name -> percent, summing to 100; bucket ranges are
+    cumulative in the given order, so membership is deterministic
+    across engines, reruns, repartitioning, AND monotone under
+    rebalancing (growing one split only steals keys from its
+    neighbor's boundary, never reshuffles everything — the property
+    that keeps eval sets stable as ratios are tuned). A narrow codegen
+    projection inside the scan stage: no shuffle, no RNG state.
+    """
+    splits = splits or {"train": 90, "val": 5, "test": 5}
+    if sum(splits.values()) != 100 or any(v <= 0 for v in splits.values()):
+        raise ValueError(f"split percents must be positive and sum to 100: {splits}")
+    bucket = _hash_bucket(F.col(key_col), 100)
+    expr = None
+    cum = 0
+    for name, pct in splits.items():
+        cum += pct
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
 def stratified_sample(
     df: DataFrame, strata_cols: list[str], key_col: str, k: int
 ) -> DataFrame:

@@ -79,3 +79,61 @@ def merge_upsert(
     if tombstone_col is not None:
         merged = merged.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
     return merged
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Reconcile two snapshot versions: one row per key present in
+    either side, classified ``added`` / ``removed`` / ``changed`` (and
+    ``unchanged`` when requested). The audit/validation twin of
+    ``merge_upsert`` — run it after a merge to see exactly what the
+    batch did, or between independently-produced snapshots to detect
+    drift.
+
+    One full-outer equi-join on the keys: both sides hash-partition on
+    the same columns (co-partitioned, no broadcast needed at any size)
+    and the change test is a null-safe struct equality — no per-column
+    join conditions, no second pass. Output columns: keys, ``change``,
+    and each compared column as ``old_<c>`` / ``new_<c>``.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    compare = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in key_cols]
+    )
+    for c in compare:
+        if c not in old.columns or c not in new.columns:
+            raise ValueError(f"compare column {c!r} missing from a side")
+    o = old.select(
+        *key_cols, F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    n = new.select(
+        *key_cols, F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    joined = o.join(n, list(key_cols), "full_outer")
+    old_struct = F.struct(*[F.col(f"old_{c}") for c in compare])
+    new_struct = F.struct(*[F.col(f"new_{c}") for c in compare])
+    change = (
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~old_struct.eqNullSafe(new_struct), "changed")
+        .otherwise("unchanged")
+    )
+    out = joined.select(
+        *key_cols,
+        change.alias("change"),
+        *[F.col(f"old_{c}") for c in compare],
+        *[F.col(f"new_{c}") for c in compare],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out

@@ -71,7 +71,14 @@ class QuerySpec:
 # slot: rollup was hash-green in round 2 with code untouched since, and
 # its grouping-sets family keeps a fresh driver row via lineitem_cube
 # (in-window this round after its round-2 demotion).
+# The two latest additions (orders_snapshot_diff, docs_split_assignment)
+# START in the tail: the window is full of rows that have never had a
+# driver check, and these two are pytest-oracle-checked at sf0.001 plus
+# hand-verified at sf0.01 this round — they rotate into the window next
+# round once today's additions have earned their first rows.
 _TAIL = (
+    "orders_snapshot_diff",
+    "docs_split_assignment",
     "lineitem_rollup",
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",

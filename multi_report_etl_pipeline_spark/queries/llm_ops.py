@@ -587,6 +587,29 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10
 """
 
 
+def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) from the same
+    16-bit md5 bucket the hash sampler uses — stable across engines,
+    reruns, and ratio tuning (cumulative ranges only move boundaries)."""
+    from multi_report_etl_pipeline_spark.operators.sampling import (  # noqa: PLC0415
+        split_assignment,
+    )
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return split_assignment(docs, "doc_id").select("doc_id", "lang", "split")
+
+
+SPLIT_ASSIGNMENT_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+    FROM documents
+)
+"""
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 50 docs per language, picked by hash order — per-stratum
     row_number compiles to WindowGroupLimit (top-k pruned pre-shuffle)."""
@@ -682,6 +705,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_tfidf_top_terms": QuerySpec(docs_tfidf_top_terms, TFIDF_SQL),
     "emb_cosine_dedup": QuerySpec(emb_cosine_dedup, COSINE_DEDUP_SQL),
     "docs_hash_sample": QuerySpec(docs_hash_sample, HASH_SAMPLE_SQL),
+    "docs_split_assignment": QuerySpec(docs_split_assignment, SPLIT_ASSIGNMENT_SQL),
     "docs_stratified_sample": QuerySpec(docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "docs_token_packing": QuerySpec(docs_token_packing, TOKEN_PACKING_SQL),
     "lineitem_approx_distinct": QuerySpec(approx_distinct, None),

@@ -680,3 +680,82 @@ FROM ranked WHERE rn = 1 AND NOT deleted
 
 
 QUERIES["orders_snapshot_merge"] = QuerySpec(orders_snapshot_merge, SNAPSHOT_MERGE_SQL)
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/snapshot.py snapshot_diff):
+    full-outer key join + null-safe struct comparison classifying every
+    key as added / removed / changed. The new snapshot is BUILT by
+    merge_upsert from a deterministic batch (reprice every 7th order,
+    tombstone every 91st, insert a shifted key for every 17th), so the
+    query exercises the merge -> diff composition and the oracle can
+    rebuild both sides."""
+    from multi_report_etl_pipeline_spark.operators.snapshot import (  # noqa: PLC0415
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        _dec("o_totalprice").alias("price"),
+        F.lit(1).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    repriced = orders.filter(F.expr("o_orderkey % 7 = 0")).select(
+        "o_orderkey",
+        (_dec("o_totalprice") + F.lit(10).cast(DEC)).cast(DEC).alias("price"),
+        F.lit(2).alias("version"),
+        F.expr("o_orderkey % 13 = 0").alias("deleted"),
+    )
+    inserts = orders.filter(F.expr("o_orderkey % 17 = 0")).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        _dec("o_totalprice").alias("price"),
+        F.lit(2).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    merged = merge_upsert(
+        base, repriced.unionByName(inserts),
+        key_cols=["o_orderkey"], version_cols=["version"], tombstone_col="deleted",
+    )
+    diff = snapshot_diff(
+        base.select("o_orderkey", "price"),
+        merged.select("o_orderkey", "price"),
+        key_cols=["o_orderkey"],
+        compare_cols=["price"],
+    )
+    return diff.select(
+        "o_orderkey",
+        "change",
+        F.col("old_price").cast("double").alias("old_price"),
+        F.col("new_price").cast("double").alias("new_price"),
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+), new AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(price + CAST(10 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+                ELSE price END AS price
+    FROM base WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 13 = 0)
+    UNION ALL
+    SELECT o_orderkey + 10000000, price FROM base WHERE o_orderkey % 17 = 0
+), joined AS (
+    SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN b.price IS DISTINCT FROM n.price THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           CAST(b.price AS DOUBLE) AS old_price,
+           CAST(n.price AS DOUBLE) AS new_price
+    FROM base b FULL OUTER JOIN new n ON b.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change, old_price, new_price
+FROM joined WHERE change <> 'unchanged'
+"""
+
+
+QUERIES["orders_snapshot_diff"] = QuerySpec(orders_snapshot_diff, SNAPSHOT_DIFF_SQL)

@@ -3,6 +3,7 @@ properties beyond the oracle differential in test_llm_ops.py."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from multi_report_etl_pipeline_spark.io import read_table
@@ -75,3 +76,43 @@ def test_token_packing_budget_overflow_bound(spark):
     for shard in {r.shard for r in rows}:
         packs = sorted({r.pack_id for r in rows if r.shard == shard})
         assert packs[0] == 0, (shard, packs)
+
+
+def test_split_assignment_partitions_and_aligns_with_hash_sample(spark):
+    """Every row gets exactly one split; proportions are within sampling
+    noise of 90/5/5; and the train split's membership is consistent with
+    hash_sample at the same rate (same md5 bucket), so samples and
+    splits compose on a shared key."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.sampling import (
+        hash_sample,
+        split_assignment,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = read_table(spark, SF_DIR, "documents")
+    assigned = split_assignment(docs, "doc_id")
+    counts = {r.split: r.cnt for r in assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / total > 0.8
+    first_95 = {
+        r.doc_id
+        for r in hash_sample(docs, "doc_id", 95).select("doc_id").collect()
+    }
+    non_test = {
+        r.doc_id
+        for r in assigned.filter(F.col("split") != "test").select("doc_id").collect()
+    }
+    assert first_95 == non_test
+
+
+def test_split_assignment_validates_percents(spark):
+    from multi_report_etl_pipeline_spark.operators.sampling import split_assignment
+
+    with pytest.raises(ValueError):
+        split_assignment(None, "k", {"train": 50, "val": 10})
+    with pytest.raises(ValueError):
+        split_assignment(None, "k", {"train": 110, "val": -10})

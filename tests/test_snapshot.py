@@ -121,3 +121,41 @@ def test_merge_is_one_partial_agg_shuffle(spark):
     assert plan.count("Exchange") == 1, plan[:3000]
     assert "partial_max_by" in plan, plan[:3000]
     assert "Window" not in plan, plan[:3000]
+
+
+def test_snapshot_diff_classes_and_null_safety(spark):
+    """All four classes on crafted rows, including the null-safe compare:
+    NULL -> NULL is unchanged, NULL -> value is changed (a naive =
+    comparison would misclassify both)."""
+    from multi_report_etl_pipeline_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None), (5, "e")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (4, "d"), (6, "f")], "k long, v string"
+    )
+    got = {
+        r.k: r.change
+        for r in snapshot_diff(
+            old, new, key_cols=["k"], include_unchanged=True
+        ).collect()
+    }
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "unchanged",
+        4: "changed", 5: "removed", 6: "added",
+    }
+    trimmed = {
+        r.k for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    assert trimmed == {2, 4, 5, 6}
+
+
+def test_snapshot_diff_validates_columns(spark):
+    from multi_report_etl_pipeline_spark.operators.snapshot import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, key_cols=[])
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, key_cols=["k"], compare_cols=["missing"])
