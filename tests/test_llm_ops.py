@@ -238,3 +238,36 @@ def test_pii_scrub_order_and_narrow_plan(spark):
     assert (r3.n_ip, r3.n_phone) == (1, 1)
     plan = physical_plan(df.select("id", scrub_pii("text").alias("s")))
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_chunking_edge_lengths_exhaustive(spark):
+    """Every token count 1..130 in one DataFrame (covers n < overlap,
+    n == overlap, n == chunk_size, and every boundary +-1 for
+    chunk 32 / overlap 8): chunk count must equal the ceil formula,
+    every chunk except the last must be full, and reconstruction must be
+    lossless."""
+    from multi_report_etl_pipeline_spark.operators import text
+
+    cs, ov = 32, 8
+    stride = cs - ov
+    rows = [(n, " ".join(f"t{n}_{i}" for i in range(n))) for n in range(1, 131)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = sorted(
+        text.chunk_tokens(df, chunk_size=cs, overlap=ov).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(1, 131))
+    for n, rs in by_doc.items():
+        expect_chunks = max(1, -(-(n - ov) // stride))
+        assert len(rs) == expect_chunks, f"n={n}"
+        toks = []
+        for r in rs:
+            got = r.chunk_text.split(" ")
+            assert len(got) == r.n_chunk_tokens
+            if r.chunk_id < len(rs) - 1:
+                assert r.n_chunk_tokens == cs, f"n={n} chunk {r.chunk_id} short"
+            toks.extend(got if r.chunk_id == 0 else got[ov:])
+        assert toks == [f"t{n}_{i}" for i in range(n)], f"n={n} reconstruction"
