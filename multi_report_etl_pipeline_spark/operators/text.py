@@ -277,7 +277,10 @@ def tfidf_top_terms(
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    # count docs from the base table, not the exploded token stream — a
+    # third corpus scan + explode just to count rows is pure waste (every
+    # doc yields >= 1 token, so the two counts are identical)
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))

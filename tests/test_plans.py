@@ -135,3 +135,79 @@ def test_brute_topk_gemm_prunes_without_corpus_crossjoin(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_vocabulary_partial_agg_and_take_ordered(spark):
+    """Corpus heavy hitters: map-side partials on the token agg and a
+    TakeOrdered top-k (no global sort of the vocabulary)."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_vocabulary"].fn(spark, SF_DIR))
+    assert "partial_count" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning(token") == 1, plan[:2000]
+
+
+def test_tfidf_reuses_doc_partitioning_and_group_limits(spark):
+    """tf-idf: the per-doc top-k compiles to WindowGroupLimit, the
+    1-row corpus count broadcasts, and the (doc, token) tf aggregation
+    adds NO exchange beyond the token-keyed df one plus the fan-out."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_tfidf_top_terms"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:3000]
+    # the only planner-inserted (ENSURE_REQUIREMENTS) exchange is the
+    # token-keyed df aggregation; the tf agg and the per-doc window ride
+    # the existing doc partitioning (REPARTITION_BY_NUM = fixture fan-out)
+    ensure = [
+        line
+        for line in plan.splitlines()
+        if "ENSURE_REQUIREMENTS" in line and "hashpartitioning(doc_id" in line
+    ]
+    assert not ensure, ensure
+
+
+def test_chunking_is_narrow_after_fanout(spark):
+    """Chunking must stay a narrow map: no exchange beyond the fixture
+    fan-out repartition, no Python in the plan."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_chunks"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_cosine_dedup_survivors_via_anti_join(spark):
+    """The survivor step must be a left_anti join on the id (dropped-set
+    shuffle), not a window or a second quadratic pass."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = physical_plan(similarity.cosine_dedup(emb, 0.4))
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark):
+    """Reconciliation must be a single full-outer equi-join on the key:
+    co-partitioned sides, no broadcast of a snapshot-sized input, no
+    second join for the comparison."""
+    from multi_report_etl_pipeline_spark.operators.snapshot import snapshot_diff
+
+    old = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    new = spark.range(500, 1500).selectExpr("id AS k", "id * 3 AS v")
+    plan = physical_plan(snapshot_diff(old, new, key_cols=["k"]))
+    assert plan.count("FullOuter") == 1, plan[:3000]
+
+
+def test_split_assignment_is_narrow_projection(spark):
+    """Split assignment is a pure projection: no exchange, no python."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.sampling import split_assignment
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = physical_plan(split_assignment(docs, "doc_id"))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
