@@ -79,6 +79,7 @@ class QuerySpec:
 _TAIL = (
     "orders_snapshot_diff",
     "docs_split_assignment",
+    "streaming_vocabulary",
     "lineitem_rollup",
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",

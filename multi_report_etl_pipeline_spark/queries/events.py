@@ -559,8 +559,33 @@ def streaming_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(surv, "doc_id", 50)
 
 
+def streaming_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of docs_vocabulary's token-count side: the corpus
+    heavy-hitter table maintained incrementally (one count per distinct
+    token of state), drained with availableNow and hash-checked against
+    the batch aggregation over the same corpus."""
+    from multi_report_etl_pipeline_spark import streaming
+
+    docs = streaming.read_documents_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.vocabulary_stream(docs), "q_stream_vocab", "complete"
+    )
+    return spark.table("q_stream_vocab")
+
+
+_NORM_DOC = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+STREAM_VOCAB_SQL = f"""
+SELECT token, COUNT(*) AS tf
+FROM (SELECT unnest(string_split({_NORM_DOC}, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 100
+"""
+
+
 QUERIES.update(
     {
+        "streaming_vocabulary": QuerySpec(streaming_vocabulary, STREAM_VOCAB_SQL),
         "streaming_windowed_counts": QuerySpec(
             streaming_windowed_counts, WINDOWED_COUNTS_SQL
         ),

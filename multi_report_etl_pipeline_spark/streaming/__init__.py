@@ -104,6 +104,27 @@ def curation_survivors_stream(docs: DataFrame) -> DataFrame:
     return text.curation_survivors(docs)
 
 
+def vocabulary_stream(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Incrementally-maintained corpus heavy hitters: the token-count
+    aggregation from ``text.vocabulary`` run as a streaming aggregation,
+    with complete-mode sort + limit emitting the continuously-updated
+    top-k table per micro-batch. State is one count per distinct token
+    (|vocab|-bounded, independent of stream length). The batch form's
+    document-frequency column needs a distinct aggregation Structured
+    Streaming doesn't support — the stream twin carries token counts
+    only (at scale, approx_count_distinct is the streaming-side df
+    substitute)."""
+    from multi_report_etl_pipeline_spark.operators import text  # noqa: PLC0415
+
+    tok = docs.select(F.explode(text.words("text")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def read_activities_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form of the activity fact: a file-source stream over the
     lineitem landing zone, stream-static broadcast-joined to orders, with
