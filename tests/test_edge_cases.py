@@ -230,3 +230,47 @@ def test_clean_views_invariant_under_input_permutation(spark):
             want = got
         else:
             assert got == want, "clean view changed under input permutation"
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Empty inputs are routine at scale (empty partitions, empty update
+    batches, a benchmark with no overlap): every round-3 operator must
+    return an empty (or identity) result, not throw."""
+    from multi_report_etl_pipeline_spark.operators import similarity, text
+    from multi_report_etl_pipeline_spark.operators.dedup import contamination_flags
+    from multi_report_etl_pipeline_spark.operators.sampling import split_assignment
+    from multi_report_etl_pipeline_spark.operators.snapshot import snapshot_diff
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert text.chunk_tokens(docs).count() == 0
+    assert text.vocabulary(docs).count() == 0
+    assert text.tfidf_top_terms(docs).count() == 0
+    assert split_assignment(docs, "doc_id").count() == 0
+
+    some_docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    # empty benchmark -> nothing is contaminated; empty corpus -> no rows
+    assert contamination_flags(some_docs, docs, n=2).count() == 0
+    assert contamination_flags(docs, some_docs, n=2).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label long")
+    assert similarity.cosine_dedup(emb).count() == 0
+
+    kv = spark.createDataFrame([], "k long, v string")
+    some_kv = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert {r.change for r in snapshot_diff(kv, some_kv, key_cols=["k"]).collect()} == {"added"}
+    assert {r.change for r in snapshot_diff(some_kv, kv, key_cols=["k"]).collect()} == {"removed"}
+    assert snapshot_diff(kv, kv, key_cols=["k"]).count() == 0
+
+
+def test_funnel_and_cohort_handle_empty_events(spark):
+    import multi_report_etl_pipeline_spark.queries.events as events_mod
+
+    empty = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    orig = events_mod.read_table
+    events_mod.read_table = lambda *_a, **_k: empty
+    try:
+        funnel = {r.step: r.users for r in events_mod.conversion_funnel(spark, "x").collect()}
+        assert funnel == {"signup": 0, "click_after_signup": 0, "purchase_after_click": 0}
+        assert events_mod.cohort_retention(spark, "x").count() == 0
+    finally:
+        events_mod.read_table = orig
