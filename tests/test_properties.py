@@ -280,3 +280,51 @@ def test_survivor_agg_equals_window_path_and_dedups(rows):
         assert got == want, f"{name}: survivor path != window path"
         accounts = [r[0] for r in want]
         assert len(accounts) == len(set(accounts)), f"{name}: >1 row per account"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        max_size=16,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        max_size=16,
+    ),
+)
+def test_snapshot_diff_matches_reference(old_map, new_map):
+    """snapshot_diff must classify EVERY key of two arbitrary snapshots
+    (small key/value domains force collisions, ties, and nulls) exactly
+    like the obvious dict reference — including null-vs-null unchanged
+    and null-vs-value changed."""
+    from multi_report_etl_pipeline_spark.operators.snapshot import snapshot_diff
+
+    spark = _shared_spark["spark"]
+    old = spark.createDataFrame(
+        [(k, v) for k, v in old_map.items()] or [], "k long, v long"
+    ) if old_map else spark.createDataFrame([], "k long, v long")
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_map.items()] or [], "k long, v long"
+    ) if new_map else spark.createDataFrame([], "k long, v long")
+    got = {
+        r.k: r.change
+        for r in snapshot_diff(old, new, key_cols=["k"], include_unchanged=True).collect()
+    }
+    want = {}
+    for k in set(old_map) | set(new_map):
+        if k not in old_map:
+            want[k] = "added"
+        elif k not in new_map:
+            want[k] = "removed"
+        elif old_map[k] != new_map[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
