@@ -243,6 +243,7 @@ def vocabulary(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 100,
+    ngram: int = 1,
 ) -> DataFrame:
     """Corpus vocabulary / heavy hitters: the ``k`` most frequent tokens
     with total occurrences (tf) and document frequency (df). The explode
@@ -250,8 +251,27 @@ def vocabulary(
     the distinct-doc count rides the same shuffle as a two-phase
     aggregate), and the top-k is a TakeOrdered over ``k`` rows per
     partition — no global sort. Tie-break on token keeps the cut
-    deterministic across engines."""
-    tok = df.select(F.col(id_col).alias("_doc"), F.explode(words(text_col)).alias("token"))
+    deterministic across engines.
+
+    ``ngram > 1`` counts word n-grams instead — the statistic n-gram
+    language modeling collects. Unlike the dedup family's shingles,
+    every OCCURRENCE counts (no per-doc distinct), and a doc shorter
+    than ``ngram`` contributes nothing."""
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    w = words(text_col)
+    if ngram == 1:
+        grams = w
+    else:
+        # guard: sequence(0, negative) would run DESCENDING in Spark
+        grams = F.when(
+            F.size(w) >= ngram,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - F.lit(ngram)),
+                lambda i: F.array_join(F.slice(w, i + F.lit(1), F.lit(ngram)), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    tok = df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("token"))
     agg = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("_doc").alias("df"),

@@ -80,6 +80,7 @@ _TAIL = (
     "orders_snapshot_diff",
     "docs_split_assignment",
     "streaming_vocabulary",
+    "docs_bigram_vocabulary",
     "lineitem_rollup",
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",

@@ -518,6 +518,29 @@ LIMIT 100
 """
 
 
+def docs_bigram_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top-100 — the n-gram LM statistic. Every
+    occurrence counts (unlike the dedup shingles, which are per-doc
+    distinct); same single-agg + TakeOrdered shape as the unigram
+    vocabulary."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return text.vocabulary(docs, k=100, ngram=2)
+
+
+BIGRAM_VOCAB_SQL = f"""
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (
+    SELECT doc_id,
+           unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS token
+    FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+    WHERE len(w) >= 2
+)
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 100
+"""
+
+
 def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by tf-idf (idf=ln(N/df)).
     The tf and df aggregations share the token hash partitioning; N is a
@@ -702,6 +725,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
     "docs_chunks": QuerySpec(docs_chunks, CHUNKS_SQL),
     "docs_vocabulary": QuerySpec(docs_vocabulary, VOCABULARY_SQL),
+    "docs_bigram_vocabulary": QuerySpec(docs_bigram_vocabulary, BIGRAM_VOCAB_SQL),
     "docs_tfidf_top_terms": QuerySpec(docs_tfidf_top_terms, TFIDF_SQL),
     "emb_cosine_dedup": QuerySpec(emb_cosine_dedup, COSINE_DEDUP_SQL),
     "docs_hash_sample": QuerySpec(docs_hash_sample, HASH_SAMPLE_SQL),
