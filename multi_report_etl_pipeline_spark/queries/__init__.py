@@ -81,6 +81,7 @@ _TAIL = (
     "docs_split_assignment",
     "streaming_vocabulary",
     "docs_bigram_vocabulary",
+    "events_user_activity_histogram",
     "lineitem_rollup",
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",

@@ -397,7 +397,45 @@ GROUP BY first.cohort_week, week_offset
 """
 
 
+def user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: log2-bucket histogram of per-user event
+    counts (how many users have 1 event, 2-3, 4-7, ...). The number you
+    look at before picking salting fan-out or AQE skew thresholds for a
+    hot-key join. Two cascaded aggregations: per-key counts shuffle on
+    the key (map-side partials), the histogram reduces |keys| rows to
+    ~log2(max) buckets."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy(F.floor(F.log2("cnt")).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("n_events"),
+        )
+        .select(
+            F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("bucket_min_events"),
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+ACTIVITY_HISTOGRAM_SQL = """
+WITH counts AS (
+    SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(power(2.0, CAST(floor(log2(cnt)) AS BIGINT)) AS BIGINT) AS bucket_min_events,
+       COUNT(*) AS n_users,
+       SUM(cnt) AS n_events
+FROM counts
+GROUP BY CAST(floor(log2(cnt)) AS BIGINT)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_user_activity_histogram": QuerySpec(
+        user_activity_histogram, ACTIVITY_HISTOGRAM_SQL
+    ),
     "events_conversion_funnel": QuerySpec(conversion_funnel, FUNNEL_SQL),
     "events_cohort_retention": QuerySpec(cohort_retention, COHORT_SQL),
     "events_windowed_counts": QuerySpec(windowed_counts, WINDOWED_COUNTS_SQL),
