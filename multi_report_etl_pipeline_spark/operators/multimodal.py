@@ -7,12 +7,17 @@ extraction / resize / frame sampling as **Arrow-batched Python**
 (``mapInPandas``), so bytes cross the JVM<->Python boundary once per
 batch, not once per row.
 
-The container has no image/audio libraries, so the actual codec step is
-STUBBED: ``decode_image`` raises NotImplementedError unless PIL is
-importable, and the tested path uses ``fake_decode`` — a deterministic
-pure-bytes "decoder" (length, checksum, byte histogram). Everything
-around it — schema, batch iteration, partitioning, output types — is the
-real production plumbing.
+The codec tiers:
+- ``decode_image`` decodes uncompressed formats NATIVELY (binary
+  PPM/PGM, BI_RGB 24/32-bit BMP — pure numpy, no imaging library) and
+  is golden-image tested; ``image_stats`` runs it through the Arrow
+  batch path with per-row corrupt-payload isolation.
+- Compressed formats (JPEG/PNG/...) fall back to PIL when importable
+  and raise NotImplementedError otherwise — the one remaining declared
+  gap in this container (no imaging library is installable here).
+- ``fake_decode`` remains the oracle-checkable pseudo-codec (length,
+  md5, byte histogram) used by the driver-checked feature queries,
+  since the synthetic fixtures carry text bytes, not pixel data.
 """
 
 from __future__ import annotations
@@ -69,19 +74,87 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _decode_pnm(payload: bytes):
+    """Binary PPM (P6) / PGM (P5): header tokens (width, height, maxval;
+    '#' comments allowed) then raw samples. Returns uint8 ndarray of
+    shape (h, w, 3) or (h, w)."""
+    import numpy as np  # noqa: PLC0415
+
+    magic = payload[:2]
+    channels = 3 if magic == b"P6" else 1
+    # tokenize the header: after the magic, three whitespace-separated
+    # integers, skipping '#'-to-newline comments
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster data
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    n = width * height * channels
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return data.reshape((height, width, 3) if channels == 3 else (height, width))
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed (BI_RGB) 24/32-bit BITMAPINFOHEADER BMP. Rows are
+    4-byte aligned and stored bottom-up (top-down when height < 0);
+    samples are BGR(A) on disk, returned as RGB uint8 (h, w, 3)."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP supported (bpp={bpp})")
+    bottom_up, height = height > 0, abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=data_offset
+    ).reshape(height, row_stride)[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+
+
 def decode_image(payload: bytes):
-    """Real codec hook — requires an imaging library not present in this
-    container. Deliberately NotImplemented rather than faked so callers
-    can't mistake stub output for pixels."""
+    """Decode an image payload to a uint8 numpy array (h, w[, c]).
+
+    Uncompressed formats decode natively (no imaging library needed):
+    binary PPM/PGM by header magic P6/P5, BI_RGB 24/32-bit BMP by magic
+    BM. Compressed formats (JPEG/PNG/...) fall back to PIL when
+    importable and raise NotImplementedError otherwise — deliberately
+    not faked, so callers can't mistake stub output for pixels."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     try:
         from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
 
-        return Image.open(io.BytesIO(payload))
+        return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError as exc:  # pragma: no cover - no PIL in container
         raise NotImplementedError(
-            "image decoding requires PIL; this environment stubs the codec "
-            "step (see fake_decode)"
+            "compressed-image decoding requires PIL; this environment "
+            "decodes only PPM/PGM/BMP natively (see decode_image)"
         ) from exc
 
 
@@ -124,6 +197,51 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_pixel", ArrayType(DoubleType())),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL decode path: per payload, decode pixels (PPM/PGM/BMP native,
+    PIL fallback) and emit dimensions + per-channel means. Payloads the
+    codec can't decode yield null stats instead of failing the batch —
+    at corpus scale a fraction of inputs is always corrupt, and a
+    poison-pill row must not kill the job. Same Arrow batching shape as
+    ``extract_features``."""
+    import numpy as np  # noqa: PLC0415
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "channels": [], "mean_pixel": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    arr = decode_image(bytes(p))
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    out["height"].append(arr.shape[0])
+                    out["width"].append(arr.shape[1])
+                    out["channels"].append(arr.shape[2])
+                    out["mean_pixel"].append(
+                        [round(float(m), 6) for m in arr.astype(np.float64).mean(axis=(0, 1))]
+                    )
+                except (NotImplementedError, ValueError, IndexError):
+                    out["height"].append(None)
+                    out["width"].append(None)
+                    out["channels"].append(None)
+                    out["mean_pixel"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
 def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:

@@ -88,3 +88,112 @@ def test_resize_media_deterministic_and_bounded(media):
         for r in multimodal.resize_media(media.repartition(5), target_bytes=64).collect()
     }
     assert {r["media_id"]: bytes(r["thumb"]) for r in rows} == again
+
+
+def _make_ppm(width, height):
+    """Deterministic P6 gradient with a header comment."""
+    header = f"P6\n# golden\n{width} {height}\n255\n".encode()
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px += bytes([(x * 16) % 256, (y * 32) % 256, ((x + y) * 8) % 256])
+    return header + bytes(px)
+
+
+def _make_pgm(width, height):
+    header = f"P5\n{width} {height}\n255\n".encode()
+    return header + bytes([(x * y) % 256 for y in range(height) for x in range(width)])
+
+
+def _make_bmp(width, height, bottom_up=True, bpp=24):
+    """BI_RGB BMP with the same RGB gradient as _make_ppm."""
+    import struct
+
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    raster = bytearray()
+    rows = range(height - 1, -1, -1) if bottom_up else range(height)
+    for y in rows:
+        row = bytearray()
+        for x in range(width):
+            r, g, b = (x * 16) % 256, (y * 32) % 256, ((x + y) * 8) % 256
+            row += bytes([b, g, r] + ([0] if bpp == 32 else []))
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    offset = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(raster), 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height if bottom_up else -height,
+        1, bpp, 0, len(raster), 2835, 2835, 0, 0,
+    )
+    return bytes(hdr + dib + raster)
+
+
+def test_decode_image_ppm_pgm_bmp_golden():
+    """The native codec must reproduce the exact pixel array for P6/P5
+    and for bottom-up/top-down 24- and 32-bit BMPs of the same image."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import decode_image
+
+    w, h = 7, 5  # odd width forces BMP row padding
+    want = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            want[y, x] = [(x * 16) % 256, (y * 32) % 256, ((x + y) * 8) % 256]
+
+    assert np.array_equal(decode_image(_make_ppm(w, h)), want)
+    gray = decode_image(_make_pgm(w, h))
+    assert gray.shape == (h, w)
+    assert gray[2, 3] == 6
+    for bottom_up in (True, False):
+        for bpp in (24, 32):
+            got = decode_image(_make_bmp(w, h, bottom_up, bpp))
+            assert np.array_equal(got, want), f"bottom_up={bottom_up} bpp={bpp}"
+
+
+def test_decode_image_rejects_unknown_without_pil():
+    import pytest as _pytest
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL present; fallback would decode")
+    except ImportError:
+        pass
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_image_stats_decodes_through_arrow_path(spark):
+    """End-to-end: real pixel decode inside mapInPandas — dims and
+    per-channel means must match the numpy reference, and a corrupt
+    payload yields null stats without failing the batch."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import image_stats
+
+    w, h = 6, 4
+    ppm = _make_ppm(w, h)
+    bmp = _make_bmp(w, h)
+    rows = [
+        (1, ppm, "image", "en", "t"),
+        (2, bmp, "image", "en", "t"),
+        (3, b"not an image", "image", "en", "t"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, meta_lang string, meta_source string"
+    )
+    got = {r.media_id: r for r in image_stats(media).collect()}
+    ref = np.zeros((h, w, 3), dtype=np.float64)
+    for y in range(h):
+        for x in range(w):
+            ref[y, x] = [(x * 16) % 256, (y * 32) % 256, ((x + y) * 8) % 256]
+    want_means = [round(float(m), 6) for m in ref.mean(axis=(0, 1))]
+    for mid in (1, 2):
+        r = got[mid]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert list(r.mean_pixel) == want_means
+    assert got[3].width is None and got[3].mean_pixel is None
