@@ -244,6 +244,134 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
+def resize_image_array(arr, target_w: int, target_h: int):
+    """Nearest-neighbor resize of a decoded pixel array — pure numpy
+    index selection, exact and deterministic (no interpolation kernel to
+    disagree about across platforms)."""
+    import numpy as np  # noqa: PLC0415
+
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+    xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+    return arr[ys][:, xs]
+
+
+def encode_ppm(arr) -> bytes:
+    """Re-encode an (h, w, 3) or (h, w) uint8 array as binary PPM/PGM —
+    the inverse of the native decoder, so decode->transform->encode
+    round-trips inside the pipeline without an imaging library."""
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    elif arr.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"cannot encode shape {arr.shape} as PNM")
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.astype("uint8").tobytes()
+
+
+def resize_images(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """REAL image resize: decode (PPM/PGM/BMP native) -> nearest-neighbor
+    downsample -> re-encode as PNM, per Arrow batch. Undecodable
+    payloads pass through with null output (corrupt-row isolation, same
+    policy as image_stats). The byte-stride ``resize_media`` below stays
+    as the codec-free fallback the driver-checked queries use."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "thumb": [], "thumb_w": [], "thumb_h": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    arr = resize_image_array(decode_image(bytes(p)), target_w, target_h)
+                    out["thumb"].append(encode_ppm(arr))
+                    out["thumb_w"].append(target_w)
+                    out["thumb_h"].append(target_h)
+                except (NotImplementedError, ValueError, IndexError):
+                    out["thumb"].append(None)
+                    out["thumb_w"].append(None)
+                    out["thumb_h"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        _resize, "media_id long, thumb binary, thumb_w long, thumb_h long"
+    )
+
+
+def decode_audio(payload: bytes):
+    """Native WAV/PCM decoder: RIFF/WAVE chunk walk to the fmt and data
+    chunks, returning (samples ndarray [n, channels], sample_rate).
+    Supports 8-bit unsigned and 16-bit signed PCM (format tag 1) —
+    stdlib struct + numpy only. Compressed audio (MP3/OGG/...) raises
+    NotImplementedError: no audio library exists in this container."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed/unknown audio container; only WAV/PCM decodes natively"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, channels, rate, _, _, bits = fmt
+    if tag != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported (tag={tag}, bits={bits})")
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dtype=dtype)
+    n = (len(samples) // channels) * channels
+    return samples[:n].reshape(-1, channels), rate
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode path: WAV/PCM payloads -> sample rate, channel
+    count, duration, RMS amplitude, via the same Arrow batch shape with
+    per-row corrupt-payload isolation."""
+    import numpy as np  # noqa: PLC0415
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_STATS_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    samples, rate = decode_audio(bytes(p))
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(samples.shape[1])
+                    out["n_samples"].append(samples.shape[0])
+                    out["duration_s"].append(round(samples.shape[0] / rate, 6))
+                    out["rms"].append(
+                        round(float(np.sqrt((samples.astype(np.float64) ** 2).mean())), 6)
+                    )
+                except (NotImplementedError, ValueError, IndexError):
+                    for k in ("sample_rate", "channels", "n_samples", "duration_s", "rms"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
+
+
 def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
     """"Resize" in fake-codec mode: deterministic byte-stride downsample
     to ~``target_bytes`` per payload (a real deployment swaps the stride

@@ -197,3 +197,76 @@ def test_image_stats_decodes_through_arrow_path(spark):
         assert (r.width, r.height, r.channels) == (w, h, 3)
         assert list(r.mean_pixel) == want_means
     assert got[3].width is None and got[3].mean_pixel is None
+
+
+def test_resize_images_round_trips_through_pnm(spark):
+    """decode -> nearest-neighbor resize -> PNM re-encode -> decode must
+    equal the numpy reference selection exactly (no interpolation to
+    disagree about)."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+    )
+
+    w, h, tw, th = 8, 6, 4, 3
+    media = spark.createDataFrame(
+        [(1, _make_ppm(w, h), "image", "en", "t"), (2, b"junk", "image", "en", "t")],
+        "media_id long, payload binary, media_type string, meta_lang string, meta_source string",
+    )
+    got = {r.media_id: r for r in resize_images(media, tw, th).collect()}
+    src = decode_image(_make_ppm(w, h))
+    ys = np.minimum((np.arange(th) * h) // th, h - 1)
+    xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    want = src[ys][:, xs]
+    thumb = decode_image(bytes(got[1].thumb))
+    assert thumb.shape == (th, tw, 3)
+    assert np.array_equal(thumb, want)
+    assert got[2].thumb is None
+
+
+def _make_wav(rate=8000, n=1000, channels=1, bits=16):
+    """Deterministic PCM sine-ish ramp."""
+    import struct
+
+    if bits == 16:
+        frames = b"".join(
+            struct.pack("<" + "h" * channels, *[((i * 37) % 2000 - 1000)] * channels)
+            for i in range(n)
+        )
+    else:
+        frames = bytes([(i * 7) % 256 for i in range(n * channels)])
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_audio_stats_decodes_wav(spark):
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import audio_stats
+
+    wav = _make_wav(rate=8000, n=1000, channels=2)
+    media = spark.createDataFrame(
+        [(1, wav, "audio", "en", "t"), (2, b"ID3 not a wav", "audio", "en", "t")],
+        "media_id long, payload binary, media_type string, meta_lang string, meta_source string",
+    )
+    got = {r.media_id: r for r in audio_stats(media).collect()}
+    r = got[1]
+    assert (r.sample_rate, r.channels, r.n_samples) == (8000, 2, 1000)
+    assert r.duration_s == 0.125
+    ref = np.array([((i * 37) % 2000 - 1000) for i in range(1000)], dtype=np.float64)
+    want_rms = round(float(np.sqrt((np.repeat(ref, 2) ** 2).mean())), 6)
+    assert r.rms == want_rms
+    assert got[2].sample_rate is None
+
+
+def test_decode_audio_8bit_and_alignment():
+    from multi_report_etl_pipeline_spark.operators.multimodal import decode_audio
+
+    samples, rate = decode_audio(_make_wav(rate=4000, n=99, channels=1, bits=8))
+    assert rate == 4000 and samples.shape == (99, 1)
+    assert int(samples[3, 0]) == 21
