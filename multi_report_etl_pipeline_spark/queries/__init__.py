@@ -82,6 +82,7 @@ _TAIL = (
     "streaming_vocabulary",
     "docs_bigram_vocabulary",
     "events_user_activity_histogram",
+    "docs_image_decode",
     "lineitem_rollup",
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",

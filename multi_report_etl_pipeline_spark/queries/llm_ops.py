@@ -421,6 +421,48 @@ FROM media CROSS JOIN idx
 # --------------------------------------------- sampling / curation ---
 
 
+def docs_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec under the oracle gate: each document's bytes are
+    wrapped as a genuine binary PGM (P5, width = byte length, height 1)
+    on the Spark side, decoded to pixels by the native codec inside the
+    Arrow image_stats path, and the emitted dimensions + mean gray value
+    are value-checked against DuckDB computing the same statistics
+    directly from the characters. Proves decode really reads pixel
+    data — a header/offset/shape bug shifts the mean."""
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    header = F.concat(
+        F.lit("P5\n"), F.octet_length("text").cast("string"), F.lit(" 1\n255\n")
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.encode(header, "UTF-8"), F.encode("text", "UTF-8")).alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.col("lang").alias("meta_lang"),
+        F.col("source").alias("meta_source"),
+    )
+    stats = multimodal.image_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "channels",
+        F.round(F.element_at("mean_pixel", 1), 6).alias("mean_gray"),
+    )
+
+
+IMAGE_DECODE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS width,
+       CAST(1 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       ROUND(list_aggregate([ord(c) for c in string_split_regex(text, '')], 'avg'), 6)
+           AS mean_gray
+FROM documents
+"""
+
+
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation composition — the extension
     family's analog of the reference's staging→report pipelines: score
@@ -721,6 +763,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_lsh_ann": QuerySpec(emb_lsh_ann, None),
     "emb_label_centroids": QuerySpec(emb_label_centroids, CENTROIDS_SQL),
     "docs_media_features": QuerySpec(docs_media_features, MEDIA_FEATURES_SQL),
+    "docs_image_decode": QuerySpec(docs_image_decode, IMAGE_DECODE_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
     "docs_chunks": QuerySpec(docs_chunks, CHUNKS_SQL),
