@@ -83,6 +83,7 @@ _TAIL = (
     "docs_bigram_vocabulary",
     "events_user_activity_histogram",
     "docs_image_decode",
+    "docs_audio_decode",
     "lineitem_rollup",
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",

@@ -463,6 +463,63 @@ FROM documents
 """
 
 
+def docs_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV codec under the oracle gate: each document's bytes become
+    the PCM data chunk of a genuine 8-bit mono 8 kHz WAV (RIFF headers
+    built in-plan), decoded by the native chunk walker inside the Arrow
+    audio_stats path; sample count, duration, and RMS amplitude are
+    value-checked against DuckDB computing them from the characters."""
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    n = F.octet_length("text").cast("bigint")
+
+    def le32(c):
+        # int -> 4 little-endian bytes, via a hex string (pure codegen:
+        # hex/lpad/unhex); c must be < 2^32
+        parts = [
+            F.lpad(F.hex(F.floor(c / F.lit(1 << (8 * i))).cast("bigint") % 256), 2, "0")
+            for i in range(4)
+        ]
+        return F.unhex(F.concat_ws("", *parts))
+
+    # fmt chunk = <HHIIHH>(tag=1, channels=1, rate=8000, byterate=8000,
+    # block=1, bits=8), little-endian
+    fmt_body = F.lit(bytes([1, 0, 1, 0, 0x40, 0x1F, 0, 0, 0x40, 0x1F, 0, 0, 1, 0, 8, 0]))
+    payload = F.concat(
+        F.lit(b"RIFF"), le32(n + F.lit(36)), F.lit(b"WAVEfmt "), le32(F.lit(16)),
+        fmt_body, F.lit(b"data"), le32(n), F.encode("text", "UTF-8"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("audio").alias("media_type"),
+        F.col("lang").alias("meta_lang"),
+        F.col("source").alias("meta_source"),
+    )
+    stats = multimodal.audio_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_s",
+        "rms",
+    )
+
+
+AUDIO_DECODE_SQL = """
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+       ROUND(octet_length(encode(text)) / 8000.0, 6) AS duration_s,
+       ROUND(sqrt(list_aggregate([ord(c) * ord(c) for c in string_split_regex(text, '')],
+                                 'avg')), 6) AS rms
+FROM documents
+"""
+
+
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation composition — the extension
     family's analog of the reference's staging→report pipelines: score
@@ -764,6 +821,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_label_centroids": QuerySpec(emb_label_centroids, CENTROIDS_SQL),
     "docs_media_features": QuerySpec(docs_media_features, MEDIA_FEATURES_SQL),
     "docs_image_decode": QuerySpec(docs_image_decode, IMAGE_DECODE_SQL),
+    "docs_audio_decode": QuerySpec(docs_audio_decode, AUDIO_DECODE_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
     "docs_chunks": QuerySpec(docs_chunks, CHUNKS_SQL),
