@@ -123,3 +123,76 @@ def test_jsonl_source_quarantines_corrupt_lines(spark, tmp_path):
     bad = [r for r in rows if r["_bad"] is not None]
     assert {(r["id"], r["text"]) for r in good} == {(1, "ok"), (2, "also ok")}
     assert len(bad) == 1 and "not json" in bad[0]["_bad"]
+
+
+def test_events_readers_handle_both_timestamp_encodings(spark, tmp_path):
+    """The fixture generator has shipped events.ts as TIMESTAMP(NANOS)
+    (round 2) and TIMESTAMP(MICROS) (round 3); both the batch reader and
+    the file-stream reader must adapt by probing the footer — the round-3
+    regression was an unconditional DIV 1000 shrinking native-us values
+    1000x. Write the SAME rows in both encodings and pin identical
+    output from read_table, read_events_stream, and a binned range join."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from multi_report_etl_pipeline_spark import streaming
+    from multi_report_etl_pipeline_spark.operators.asof import (
+        binned_range_join,
+        range_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = {
+        "event_id": list(range(8)),
+        "ts": [base + dt.timedelta(minutes=5 * i) for i in range(8)],
+        "user_id": [1] * 8,
+        "event_type": ["click", "error"] * 4,
+        "value": [float(i) for i in range(8)],
+        "props": ["{}"] * 8,
+    }
+    dirs = {}
+    for enc in ("us", "ns"):
+        d = tmp_path / f"enc_{enc}"
+        d.mkdir()
+        t = pa.table(
+            {**rows, "ts": pa.array(rows["ts"], type=pa.timestamp(enc))}
+        )
+        pq.write_table(t, str(d / "events.parquet"), version="2.6",
+                       coerce_timestamps=None)
+        dirs[enc] = str(d)
+    # sanity: the two files really carry different physical encodings
+    assert str(pq.read_table(dirs["us"] + "/events.parquet").schema.field("ts").type) == "timestamp[us]"
+    assert str(pq.read_table(dirs["ns"] + "/events.parquet").schema.field("ts").type) == "timestamp[ns]"
+
+    def batch_vals(d):
+        df = read_table(spark, d, "events")
+        return sorted((r.event_id, str(r.ts)) for r in df.collect())
+
+    def stream_vals(d):
+        st = streaming.read_events_stream(spark, d)
+        name = f"t_enc_{os.path.basename(d)}"
+        streaming.run_available_now(
+            st.groupBy("event_id").agg(F.max("ts").alias("ts")), name, "complete"
+        )
+        return sorted((r.event_id, str(r.ts)) for r in spark.table(name).collect())
+
+    def binned_vals(d):
+        ev = read_table(spark, d, "events")
+        errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+        clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+        out = binned_range_join(
+            errors, clicks, key="user_id", left_ts="ts", right_ts="ts",
+            lower_s=900.0, upper_s=0.0, bin_width_s=600.0,
+        )
+        return sorted(
+            (r["user_id"],) for r in out.select(F.col("l.user_id")).collect()
+        )
+
+    want = sorted((i, str(rows["ts"][i])) for i in range(8))
+    for enc, d in dirs.items():
+        assert batch_vals(d) == want, f"batch reader wrong for {enc}"
+        assert stream_vals(d) == want, f"stream reader wrong for {enc}"
+    assert binned_vals(dirs["us"]) == binned_vals(dirs["ns"])
+    assert len(binned_vals(dirs["us"])) > 0
