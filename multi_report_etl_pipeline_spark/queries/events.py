@@ -14,7 +14,7 @@ Spark guarantees batch/streaming semantics agree for these operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from multi_report_etl_pipeline_spark import oracle
@@ -259,34 +259,46 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts at step k only with a step-k event strictly after their
     step-(k-1) entry time (first-touch semantics).
 
-    Shape at scale: three conditional min-aggregations all keyed on
-    user_id — one exchange, reused by every step (the step-2/3 filters
-    are computed from the carried step-1/2 times, not by re-joining the
-    fact table) — then three 1-row counts unioned into the funnel
-    table. No window, no self-join, no re-scan per step.
+    Shape at scale: ONE exchange on user_id feeding a per-user time
+    sort, two running-min window passes, and a conditional-min
+    aggregation — per-user state is a sort buffer (spillable via
+    Spark's external row array), never a per-row array. A click
+    qualifies (ts > the user's GLOBAL first-signup time) exactly when
+    a strictly-earlier signup exists in its time-ordered prefix, i.e.
+    ts > running_min(signup ts); same argument chains purchases
+    against the running min of qualifying-click times — so the window
+    form is value-identical to the per-user-scalar form (tie rows at
+    equal ts can't qualify under either reading, so frame tie order
+    is immaterial). The previous collect_list(sort_array) form held
+    every click/purchase of a user inside ONE unspillable row — a
+    10M-event bot user would be a straggler/OOM at 100 TB; the sort
+    buffer spills instead.
     """
-    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    # one pass: collect each user's ordered event times per step type
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
-        ).alias("clicks"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
-        ).alias("purchases"),
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin("signup", "click", "purchase"))
     )
-    # F.get (not getItem): null on the empty array instead of an ANSI
-    # out-of-bounds error; a null step time nulls every later step via
-    # the null-propagating > inside filter()
-    stepped = per_user.select(
-        "t1",
-        F.get(F.filter("clicks", lambda c: c > F.col("t1")), 0).alias("t2"),
-        "purchases",
-    ).select(
-        "t1",
-        "t2",
-        F.get(F.filter("purchases", lambda p: p > F.col("t2")), 0).alias("t3"),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    ev1 = ev.withColumn("t1_run", F.min(signup_ts).over(w))
+    click_q = F.when(
+        (F.col("event_type") == "click") & (F.col("ts") > F.col("t1_run")),
+        F.col("ts"),
+    )
+    ev2 = ev1.withColumn("t2_run", F.min(click_q).over(w))
+    purchase_q = F.when(
+        (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2_run")),
+        F.col("ts"),
+    )
+    stepped = ev2.groupBy("user_id").agg(
+        F.min(signup_ts).alias("t1"),
+        F.min(click_q).alias("t2"),
+        F.min(purchase_q).alias("t3"),
     )
     counts = stepped.agg(
         F.count("t1").alias("signup"),

@@ -211,3 +211,16 @@ def test_split_assignment_is_narrow_projection(spark):
     plan = physical_plan(split_assignment(docs, "doc_id"))
     assert "Exchange" not in plan, plan[:2000]
     assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_funnel_has_bounded_per_user_state(spark):
+    """The funnel must never hold a user's full event history inside one
+    row: no collect_list/sort_array (unspillable per-row arrays — a 10M
+    -event bot user OOMs the task at 100 TB). The window form's sort
+    buffer spills; exactly one data-proportional exchange (user_id)."""
+    from multi_report_etl_pipeline_spark.queries.events import conversion_funnel
+
+    plan = physical_plan(conversion_funnel(spark, SF_DIR))
+    assert "collect_list" not in plan, plan[:3000]
+    assert "sort_array" not in plan, plan[:3000]
+    assert "Window" in plan, plan[:3000]
