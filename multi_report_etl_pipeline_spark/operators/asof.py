@@ -25,14 +25,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _epoch_us(col: Column) -> Column:
-    """Integer microseconds for bin arithmetic, tolerant of both timestamp
-    flavors: ``unix_micros`` only accepts TIMESTAMP (LTZ), but parquet
-    fixtures written without UTC adjustment arrive as TIMESTAMP_NTZ. The
-    NTZ->LTZ cast applies the session-timezone offset, which cancels out
-    here — left/right rows and every bin boundary shift by the same
-    constant, so join results are offset-invariant."""
-    return F.unix_micros(col.cast("timestamp_ltz"))
+def _epoch_us(df: DataFrame, ts_col: str) -> Column:
+    """Integer microseconds for bin arithmetic, timezone-independent for
+    both timestamp flavors. TIMESTAMP (LTZ) is an instant — unix_micros
+    reads it directly. TIMESTAMP_NTZ is a zoneless wall clock: casting
+    it to LTZ would apply the session-zone offset, which cancels between
+    left and right only under FIXED-offset zones — under a DST-observing
+    session zone, rows on opposite sides of a transition shift by
+    different offsets, drifting bin assignment and the residual range
+    predicate away from ``range_join``'s raw-timestamp comparison. NTZ
+    therefore computes wall-clock micros since the NTZ epoch via
+    ``timestamp_diff``, which never consults the session zone (test:
+    DST-spanning parity pin in tests/test_asof.py)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col(ts_col),
+        )
+    return F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
 
 
 def asof_join_backward(
@@ -129,7 +140,7 @@ def binned_range_join(
     w_us = int(bin_width_s * 1_000_000)
     lo_us = int(lower_s * 1_000_000)
     hi_us = int(upper_s * 1_000_000)
-    l = left.withColumn("_lus", _epoch_us(F.col(left_ts)))
+    l = left.withColumn("_lus", _epoch_us(left, left_ts))
     l = l.withColumn(
         "_bin",
         F.explode(
@@ -139,7 +150,7 @@ def binned_range_join(
             )
         ),
     )
-    r = right.withColumn("_rus", _epoch_us(F.col(right_ts))).withColumn(
+    r = right.withColumn("_rus", _epoch_us(right, right_ts)).withColumn(
         "_bin", F.floor(F.col("_rus") / F.lit(w_us))
     )
     lk, rk = F.col(f"l.{key}"), F.col(f"r.{key}")

@@ -22,6 +22,7 @@ The codec tiers:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,6 +36,22 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+)
+
+# Everything a malformed payload can raise inside the native decoders:
+# declared-gap fallbacks (NotImplementedError), header validation
+# (ValueError), short buffers (IndexError; struct.error — which
+# subclasses Exception, NOT ValueError, so it must be listed), and
+# arithmetic on zeroed header fields (ZeroDivisionError — decode_audio
+# also validates, but the tuple keeps the guarantee even for a decoder
+# that forgets). The Arrow batch paths catch exactly this tuple per
+# row: a poison-pill payload nulls its own row, never the batch.
+DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    IndexError,
+    struct.error,
+    ZeroDivisionError,
 )
 
 MEDIA_SCHEMA = StructType(
@@ -234,7 +251,7 @@ def image_stats(media: DataFrame) -> DataFrame:
                     out["mean_pixel"].append(
                         [round(float(m), 6) for m in arr.astype(np.float64).mean(axis=(0, 1))]
                     )
-                except (NotImplementedError, ValueError, IndexError):
+                except DECODE_ERRORS:
                     out["height"].append(None)
                     out["width"].append(None)
                     out["channels"].append(None)
@@ -287,7 +304,7 @@ def resize_images(media: DataFrame, target_w: int = 32, target_h: int = 32) -> D
                     out["thumb"].append(encode_ppm(arr))
                     out["thumb_w"].append(target_w)
                     out["thumb_h"].append(target_h)
-                except (NotImplementedError, ValueError, IndexError):
+                except DECODE_ERRORS:
                     out["thumb"].append(None)
                     out["thumb_w"].append(None)
                     out["thumb_h"].append(None)
@@ -303,7 +320,11 @@ def decode_audio(payload: bytes):
     chunks, returning (samples ndarray [n, channels], sample_rate).
     Supports 8-bit unsigned and 16-bit signed PCM (format tag 1) —
     stdlib struct + numpy only. Compressed audio (MP3/OGG/...) raises
-    NotImplementedError: no audio library exists in this container."""
+    NotImplementedError: no audio library exists in this container.
+
+    8-bit samples are returned RAW (unsigned, 128 = zero amplitude), as
+    stored; amplitude-domain consumers must center them (audio_stats
+    does)."""
     import struct  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -326,6 +347,10 @@ def decode_audio(payload: bytes):
     tag, channels, rate, _, _, bits = fmt
     if tag != 1 or bits not in (8, 16):
         raise ValueError(f"only 8/16-bit PCM supported (tag={tag}, bits={bits})")
+    if channels <= 0 or rate <= 0:
+        # a zero here would surface later as ZeroDivisionError mid-batch;
+        # reject the malformed fmt chunk at the decode boundary instead
+        raise ValueError(f"malformed fmt chunk (channels={channels}, rate={rate})")
     dtype = np.uint8 if bits == 8 else np.dtype("<i2")
     samples = np.frombuffer(data, dtype=dtype)
     n = (len(samples) // channels) * channels
@@ -347,7 +372,11 @@ AUDIO_STATS_SCHEMA = StructType(
 def audio_stats(media: DataFrame) -> DataFrame:
     """REAL audio decode path: WAV/PCM payloads -> sample rate, channel
     count, duration, RMS amplitude, via the same Arrow batch shape with
-    per-row corrupt-payload isolation."""
+    per-row corrupt-payload isolation.
+
+    RMS is amplitude RMS: 8-bit PCM is unsigned with 128 as zero
+    amplitude, so u8 samples are centered at 128 first — digital
+    silence reports 0.0, not ~128 (16-bit PCM is already signed)."""
     import numpy as np  # noqa: PLC0415
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -357,14 +386,15 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 out["media_id"].append(mid)
                 try:
                     samples, rate = decode_audio(bytes(p))
+                    amp = samples.astype(np.float64)
+                    if samples.dtype == np.uint8:
+                        amp -= 128.0
                     out["sample_rate"].append(rate)
                     out["channels"].append(samples.shape[1])
                     out["n_samples"].append(samples.shape[0])
                     out["duration_s"].append(round(samples.shape[0] / rate, 6))
-                    out["rms"].append(
-                        round(float(np.sqrt((samples.astype(np.float64) ** 2).mean())), 6)
-                    )
-                except (NotImplementedError, ValueError, IndexError):
+                    out["rms"].append(round(float(np.sqrt((amp**2).mean())), 6))
+                except DECODE_ERRORS:
                     for k in ("sample_rate", "channels", "n_samples", "duration_s", "rms"):
                         out[k].append(None)
             yield pd.DataFrame(out)

@@ -36,71 +36,66 @@ class QuerySpec:
 # round regardless of position (tests parametrize over the full QUERIES
 # dicts), so demotion never loses local coverage.
 #
-# Round-3 tail: the round-1 tail (docs_fingerprint, docs_rolling_
-# fingerprint, lineitem_cube, lineitem_distinct_counts, customers_
-# without_orders, parts_at_max_size, emb_near_dup_pairs, docs_simhash_
-# near_dup) is promoted into the window — docs_rolling_fingerprint has
-# never had a driver row — plus the two new scale-path twins
-# (orders_top_customers_salted, events_clicks_before_errors_binned) and
-# the new streaming_interval_join and events_multi_resolution_rollup.
-# Demoted in exchange: twelve rows that were hash-green in BOTH round 1
-# and round 2 (CORRECTNESS_r01/r02.json), plus — to make room for the
-# round-3 sampling/packing family (docs_hash_sample,
-# docs_stratified_sample, docs_token_packing) — three more twice-green
-# rows: stg_activities, docs_token_stats, emb_label_centroids, and —
-# for the curation composition + its streaming twin (which run the same
-# language-id/quality arms inside driver-checked wholes) —
-# docs_language_id and docs_text_quality.
-# Round-3 late additions: orders_snapshot_merge (MERGE INTO analog),
-# docs_pii_scrub (redaction pass), and streaming_snapshot_merge (its
-# CDC twin) take the window slots of docs_ngram_jaccard,
-# emb_cosine_topk, and docs_exact_dedup — all hash-green in round 1 AND
-# round 2, all still oracle-checked by pytest every round (cosine and
-# exact-dedup stay bench headlines regardless of window position).
-# Round-3 final additions: docs_chunks, docs_vocabulary,
-# docs_tfidf_top_terms, and emb_cosine_dedup (the brief's
-# embedding-cosine near-dup family as a first-class survivor query)
-# take the slots of the three reports' rows and docs_dedup_groups —
-# all hash-green in rounds 1 AND 2 with code untouched since, all still
-# bench headlines and pytest-oracle-checked every round. The funnel and
-# cohort-retention queries then take tpch_q3/q5's slots: those two were
-# rewritten this round but re-verified value-for-value against their
-# oracles at the driver's sf0.01 BEFORE demotion (plus pytest at
-# sf0.001 every round, plus bench headline rows).
-# docs_contamination (decontamination guard) takes lineitem_rollup's
-# slot: rollup was hash-green in round 2 with code untouched since, and
-# its grouping-sets family keeps a fresh driver row via lineitem_cube
-# (in-window this round after its round-2 demotion).
-# The two latest additions (orders_snapshot_diff, docs_split_assignment)
-# START in the tail: the window is full of rows that have never had a
-# driver check, and these two are pytest-oracle-checked at sf0.001 plus
-# hand-verified at sf0.01 this round — they rotate into the window next
-# round once today's additions have earned their first rows.
+# Round-4 rotation, three forcing facts from the round-3 verdict:
+# (1) the ENTIRE reference §2 surface (stg_*/clean_*/quality_*/
+# report_*, 14 queries) sat in the round-3 tail while domain.py's
+# _ROW_IDENTITY change altered row_fp, a tiebreaker those views read —
+# pytest re-proved them vs DuckDB at sf0.001, but the driver's sf0.01
+# gate never saw the post-change code. All 14 rotate back IN.
+# (2) five registry entries had never had a driver row in ANY round:
+# orders_snapshot_diff, docs_split_assignment, docs_bigram_vocabulary,
+# events_user_activity_histogram, streaming_vocabulary. All five
+# rotate IN.
+# (3) emb_cosine_topk grew a construction-artifact cache this round
+# (llm_ops._CONSTRUCT_CACHE — values verified identical at sf0.01),
+# so it rotates IN for a post-change driver row.
+# Also kept in-window because their code changes this round:
+# events_conversion_funnel (rewritten to the bounded-state window
+# form), emb_ivf_topk (cached quantizer), docs_audio_decode (8-bit RMS
+# centering changes emitted values + oracle), docs_curation_pipeline
+# (perf-rework target), and the scan-agg family (tpch_q1,
+# orders_top_customers, lineitem_window_rank, events_windowed_counts).
+# Demoted in exchange — every one hash-green (or rows-green for the
+# no_oracle approximates, which pytest recall-gates) in round 3's
+# CORRECTNESS_r03.json, none touched by this round's semantic changes,
+# all still DuckDB-oracle-checked by pytest every round: tpch_q14,
+# orders_top_customers_salted, lineitem_cube, lineitem_distinct_counts,
+# orders_above_customer_avg, orders_snapshot_merge, docs_pii_scrub,
+# docs_fingerprint, docs_rolling_fingerprint, docs_contamination,
+# docs_minhash_near_dup, docs_simhash_near_dup, emb_near_dup_pairs,
+# emb_lsh_ann, docs_media_features, docs_image_decode,
+# emb_cosine_dedup, docs_hash_sample, docs_stratified_sample,
+# docs_token_packing, lineitem_approx_distinct.
 _TAIL = (
-    "orders_snapshot_diff",
-    "docs_split_assignment",
-    "streaming_vocabulary",
-    "docs_bigram_vocabulary",
-    "events_user_activity_histogram",
-    # the two codec queries are IN the window (they are the round's
-    # headline multimodal evidence — a driver row is the point); their
-    # slots come from customers_without_orders and parts_at_max_size,
-    # round-1-green, code untouched since, and family-covered in-window
-    # by orders_above_customer_avg (same decorrelated-subquery shape).
+    "tpch_q14_type_share",
+    "orders_top_customers_salted",
+    "lineitem_cube",
+    "lineitem_distinct_counts",
+    "orders_above_customer_avg",
+    "orders_snapshot_merge",
+    "docs_pii_scrub",
+    "docs_fingerprint",
+    "docs_rolling_fingerprint",
+    "docs_contamination",
+    "docs_minhash_near_dup",
+    "docs_simhash_near_dup",
+    "emb_near_dup_pairs",
+    "emb_lsh_ann",
+    "docs_media_features",
+    "docs_image_decode",
+    "emb_cosine_dedup",
+    "docs_hash_sample",
+    "docs_stratified_sample",
+    "docs_token_packing",
+    "lineitem_approx_distinct",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",
-    "report_mortgage_portfolio",
-    "report_restructuring_pipeline",
-    "report_commercial_promises",
     "docs_dedup_groups",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "docs_ngram_jaccard",
-    "emb_cosine_topk",
     "docs_exact_dedup",
-    "stg_accounts",
-    "stg_activities",
     "docs_token_stats",
     "docs_language_id",
     "docs_text_quality",
@@ -108,15 +103,6 @@ _TAIL = (
     "lineitem_quantity_quantiles",
     "customer_set_ops",
     "orders_semi_anti_join",
-    "clean_accounts",
-    "clean_contacts_primary",
-    "clean_contacts_field",
-    "clean_contacts_promise",
-    "clean_contacts_restructure",
-    "quality_view_counts",
-    "quality_duplicate_operations",
-    "quality_null_keys",
-    "quality_date_parse_failures",
 )
 
 # The driver's audit cap. all_queries() fails loudly when the non-tail

@@ -484,7 +484,8 @@ def docs_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PCM data chunk of a genuine 8-bit mono 8 kHz WAV (RIFF headers
     built in-plan), decoded by the native chunk walker inside the Arrow
     audio_stats path; sample count, duration, and RMS amplitude are
-    value-checked against DuckDB computing them from the characters."""
+    value-checked against DuckDB computing them from the characters
+    (centered at 128, the u8 PCM zero-amplitude point, on both sides)."""
     from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
 
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
@@ -530,7 +531,8 @@ SELECT doc_id,
        CAST(1 AS BIGINT) AS channels,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
        ROUND(octet_length(encode(text)) / 8000.0, 6) AS duration_s,
-       ROUND(sqrt(list_aggregate([ord(c) * ord(c) for c in string_split_regex(text, '')],
+       ROUND(sqrt(list_aggregate([(ord(c) - 128) * (ord(c) - 128)
+                                  for c in string_split_regex(text, '')],
                                  'avg')), 6) AS rms
 FROM documents
 """

@@ -86,3 +86,57 @@ def test_funnel_ordering_semantics(spark):
     finally:
         events_mod.read_table = orig
     assert got == {"signup": 3, "click_after_signup": 2, "purchase_after_click": 1}
+
+
+def test_binned_range_join_ntz_is_dst_invariant(spark):
+    """TIMESTAMP_NTZ bin arithmetic must not consult the session zone:
+    under a DST-observing timezone with rows straddling the transition
+    (America/Los_Angeles, 2024-03-10 02:00 spring-forward), an NTZ->LTZ
+    cast would shift pre/post-transition rows by different offsets and
+    drift bins away from range_join's raw-timestamp comparison. Pins
+    binned == plain under exactly that regime."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.operators.asof import (
+        binned_range_join,
+        range_join,
+    )
+
+    base = dt.datetime(2024, 3, 10, 0, 0, 0)  # 2h before spring-forward
+    rows = [(i % 3, base + dt.timedelta(minutes=17 * i)) for i in range(40)]
+    schema = "user_id long, ts timestamp_ntz"
+    left = spark.createDataFrame(rows, schema)
+    right = spark.createDataFrame(
+        [(u, t + dt.timedelta(minutes=-3)) for u, t in rows], schema
+    )
+    assert dict(left.dtypes)["ts"] == "timestamp_ntz"
+
+    def pairs(df):
+        out = df.select(
+            F.col("l.user_id").alias("u"),
+            F.col("l.ts").alias("lt"),
+            F.col("r.ts").alias("rt"),
+        )
+        return sorted(tuple(map(repr, r)) for r in out.collect())
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        plain = pairs(
+            range_join(
+                left, right, key="user_id", left_ts="ts", right_ts="ts",
+                lower=F.expr("INTERVAL 5 MINUTES"),
+                upper=F.expr("INTERVAL 0 SECONDS"),
+            )
+        )
+        assert len(plain) > 0
+        for bin_width in (60.0, 1800.0):
+            binned = binned_range_join(
+                left, right, key="user_id", left_ts="ts", right_ts="ts",
+                lower_s=300.0, upper_s=0.0, bin_width_s=bin_width,
+            )
+            assert pairs(binned) == plain, f"bin_width={bin_width}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -270,3 +270,83 @@ def test_decode_audio_8bit_and_alignment():
     samples, rate = decode_audio(_make_wav(rate=4000, n=99, channels=1, bits=8))
     assert rate == 4000 and samples.shape == (99, 1)
     assert int(samples[3, 0]) == 21
+
+
+def test_u8_silence_has_zero_rms(spark):
+    """8-bit PCM stores 128 as zero amplitude: digital silence must
+    report RMS 0.0 (amplitude RMS), not ~128 (raw-sample RMS)."""
+    from multi_report_etl_pipeline_spark.operators.multimodal import audio_stats
+
+    import struct
+
+    frames = bytes([128] * 400)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(frames)) + frames
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    [r] = audio_stats(
+        spark.createDataFrame(
+            [(1, wav, "audio", "en", "t")],
+            "media_id long, payload binary, media_type string, "
+            "meta_lang string, meta_source string",
+        )
+    ).collect()
+    assert r.rms == 0.0
+
+
+def test_truncated_and_zeroed_payloads_null_their_rows(spark):
+    """Poison-pill guarantee for exception types OUTSIDE ValueError:
+    struct.error (truncated 'BM'/RIFF headers — struct.error subclasses
+    Exception, not ValueError) and zeroed fmt fields (channels=0,
+    rate=0 would divide by zero downstream). Each must null its own
+    row, not kill the Arrow batch; the valid row in the same batch
+    must still decode."""
+    import struct
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        audio_stats,
+        image_stats,
+        resize_images,
+    )
+
+    def wav_with_fmt(channels, rate, bits=8, n=16):
+        frames = bytes([128] * (n * max(channels, 1)))
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * max(channels, 1), 1, bits
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(frames)) + frames
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    schema = (
+        "media_id long, payload binary, media_type string, "
+        "meta_lang string, meta_source string"
+    )
+    bad_images = spark.createDataFrame(
+        [
+            (1, b"BM\x01\x02", "image", "en", "t"),  # truncated BMP header
+            (2, _make_ppm(2, 2), "image", "en", "t"),  # valid, same batch
+        ],
+        schema,
+    ).coalesce(1)
+    got = {r.media_id: r for r in image_stats(bad_images).collect()}
+    assert got[1].width is None and got[2].width == 2
+    got = {r.media_id: r for r in resize_images(bad_images, 2, 2).collect()}
+    assert got[1].thumb is None and got[2].thumb is not None
+
+    truncated_fmt = b"RIFF" + struct.pack("<I", 12) + b"WAVE"
+    truncated_fmt += b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    bad_audio = spark.createDataFrame(
+        [
+            (1, truncated_fmt, "audio", "en", "t"),  # short fmt -> struct.error
+            (2, wav_with_fmt(channels=0, rate=8000), "audio", "en", "t"),
+            (3, wav_with_fmt(channels=1, rate=0), "audio", "en", "t"),
+            (4, wav_with_fmt(channels=1, rate=8000), "audio", "en", "t"),  # valid
+        ],
+        schema,
+    ).coalesce(1)
+    got = {r.media_id: r for r in audio_stats(bad_audio).collect()}
+    assert got[1].sample_rate is None
+    assert got[2].sample_rate is None
+    assert got[3].sample_rate is None
+    assert got[4].sample_rate == 8000 and got[4].rms == 0.0
