@@ -164,15 +164,23 @@ def decode_image(payload: bytes):
         return _decode_bmp(payload)
     try:
         from PIL import Image  # noqa: PLC0415
-        import io  # noqa: PLC0415
-        import numpy as np  # noqa: PLC0415
-
-        return np.asarray(Image.open(io.BytesIO(payload)))
-    except ImportError as exc:  # pragma: no cover - no PIL in container
+    except ImportError as exc:
         raise NotImplementedError(
             "compressed-image decoding requires PIL; this environment "
             "decodes only PPM/PGM/BMP natively (see decode_image)"
         ) from exc
+    import io  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    try:  # pragma: no cover - exercised when PIL is installed
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    except Exception as exc:
+        # PIL signals corrupt payloads with UnidentifiedImageError (an
+        # OSError) among others — none of which DECODE_ERRORS covers.
+        # Re-raise as ValueError so the Arrow paths' poison-pill
+        # guarantee holds identically with and without PIL.
+        raise ValueError(f"PIL could not decode payload: {exc}") from exc
 
 
 def fake_decode(payload: bytes) -> tuple[int, str, list[float]]:

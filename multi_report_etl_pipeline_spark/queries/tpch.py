@@ -759,3 +759,121 @@ FROM joined WHERE change <> 'unchanged'
 
 
 QUERIES["orders_snapshot_diff"] = QuerySpec(orders_snapshot_diff, SNAPSHOT_DIFF_SQL)
+
+
+# Fixed (SF-agnostic) quantile edges for the lifecycle layout below:
+# the oracle SQL is static text, so the z-order bucketing must not
+# depend on data-derived approxQuantile output. 3 edges per column =
+# bits=2 (4 buckets); balance across SFs doesn't matter for the value
+# check (the skipping property is measured in tests/test_layout.py
+# with real quantile boundaries).
+_LIFECYCLE_EDGES_KEY = [37500.0, 150000.0, 600000.0]
+_LIFECYCLE_EDGES_PRICE = [50000.0, 150000.0, 250000.0]
+
+
+def orders_lifecycle_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full snapshot lifecycle as one driver-checked composition:
+    merge_upsert applies a deterministic batch, snapshot_diff audits
+    what changed, and the diff is physically laid out by write_zordered
+    (operators/layout.py) into Morton-aligned parquet files. The
+    returned manifest — per z-block row counts, change-type breakdown,
+    and clustered-column min/max read back FROM THE WRITTEN FILES —
+    goes under the DuckDB oracle, which recomputes the merge, the
+    diff, the fixed-edge bucket ranks, and the 2-bit Morton interleave
+    arithmetically. A bucketing, interleaving, block-cut, or write
+    round-trip bug shifts rows across blocks and breaks the hash.
+
+    Z-order columns: (o_orderkey, coalesce(new_price, old_price)) —
+    coalesce keeps both clustered columns non-null for every change
+    type, sidestepping engine-specific null-bucket conventions.
+    """
+    import os  # noqa: PLC0415
+    import re as _re  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from multi_report_etl_pipeline_spark.operators import layout  # noqa: PLC0415
+
+    diff = orders_snapshot_diff(spark, sf_dir).withColumn(
+        "v", F.coalesce("new_price", "old_price")
+    )
+    bounds = {
+        "o_orderkey": _LIFECYCLE_EDGES_KEY,
+        "v": _LIFECYCLE_EDGES_PRICE,
+    }
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "mre_spark_lifecycle_zorder_" + _re.sub(r"\W+", "_", sf_dir),
+    )
+    layout.write_zordered(
+        diff, path, cols=["o_orderkey", "v"], n_files=4, bits=2,
+        boundaries=bounds,
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("__zblock").cast("bigint").alias("zblock"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("change") == "added", 1)).alias("n_added"),
+            F.count(F.when(F.col("change") == "removed", 1)).alias("n_removed"),
+            F.count(F.when(F.col("change") == "changed", 1)).alias("n_changed"),
+            F.min("o_orderkey").alias("min_okey"),
+            F.max("o_orderkey").alias("max_okey"),
+            F.round(F.min("v"), 2).alias("min_v"),
+            F.round(F.max("v"), 2).alias("max_v"),
+        )
+    )
+
+
+# Recomputes the lifecycle manifest arithmetically: bucket rank = count
+# of fixed edges <= value; 2-bit Morton interleave of (key rank b0,
+# price rank b1): z = b0bit0<<0 | b1bit0<<1 | b0bit1<<2 | b1bit1<<3;
+# block = z >> 2 (n_files=4).
+SNAPSHOT_LIFECYCLE_SQL = """
+WITH base AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+), new AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(price + CAST(10 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+                ELSE price END AS price
+    FROM base WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 13 = 0)
+    UNION ALL
+    SELECT o_orderkey + 10000000, price FROM base WHERE o_orderkey % 17 = 0
+), diff AS (
+    SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN b.price IS DISTINCT FROM n.price THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           CAST(COALESCE(n.price, b.price) AS DOUBLE) AS v
+    FROM base b FULL OUTER JOIN new n ON b.o_orderkey = n.o_orderkey
+), changed AS (
+    SELECT * FROM diff WHERE change <> 'unchanged'
+), ranked AS (
+    SELECT *,
+      len(list_filter([37500.0, 150000.0, 600000.0],
+                      e -> e <= CAST(o_orderkey AS DOUBLE))) AS b0,
+      len(list_filter([50000.0, 150000.0, 250000.0], e -> e <= v)) AS b1
+    FROM changed
+), keyed AS (
+    SELECT *,
+      ((b0 % 2) * 1 + (b1 % 2) * 2 + ((b0 // 2) % 2) * 4 + ((b1 // 2) % 2) * 8)
+          // 4 AS zblock
+    FROM ranked
+)
+SELECT CAST(zblock AS BIGINT) AS zblock,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE change = 'added') AS n_added,
+       COUNT(*) FILTER (WHERE change = 'removed') AS n_removed,
+       COUNT(*) FILTER (WHERE change = 'changed') AS n_changed,
+       MIN(o_orderkey) AS min_okey,
+       MAX(o_orderkey) AS max_okey,
+       ROUND(MIN(v), 2) AS min_v,
+       ROUND(MAX(v), 2) AS max_v
+FROM keyed GROUP BY 1
+"""
+
+
+QUERIES["orders_lifecycle_zorder"] = QuerySpec(
+    orders_lifecycle_zorder, SNAPSHOT_LIFECYCLE_SQL
+)

@@ -350,3 +350,44 @@ def test_truncated_and_zeroed_payloads_null_their_rows(spark):
     assert got[2].sample_rate is None
     assert got[3].sample_rate is None
     assert got[4].sample_rate == 8000 and got[4].rms == 0.0
+
+
+def test_compressed_decode_activates_with_pil(spark):
+    """Capability-probe golden test: skipped in containers without an
+    imaging library, ACTIVE wherever PIL exists — the compressed-codec
+    tier then gets real coverage instead of remaining a declared gap.
+    Round-trips a PNG through decode_image and the image_stats Arrow
+    path, and pins that a corrupt compressed payload still nulls its
+    row rather than killing the batch (PIL raises OSError subclasses,
+    which decode_image re-raises as ValueError)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        image_stats,
+    )
+
+    want = (np.arange(6 * 8 * 3) % 256).astype("uint8").reshape(6, 8, 3)
+    buf = io.BytesIO()
+    Image.fromarray(want).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert np.array_equal(decode_image(png), want)
+
+    media = spark.createDataFrame(
+        [
+            (1, png, "image", "en", "t"),
+            (2, b"\x89PNG\r\n\x1a\n garbage", "image", "en", "t"),
+        ],
+        "media_id long, payload binary, media_type string, "
+        "meta_lang string, meta_source string",
+    ).coalesce(1)
+    got = {r.media_id: r for r in image_stats(media).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (8, 6, 3)
+    assert got[1].mean_pixel == [
+        round(float(m), 6) for m in want.astype(np.float64).mean(axis=(0, 1))
+    ]
+    assert got[2].width is None
