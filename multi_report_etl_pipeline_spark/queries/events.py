@@ -14,7 +14,7 @@ Spark guarantees batch/streaming semantics agree for these operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from multi_report_etl_pipeline_spark import oracle
@@ -23,6 +23,20 @@ from multi_report_etl_pipeline_spark.queries import QuerySpec
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# events.value carries 2 exact decimals and is non-negative by domain, so
+# x*100 + 0.5 truncated to BIGINT == half-up ROUND(x*100), and long-cents
+# sums are exact and order-independent like the DECIMAL(18,2) form — but
+# stay inside whole-stage codegen where Spark's Decimal sum is boxed
+# (measured 0.35 s -> 0.20 s on windowed_counts at sf1). cents/100.0 is
+# the correctly-rounded double of the exact decimal sum, so outputs stay
+# bit-identical to the oracle's DECIMAL spelling (both compute the
+# nearest double to the same rational k/100).
+VALUE_CENTS = "CAST(value * 100 + 0.5 AS BIGINT)"
+
+
+def sum_value_double() -> Column:
+    return F.sum(F.expr(VALUE_CENTS)) / F.lit(100.0)
 
 
 def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,12 +50,7 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            # decimal sum: exact and order-independent (value has 2dp);
-            # final cast to double so both engines' pandas dtype + text
-            # form agree (DECIMAL outputs are hash-fragile, see tpch.py)
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            sum_value_double().alias("sum_value"),
         )
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
@@ -72,25 +81,27 @@ def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 minute").alias("w"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        # carry exact long cents through every rollup level (lossless
+        # re-aggregation, codegen-friendly — see VALUE_CENTS)
+        F.sum(F.expr(VALUE_CENTS)).alias("cents"),
     )
     hour = minute.groupBy(
         F.window(F.col("w.start"), "1 hour").alias("w"), "event_type"
     ).agg(
         F.sum("cnt").alias("cnt"),
-        F.sum("sum_value").alias("sum_value"),
+        F.sum("cents").alias("cents"),
     )
     day = hour.groupBy(
         F.window(F.col("w.start"), "1 day").alias("w"), "event_type"
     ).agg(
         F.sum("cnt").alias("cnt"),
-        F.sum("sum_value").alias("sum_value"),
+        F.sum("cents").alias("cents"),
     )
     return day.select(
         F.date_format("w.start", "yyyy-MM-dd").alias("day"),
         "event_type",
         "cnt",
-        F.col("sum_value").cast("double").alias("sum_value"),
+        (F.col("cents") / F.lit(100.0)).alias("sum_value"),
     )
 
 
@@ -127,7 +138,7 @@ def sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Spark rounds the shortest decimal string, DuckDB the binary)
             (
                 F.expr(
-                    "CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 100"
+                    "CAST((2 * sum(CAST(value * 100 + 0.5 AS BIGINT)) * 100"
                     " + count(1)) DIV (2 * count(1)) AS DOUBLE) / 10000"
                 )
             ).alias("avg_value"),
@@ -169,9 +180,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("session_value"),
+            sum_value_double().alias("session_value"),
         )
         .select(
             "user_id",

