@@ -88,6 +88,10 @@ _TAIL = (
     "docs_stratified_sample",
     "docs_token_packing",
     "lineitem_approx_distinct",
+    # round-4 late demotion: json_props (green r1+r3, untouched this
+    # round) yields its slot to streaming_user_totals — the
+    # applyInPandasWithState arbitrary-stateful path's first driver row
+    "events_json_props",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

@@ -618,6 +618,38 @@ def streaming_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(surv, "doc_id", 50)
 
 
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arbitrary-stateful-operator path under the driver's oracle
+    gate: per-user running (count, sum) maintained by
+    ``applyInPandasWithState`` (streaming.user_totals_stream — explicit
+    state schema, update output mode), drained with availableNow. The
+    update-mode sink carries one row per state UPDATE, so the final
+    state per user is recovered by max(events_seen) (the counter is
+    monotone) with ``max_by`` pulling the matching total. The DuckDB
+    oracle recomputes the final state as a plain per-user aggregate —
+    pinning that incremental arbitrary state converges to the batch
+    answer."""
+    from multi_report_etl_pipeline_spark import streaming
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.user_totals_stream(st), "q_stream_user_totals", "update"
+    )
+    sink = spark.table("q_stream_user_totals")
+    return sink.groupBy("user_id").agg(
+        F.max("events_seen").alias("events_seen"),
+        F.max_by("value_total", "events_seen").alias("value_total"),
+    )
+
+
+USER_TOTALS_SQL = """
+SELECT user_id,
+       COUNT(*) AS events_seen,
+       ROUND(SUM(value), 2) AS value_total
+FROM events GROUP BY user_id
+"""
+
+
 def streaming_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of docs_vocabulary's token-count side: the corpus
     heavy-hitter table maintained incrementally (one count per distinct
@@ -644,6 +676,7 @@ LIMIT 100
 
 QUERIES.update(
     {
+        "streaming_user_totals": QuerySpec(streaming_user_totals, USER_TOTALS_SQL),
         "streaming_vocabulary": QuerySpec(streaming_vocabulary, STREAM_VOCAB_SQL),
         "streaming_windowed_counts": QuerySpec(
             streaming_windowed_counts, WINDOWED_COUNTS_SQL
