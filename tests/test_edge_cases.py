@@ -274,3 +274,18 @@ def test_funnel_and_cohort_handle_empty_events(spark):
         assert events_mod.cohort_retention(spark, "x").count() == 0
     finally:
         events_mod.read_table = orig
+
+
+def test_fixture_money_domains_are_nonnegative(duck):
+    """The long-cents conversions (events.VALUE_CENTS, tpch q1) rely on
+    x*100 + 0.5 truncation == half-up ROUND, which holds only for
+    non-negative inputs (truncation rounds toward zero). Pin the fixture
+    domain so a regenerated dataset with negative money/values fails
+    HERE with a pointer, not as an oracle hash mismatch."""
+    (vmin,) = duck.execute("SELECT MIN(value) FROM sf_med.events").fetchone()
+    assert vmin >= 0, "events.value went negative: revisit VALUE_CENTS"
+    row = duck.execute(
+        "SELECT MIN(l_quantity), MIN(l_extendedprice), MIN(l_discount),"
+        " MIN(l_tax) FROM sf_med.lineitem"
+    ).fetchone()
+    assert all(v >= 0 for v in row), "lineitem money went negative: q1 cents"
