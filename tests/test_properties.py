@@ -328,3 +328,73 @@ def test_snapshot_diff_matches_reference(old_map, new_map):
         else:
             want[k] = "unchanged"
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # user
+            st.sampled_from(["signup", "click", "purchase", "view"]),
+            st.integers(min_value=0, max_value=50),  # minute offset (ties allowed)
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_funnel_matches_bruteforce_reference(events):
+    """The window-form funnel (running-min rewrite) must agree with the
+    direct per-user-scalar definition on EVERY event set — including
+    ties (signup == click ts), step events before entry, multi-signup
+    users, and users missing steps entirely."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.queries import events as events_mod
+
+    spark = _shared_spark["spark"]
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (u, t, base + dt.timedelta(minutes=m)) for u, t, m in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    # brute-force reference: literal first-touch definition per user
+    per_user: dict[int, list[tuple[str, dt.datetime]]] = {}
+    for u, t, m in events:
+        per_user.setdefault(u, []).append((t, base + dt.timedelta(minutes=m)))
+    signup = click = purchase = 0
+    for evs in per_user.values():
+        t1 = min((ts for t, ts in evs if t == "signup"), default=None)
+        if t1 is None:
+            continue
+        signup += 1
+        t2 = min((ts for t, ts in evs if t == "click" and ts > t1), default=None)
+        if t2 is None:
+            continue
+        click += 1
+        t3 = min(
+            (ts for t, ts in evs if t == "purchase" and ts > t2), default=None
+        )
+        if t3 is not None:
+            purchase += 1
+
+    read_orig = events_mod.read_table
+    events_mod.read_table = lambda *_a, **_k: df
+    try:
+        got = {
+            r.step: r.users
+            for r in events_mod.conversion_funnel(spark, "unused").collect()
+        }
+    finally:
+        events_mod.read_table = read_orig
+    assert got == {
+        "signup": signup,
+        "click_after_signup": click,
+        "purchase_after_click": purchase,
+    }
