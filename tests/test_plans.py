@@ -224,3 +224,32 @@ def test_funnel_has_bounded_per_user_state(spark):
     assert "collect_list" not in plan, plan[:3000]
     assert "sort_array" not in plan, plan[:3000]
     assert "Window" in plan, plan[:3000]
+
+
+def test_curation_evaluates_each_regex_once_no_text_filter(spark):
+    """The round-4 fix pinned structurally: the keep-predicate is folded
+    into the survivor aggregation, so (a) one documents scan, (b) each
+    marker regex appears exactly ONCE in the physical plan — the old
+    filter-node form re-evaluated the scoring CASE per reference (no
+    subexpression elimination in filters) and pushed the regex pass
+    into the single-split scan stage."""
+    from multi_report_etl_pipeline_spark.io import fan_out, read_table
+    from multi_report_etl_pipeline_spark.operators import text
+
+    docs = fan_out(read_table(spark, SF_DIR, "documents"), spark, cols=("doc_id",))
+    plan = physical_plan(text.curation_survivors(docs))
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    en_marker = "the|and|of|to|is"
+    assert plan.count(en_marker) == 1, f"count={plan.count(en_marker)}"
+
+
+def test_q1_money_math_avoids_per_row_round(spark):
+    """q1 converts money to long cents with add-half truncation; Spark's
+    ROUND(double) is per-row BigDecimal (measured 35% of the agg loop
+    at sf1). Per-row round on input columns must not reappear —
+    post-agg rounds over the 6 result rows are fine."""
+    from multi_report_etl_pipeline_spark.queries.tpch import q1_pricing_summary
+
+    plan = physical_plan(q1_pricing_summary(spark, SF_DIR))
+    assert "round(l_" not in plan, plan[:3000]
+    assert "+ 0.5" in plan, plan[:3000]
