@@ -110,6 +110,60 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-source mixture sampling — the operator that turns a pile of
+    heterogeneous corpora into a training mix with declared per-source
+    weights (upsample scarce high-quality sources, downsample bulk
+    crawl). ``rates[source] = r`` keeps each of that source's rows
+    ``floor(r)`` times always, plus one more copy when the row's keyed
+    hash falls under ``frac(r)`` — so r=0.25 is a quarter-sample,
+    r=2.5 repeats every row twice and half the rows a third time
+    ("epoch repetition" with a deterministic fractional epoch).
+
+    Determinism contract matches the rest of this module: the extra
+    copy depends only on md5 of the key (16-bit bucket, so rates
+    quantize to 1/65536), stable across engines/reruns/repartitioning,
+    and oracle-checkable value-for-value. Output repeats input rows
+    with ``copy_id`` (1..n) distinguishing copies. One narrow map +
+    bounded explode, no shuffle, no RNG state; sequence() is guarded so
+    n=0 emits nothing (an unguarded sequence(1, 0) runs DESCENDING).
+    """
+    for s, r in rates.items():
+        if not (r >= 0.0 and r == r and r != float("inf")):
+            raise ValueError(f"rate for {s!r} must be finite and >= 0, got {r}")
+    if not (default_rate >= 0.0 and default_rate != float("inf")):
+        raise ValueError(f"default_rate must be finite and >= 0, got {default_rate}")
+
+    def split_rate(r: float) -> tuple[int, int]:
+        base = int(r)
+        return base, round((r - base) * 65536)
+
+    u16 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    d_base, d_thr = split_rate(default_rate)
+    base_c: Column = F.lit(d_base)
+    thr_c: Column = F.lit(d_thr)
+    for s, r in sorted(rates.items()):
+        b, t = split_rate(r)
+        base_c = F.when(F.col(source_col) == s, b).otherwise(base_c)
+        thr_c = F.when(F.col(source_col) == s, t).otherwise(thr_c)
+    n = base_c + F.when(u16 < thr_c, 1).otherwise(0)
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # explode must be the top-level expression of its projection (a cast
+    # around a generator is rejected); cast in a follow-up projection
+    out = df.withColumn("copy_id", F.explode(copies))
+    return out.withColumn("copy_id", F.col("copy_id").cast("bigint"))
+
+
 def pack_by_token_budget(
     df: DataFrame,
     key_col: str,

@@ -88,9 +88,13 @@ _TAIL = (
     "docs_stratified_sample",
     "docs_token_packing",
     "lineitem_approx_distinct",
-    # round-4 late demotion: json_props (green r1+r3, untouched this
+    # round-4 late demotions: json_props (green r1+r3, untouched this
     # round) yields its slot to streaming_user_totals — the
-    # applyInPandasWithState arbitrary-stateful path's first driver row
+    # applyInPandasWithState arbitrary-stateful path's first driver row —
+    # and daily_type_pivot (green r1+r3, untouched) to
+    # docs_mixture_sample (per-source training-mix rates with
+    # deterministic fractional upsampling)
+    "events_daily_type_pivot",
     "events_json_props",
     "customers_without_orders",
     "parts_at_max_size",

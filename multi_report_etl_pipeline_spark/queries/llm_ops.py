@@ -727,6 +727,55 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10
 """
 
 
+# Declared training-mix weights for the mixture-sampling query: upsample
+# the scarce "good" sources, pass one through, down-sample the bulk
+# tail. Both the Spark CASE and the DuckDB oracle are generated from
+# THIS dict, so the two sides cannot drift.
+MIXTURE_RATES: dict[str, float] = {"src0": 2.5, "src1": 1.5, "src2": 1.0, "src3": 0.5}
+MIXTURE_DEFAULT_RATE = 0.125
+
+
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction (operators/sampling.py mixture_sample):
+    per-source keep/repeat rates with deterministic fractional
+    upsampling — src0 rows appear 2-3 times, the bulk tail keeps
+    ~12.5%. copy_id distinguishes repeats; the oracle recomputes the
+    md5-bucket arithmetic and the repeat expansion row-for-row."""
+    from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return sampling.mixture_sample(
+        docs, "doc_id", "source", MIXTURE_RATES, MIXTURE_DEFAULT_RATE
+    )
+
+
+def _mixture_sql() -> str:
+    def split_rate(r: float) -> tuple[int, int]:
+        base = int(r)
+        return base, round((r - base) * 65536)
+
+    base_arms = " ".join(
+        f"WHEN '{s}' THEN {split_rate(r)[0]}" for s, r in sorted(MIXTURE_RATES.items())
+    )
+    thr_arms = " ".join(
+        f"WHEN '{s}' THEN {split_rate(r)[1]}" for s, r in sorted(MIXTURE_RATES.items())
+    )
+    d_base, d_thr = split_rate(MIXTURE_DEFAULT_RATE)
+    return f"""
+WITH scored AS (
+    SELECT doc_id, source, lang,
+           (CASE source {base_arms} ELSE {d_base} END)
+           + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                       < (CASE source {thr_arms} ELSE {d_thr} END)
+                  THEN 1 ELSE 0 END AS n
+    FROM documents
+)
+SELECT doc_id, source, lang, CAST(c AS BIGINT) AS copy_id
+FROM scored, LATERAL unnest(range(1, n + 1)) AS t(c)
+WHERE n >= 1
+"""
+
+
 def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (90/5/5) from the same
     16-bit md5 bucket the hash sampler uses — stable across engines,
@@ -848,6 +897,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_tfidf_top_terms": QuerySpec(docs_tfidf_top_terms, TFIDF_SQL),
     "emb_cosine_dedup": QuerySpec(emb_cosine_dedup, COSINE_DEDUP_SQL),
     "docs_hash_sample": QuerySpec(docs_hash_sample, HASH_SAMPLE_SQL),
+    "docs_mixture_sample": QuerySpec(docs_mixture_sample, _mixture_sql()),
     "docs_split_assignment": QuerySpec(docs_split_assignment, SPLIT_ASSIGNMENT_SQL),
     "docs_stratified_sample": QuerySpec(docs_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "docs_token_packing": QuerySpec(docs_token_packing, TOKEN_PACKING_SQL),

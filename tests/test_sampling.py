@@ -116,3 +116,43 @@ def test_split_assignment_validates_percents(spark):
         split_assignment(None, "k", {"train": 50, "val": 10})
     with pytest.raises(ValueError):
         split_assignment(None, "k", {"train": 110, "val": -10})
+
+
+def test_mixture_sample_copy_counts_and_determinism(spark):
+    """Integer rates repeat every row exactly floor(r) times; fractional
+    parts add copies at the declared per-source frequency; rate 0 drops
+    the source entirely; membership/copy counts are stable under
+    repartitioning. copy_id is 1..n per row."""
+    from multi_report_etl_pipeline_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 4 == 0 else "b" if i % 4 == 1 else "c" if i % 4 == 2 else "d")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"a": 2.0, "b": 0.0, "c": 0.5, "d": 3.0}
+    out = mixture_sample(df, "doc_id", "source", rates).collect()
+    by_key: dict[tuple[int, str], list[int]] = {}
+    for r in out:
+        by_key.setdefault((r.doc_id, r.source), []).append(r.copy_id)
+    # a: exactly 2 copies each; d: exactly 3; b: none
+    a_keys = [k for k in by_key if k[1] == "a"]
+    assert len(a_keys) == 100 and all(
+        sorted(by_key[k]) == [1, 2] for k in a_keys
+    )
+    assert all(k[1] != "b" for k in by_key)
+    d_keys = [k for k in by_key if k[1] == "d"]
+    assert len(d_keys) == 100 and all(
+        sorted(by_key[k]) == [1, 2, 3] for k in d_keys
+    )
+    # c: ~half the rows, one copy each, deterministic subset
+    c_keys = [k for k in by_key if k[1] == "c"]
+    assert 25 <= len(c_keys) <= 75 and all(by_key[k] == [1] for k in c_keys)
+    again = mixture_sample(
+        df.repartition(7), "doc_id", "source", rates
+    ).collect()
+    assert sorted((r.doc_id, r.source, r.copy_id) for r in again) == sorted(
+        (r.doc_id, r.source, r.copy_id) for r in out
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "source", {"a": -1.0})
