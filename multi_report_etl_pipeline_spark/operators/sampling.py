@@ -164,6 +164,33 @@ def mixture_sample(
     return out.withColumn("copy_id", F.col("copy_id").cast("bigint"))
 
 
+def temperature_rates(
+    counts: dict[str, int], tau: float, budget: float | None = None
+) -> dict[str, float]:
+    """Per-source mixture rates from temperature-smoothed frequencies —
+    the standard multilingual/multi-corpus re-balancing formula: the
+    target share of source s is p_s^(1/tau) / sum(p^(1/tau)) where
+    p_s = n_s / N. tau=1 reproduces natural proportions; tau>1 flattens
+    toward uniform (upsampling scarce sources); tau->inf is uniform.
+
+    Returns the ``rates`` dict for ``mixture_sample``: rate_s =
+    target_share_s * budget / n_s, where ``budget`` is the desired
+    output row count (default N, a same-size resample). A pure driver
+    function over the bounded per-source count map (one small groupBy
+    to obtain), so the sampling itself stays engine-deterministic —
+    rates become literals in the plan.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    if any(n <= 0 for n in counts.values()) or not counts:
+        raise ValueError("counts must be non-empty with positive values")
+    total = float(sum(counts.values()))
+    budget = float(budget if budget is not None else total)
+    smoothed = {s: (n / total) ** (1.0 / tau) for s, n in counts.items()}
+    z = sum(smoothed.values())
+    return {s: (w / z) * budget / counts[s] for s, w in smoothed.items()}
+
+
 def pack_by_token_budget(
     df: DataFrame,
     key_col: str,

@@ -156,3 +156,48 @@ def test_mixture_sample_copy_counts_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         mixture_sample(df, "doc_id", "source", {"a": -1.0})
+
+
+def test_temperature_rates_formula_and_composition(spark):
+    """tau=1 reproduces natural proportions (all rates equal); tau->inf
+    approaches uniform shares; expected output size equals the budget;
+    rates compose with mixture_sample to a deterministic resample."""
+    import math
+
+    from multi_report_etl_pipeline_spark.operators.sampling import (
+        mixture_sample,
+        temperature_rates,
+    )
+
+    counts = {"big": 8000, "mid": 1500, "small": 500}
+    nat = temperature_rates(counts, tau=1.0)
+    assert all(abs(r - 1.0) < 1e-12 for r in nat.values())
+    flat = temperature_rates(counts, tau=1e9)
+    # uniform shares: each source's expected rows = N/3
+    total = sum(counts.values())
+    for s, n in counts.items():
+        assert abs(flat[s] * n - total / 3) < 1.0
+    t2 = temperature_rates(counts, tau=2.0)
+    expected_out = sum(t2[s] * n for s, n in counts.items())
+    assert abs(expected_out - total) < 1e-6
+    assert t2["small"] > 1.0 > t2["big"]  # scarce upsampled, bulk downsampled
+    half = temperature_rates(counts, tau=2.0, budget=total / 2)
+    assert all(abs(half[s] - t2[s] / 2) < 1e-12 for s in counts)
+
+    rows = [(i, "big" if i % 4 != 3 else "small") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got_counts = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_rates(got_counts, tau=3.0)
+    out = mixture_sample(df, "doc_id", "source", rates)
+    n_out = out.count()
+    assert abs(n_out - 200) <= 25  # expected size == budget, binomial spread
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_rates(counts, tau=0)
+    with _pytest.raises(ValueError):
+        temperature_rates({}, tau=1.0)
