@@ -447,7 +447,10 @@ WITH counts AS (
 )
 SELECT CAST(power(2.0, CAST(floor(log2(cnt)) AS BIGINT)) AS BIGINT) AS bucket_min_events,
        COUNT(*) AS n_users,
-       SUM(cnt) AS n_events
+       -- DuckDB SUM(BIGINT) yields HUGEINT, which the pandas
+       -- materialization path turns into float64 ('3440.0' vs Spark's
+       -- '3440'); cast back to BIGINT so both engines emit int64
+       CAST(SUM(cnt) AS BIGINT) AS n_events
 FROM counts
 GROUP BY CAST(floor(log2(cnt)) AS BIGINT)
 """
