@@ -579,3 +579,92 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+def distributed_kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully-distributed Lloyd's k-means: every iteration is a corpus-wide
+    Spark job (unlike ``kmeans_cells``, whose quantizer trains on a
+    driver-side sample). Returns the final (id, cluster) assignment.
+
+    Deterministic and engine-portable by construction, so the whole
+    iterative algorithm sits under the value-level DuckDB oracle (the
+    oracle unrolls the same ``iters`` iterations as chained CTEs):
+
+    - init = the ``k`` lowest-id vectors (cid = rank in id order);
+    - assignment = argmin over squared L2 computed as
+      |v|^2 - 2 v.c + |c|^2 in float64, ties to the lowest cid;
+    - update = per-(cluster, dim) mean, ROUNDED to 6 decimals in-plan
+      (``F.round`` and DuckDB ``ROUND`` agree half-up on doubles), so
+      both engines iterate from bit-identical centroid matrices and the
+      only residual float risk is a near-equidistant assignment tie.
+
+    The 100 TB shape: per iteration, ONE embarrassingly-parallel Arrow
+    GEMM pass assigns every partition's vectors against the broadcast
+    k x dim matrix (shipped in the mapInPandas closure), then ONE
+    partial-aggregated shuffle of (cluster, dim) cells — k*dim groups
+    regardless of corpus size — and a bounded k*dim driver collect.
+    Empty clusters drop out (both engines aggregate only over members).
+    Re-scans the source per iteration; persist the projected (id, v)
+    upstream when iterating more than a few times over cold storage.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = vecs.orderBy("id").limit(k).collect()  # bounded: k rows
+    cids = list(range(len(init)))
+    cents = np.stack([r["v"] for r in init]).astype("float64")
+
+    def assigned(cids: list[int], cents: "np.ndarray") -> DataFrame:
+        cc = cents.copy()
+        cid_arr = np.asarray(cids, dtype="int64")
+        c_sq = (cc * cc).sum(axis=1)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["v"].to_numpy()).astype("float64")
+                d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ cc.T) + c_sq[None, :]
+                # argmin keeps the FIRST minimum: columns are in
+                # ascending-cid order, matching the oracle's
+                # ORDER BY dist, cid tie-break.
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "cluster": cid_arr[d2.argmin(axis=1)].astype("int32"),
+                        "v": pdf["v"],
+                    }
+                )
+
+        return vecs.mapInPandas(assign, "id long, cluster int, v array<double>")
+
+    for _ in range(iters - 1):
+        cells = (
+            assigned(cids, cents)
+            .select("cluster", F.posexplode("v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("col"), 6).alias("m"))
+            .collect()  # bounded: k * dim cells
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cid.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cids = sorted(by_cid)
+        cents = np.stack(
+            [
+                np.array([by_cid[c][p] for p in sorted(by_cid[c])], dtype="float64")
+                for c in cids
+            ]
+        )
+    return assigned(cids, cents).select("id", "cluster")

@@ -436,3 +436,93 @@ def expand_curation_survivors(surv: DataFrame) -> DataFrame:
         F.col("s.n_tokens").alias("n_tokens"),
         F.col("s.quality").alias("quality"),
     )
+
+
+def consecutive_ngrams(tokens: Column, n: int) -> Column:
+    """Every consecutive n-gram of ``tokens`` (ALL occurrences, joined
+    with spaces); ``[]`` when the doc has fewer than ``n`` tokens. Index
+    transform over ``sequence`` — ``sequence(1, 0)`` would count DOWN, so
+    the short-doc case is guarded explicitly."""
+    count = F.size(tokens) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in an already
+    sorted array — i.e. the count of the most frequent element. A single
+    O(n) fold; with the O(n log n) ``array_sort`` this computes a per-row
+    mode with NO shuffle and NO Python, unlike the explode + groupBy
+    alternative that shuffles the whole token stream."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def _dup_frac(grams: Column) -> Column:
+    """1 - distinct/total over an n-gram array (0.0 for empty arrays):
+    the fraction of n-gram OCCURRENCES that are repeats."""
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+            6,
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_token_frac: float = 0.12,
+    max_dup_bigram_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals for pre-training
+    curation (Rae et al. 2021, arXiv:2112.11446 Table A1): the fraction
+    of tokens taken by the most frequent token and the duplicate n-gram
+    fractions, plus the keep/drop verdict at the given thresholds.
+
+    Everything is a narrow pure-codegen projection over the scan —
+    ``array_sort`` + one fold for the per-doc mode, array ops for the
+    n-gram distinct ratios — so the operator is embarrassingly parallel
+    at 100 TB: no explode, no shuffle, no Python. (The explode + groupBy
+    formulation the oracle uses would shuffle every token occurrence.)
+    """
+    toks = words(F.col(text_col))
+    top_frac = F.round(
+        _max_run(F.array_sort(toks)).cast("double") / F.size(toks).cast("double"), 6
+    )
+    out = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        _dup_frac(consecutive_ngrams(toks, 2)).alias("dup_bigram_frac"),
+        _dup_frac(consecutive_ngrams(toks, 3)).alias("dup_trigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("top_token_frac") <= max_top_token_frac)
+            & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+        ).cast("int"),
+    )

@@ -96,6 +96,14 @@ _TAIL = (
     # deterministic fractional upsampling)
     "events_daily_type_pivot",
     "events_json_props",
+    # round-4 additions: docs_chunks + docs_vocabulary (both hash-green
+    # in r3, their operator code untouched since) yield their slots to
+    # the two NEW queries docs_repetition_stats (Gopher repetition
+    # filters) and emb_kmeans_clusters (distributed Lloyd's under an
+    # unrolled-iteration oracle) so both get a driver row the round
+    # they land.
+    "docs_chunks",
+    "docs_vocabulary",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

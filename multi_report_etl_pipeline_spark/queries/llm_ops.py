@@ -1098,3 +1098,107 @@ QUERIES.update(
         "emb_ivf_topk": QuerySpec(emb_ivf_topk, None),
     }
 )
+
+
+# ----------------------------------------------- repetition / clustering ---
+
+
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filter signals (top-token
+    fraction + duplicate bigram/trigram fractions + keep verdict).
+    Narrow pure-codegen projection — no explode, no shuffle."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return text.repetition_stats(docs)
+
+
+# The oracle takes the explode + groupBy route for the per-doc mode
+# (DuckDB has no sorted-run fold) and list ops for the n-gram ratios;
+# same values, different plan shape — which is the point of the check.
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+top AS (
+    SELECT doc_id, MAX(c) AS topc, SUM(c) AS n
+    FROM (SELECT doc_id, token, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS token FROM t) GROUP BY 1, 2)
+    GROUP BY doc_id
+),
+grams AS (
+    SELECT doc_id,
+           [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bg,
+           [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS tg
+    FROM t
+)
+SELECT t.doc_id,
+       len(t.w) AS n_tokens,
+       ROUND(CAST(top.topc AS DOUBLE) / top.n, 6) AS top_token_frac,
+       CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+       END AS dup_bigram_frac,
+       CASE WHEN len(tg) = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+       END AS dup_trigram_frac,
+       CAST(ROUND(CAST(top.topc AS DOUBLE) / top.n, 6) <= 0.12
+            AND (CASE WHEN len(bg) = 0 THEN 0.0
+                      ELSE ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                                 / len(bg), 6) END) <= 0.05 AS INTEGER) AS keep
+FROM t JOIN top USING (doc_id) JOIN grams USING (doc_id)
+"""
+
+
+_KMEANS_K, _KMEANS_ITERS = 8, 3
+
+
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed Lloyd's k-means (k=8, 3 iterations) over the
+    corpus — the iterative-algorithm path under the VALUE-level oracle
+    (the SQL twin unrolls the same three iterations as chained CTEs).
+    Semantic/embedding clustering is the curation primitive behind
+    cluster-balanced sampling and semantic dedup."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    return similarity.distributed_kmeans(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, dim: int = 64) -> str:
+    """Unroll ``iters`` Lloyd iterations as CTE chains: a{t} assigns
+    against c{t-1} (argmin squared-L2, ties to the lowest cid), c{t}
+    averages members per (cid, dim) rounded to 6 decimals — the same
+    rounding the Spark plan applies, so both engines iterate from
+    identical centroid matrices."""
+    dist = (
+        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    parts = [
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"f8 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c"
+        " FROM f8)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cid FROM ("
+            f"SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn"
+            f" FROM e CROSS JOIN c{t - 1} AS c) WHERE rn = 1)"
+        )
+        if t < iters:
+            parts.append(
+                f"c{t} AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
+                f"SELECT a{t}.cid, t.i, ROUND(AVG(e.v[t.i]), 6) AS m"
+                f" FROM a{t} JOIN e USING (vec_id)"
+                f" CROSS JOIN generate_series(1, {dim}) AS t(i)"
+                f" GROUP BY a{t}.cid, t.i) GROUP BY cid)"
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id AS id, CAST(cid AS INTEGER) AS cluster FROM a{iters}"
+    )
+
+
+QUERIES.update(
+    {
+        "docs_repetition_stats": QuerySpec(docs_repetition_stats, REPETITION_SQL),
+        "emb_kmeans_clusters": QuerySpec(emb_kmeans_clusters, _kmeans_sql()),
+    }
+)

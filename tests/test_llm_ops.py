@@ -271,3 +271,57 @@ def test_chunking_edge_lengths_exhaustive(spark):
                 assert r.n_chunk_tokens == cs, f"n={n} chunk {r.chunk_id} short"
             toks.extend(got if r.chunk_id == 0 else got[ov:])
         assert toks == [f"t{n}_{i}" for i in range(n)], f"n={n} reconstruction"
+
+
+def test_repetition_stats_flags_planted_repetition(spark):
+    """A doc that is one token repeated must be dropped with top/dup
+    fractions ~1; the short-doc edges keep the 0.0 convention."""
+    from multi_report_etl_pipeline_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight"),
+            (3, "solo"),
+            (4, "pair pair"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(1 - 1 / 7, abs=1e-6)
+    assert rows[1]["keep"] == 0
+    assert rows[2]["dup_bigram_frac"] == 0.0 and rows[2]["keep"] == 0
+    # 8 distinct tokens -> top_token_frac 0.125 > 0.12 threshold: dropped
+    assert rows[2]["top_token_frac"] == 0.125
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["dup_bigram_frac"] == 0.0 == rows[3]["dup_trigram_frac"]
+    assert rows[4]["dup_bigram_frac"] == 0.0  # one bigram, trivially distinct
+    assert rows[4]["dup_trigram_frac"] == 0.0
+    assert rows[4]["top_token_frac"] == 1.0
+
+
+def test_distributed_kmeans_recovers_separated_blobs(spark):
+    """Three well-separated blobs whose first three ids land in distinct
+    blobs: Lloyd's must converge to the exact blob partition, and the
+    result must be deterministic across runs."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.similarity import (
+        distributed_kmeans,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0] * 8, [50.0] * 8, [-50.0] * 8])
+    rows = []
+    # ids 0,1,2 are one point from each blob (the deterministic seeds)
+    for i in range(60):
+        blob = i % 3
+        v = centers[blob] + rng.randn(8) * 0.5
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: r["cluster"] for r in distributed_kmeans(emb, k=3, iters=3).collect()}
+    for i in range(60):
+        assert got[i] == i % 3, f"id {i} assigned {got[i]}, blob {i % 3}"
+    again = {r["id"]: r["cluster"] for r in distributed_kmeans(emb, k=3, iters=3).collect()}
+    assert got == again

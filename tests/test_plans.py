@@ -253,3 +253,16 @@ def test_q1_money_math_avoids_per_row_round(spark):
     plan = physical_plan(q1_pricing_summary(spark, SF_DIR))
     assert "round(l_" not in plan, plan[:3000]
     assert "+ 0.5" in plan, plan[:3000]
+
+
+def test_repetition_stats_is_narrow_codegen(spark):
+    """Repetition stats are a pure projection: the per-doc mode comes
+    from array_sort + one fold, never from explode + shuffle or Python."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.text import repetition_stats
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = physical_plan(repetition_stats(docs))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "EvalPython" not in plan, plan[:2000]
+    assert "Generate" not in plan, plan[:2000]  # no explode
