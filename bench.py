@@ -50,6 +50,8 @@ HEADLINE = [
     "emb_ivf_topk",
     "events_asof_last_click",
     "docs_dedup_groups",
+    "docs_repetition_stats",
+    "emb_kmeans_clusters",
 ]
 
 

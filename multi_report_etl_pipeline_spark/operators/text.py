@@ -507,17 +507,34 @@ def repetition_stats(
     n-gram distinct ratios — so the operator is embarrassingly parallel
     at 100 TB: no explode, no shuffle, no Python. (The explode + groupBy
     formulation the oracle uses would shuffle every token occurrence.)
+
+    The arrays are bound in CHAINED projections, not one expression
+    tree: subexpression elimination does not reach inside higher-order
+    lambdas, so inlining ``words(text)`` into ``consecutive_ngrams``
+    re-runs the regex split at every ``element_at`` reference — O(n^2)
+    regex work per doc (measured 2.8 s -> 0.35 s at sf0.1 for this
+    rewrite). ``CollapseProject`` keeps the stages separate because
+    merging would duplicate the non-cheap aliased arrays.
     """
-    toks = words(F.col(text_col))
+    toks = F.col("__toks")
     top_frac = F.round(
         _max_run(F.array_sort(toks)).cast("double") / F.size(toks).cast("double"), 6
     )
-    out = docs.select(
-        F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        top_frac.alias("top_token_frac"),
-        _dup_frac(consecutive_ngrams(toks, 2)).alias("dup_bigram_frac"),
-        _dup_frac(consecutive_ngrams(toks, 3)).alias("dup_trigram_frac"),
+    out = (
+        docs.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            toks,
+            consecutive_ngrams(toks, 2).alias("__bg"),
+            consecutive_ngrams(toks, 3).alias("__tg"),
+        )
+        .select(
+            F.col(id_col),
+            F.size(toks).alias("n_tokens"),
+            top_frac.alias("top_token_frac"),
+            _dup_frac(F.col("__bg")).alias("dup_bigram_frac"),
+            _dup_frac(F.col("__tg")).alias("dup_trigram_frac"),
+        )
     )
     return out.withColumn(
         "keep",
