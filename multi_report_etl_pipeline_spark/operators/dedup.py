@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from multi_report_etl_pipeline_spark.operators.text import fingerprint, normalized
+from multi_report_etl_pipeline_spark.operators.text import (
+    fingerprint,
+    normalized,
+    words,
+)
 
 
 def exact_dedup(
@@ -327,3 +331,57 @@ def near_dup_components(
             "max_iterations for graphs with larger diameter"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("group_id"))
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style sub-document dedup (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 "deduplicating three-sentence spans"): split every doc into
+    consecutive ``span_tokens``-token spans, keep only the globally FIRST
+    occurrence of each span text (ordered by (doc_id, span index)), and
+    reassemble the surviving spans into a cleaned document. Docs whose
+    every span is a repeat disappear (their group is empty) — in both
+    engines.
+
+    Two shuffles at any scale: (1) the span-text window that elects the
+    first occurrence — partial state is one row per span occurrence,
+    never a whole doc; (2) the reassembly groupBy on doc id, whose
+    per-group state is bounded by the document itself (reassembly
+    inherently carries the doc, the same bound as reading it). The span
+    explode is the standard fan-out; span text, not a hash, is the key
+    so the oracle needs no hash-function parity."""
+    toks = F.col("__toks")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("long")
+    spans = (
+        docs.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            n_spans.alias("n_spans"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (n_spans - 1).cast("int")),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+                    ),
+                )
+            ).alias("span_idx", "span_text"),
+        )
+    )
+    w = Window.partitionBy("span_text")
+    first = F.min(F.struct(F.col(id_col), F.col("span_idx"))).over(w)
+    kept = spans.withColumn("__first", first).filter(
+        (F.col("__first")[id_col] == F.col(id_col))
+        & (F.col("__first")["span_idx"] == F.col("span_idx"))
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("span_idx").alias("i"), F.col("span_text").alias("t")))
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(ordered, lambda x: x["t"])).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("n_spans").alias("n_spans"),
+    )

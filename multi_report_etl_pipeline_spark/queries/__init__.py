@@ -96,14 +96,17 @@ _TAIL = (
     # deterministic fractional upsampling)
     "events_daily_type_pivot",
     "events_json_props",
-    # round-4 additions: docs_chunks + docs_vocabulary (both hash-green
-    # in r3, their operator code untouched since) yield their slots to
-    # the two NEW queries docs_repetition_stats (Gopher repetition
-    # filters) and emb_kmeans_clusters (distributed Lloyd's under an
-    # unrolled-iteration oracle) so both get a driver row the round
-    # they land.
+    # round-4 additions: docs_chunks, docs_vocabulary and
+    # docs_tfidf_top_terms (all hash-green in r3, their operator code
+    # untouched since) yield their slots to the three NEW queries
+    # docs_repetition_stats (Gopher repetition filters),
+    # emb_kmeans_clusters (distributed Lloyd's under an
+    # unrolled-iteration oracle) and docs_span_dedup (C4-style span
+    # dedup with reassembly) so each gets a driver row the round it
+    # lands.
     "docs_chunks",
     "docs_vocabulary",
+    "docs_tfidf_top_terms",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

@@ -1202,3 +1202,46 @@ QUERIES.update(
         "emb_kmeans_clusters": QuerySpec(emb_kmeans_clusters, _kmeans_sql()),
     }
 )
+
+
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document span dedup: 3-token spans, global
+    first-occurrence-wins, reassembled cleaned docs."""
+    from multi_report_etl_pipeline_spark.operators import dedup  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return dedup.span_dedup(docs, span_tokens=3)
+
+
+SPAN_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+s0 AS (
+    SELECT doc_id, w, CAST(ceil(len(w) / 3.0) AS BIGINT) AS n_spans,
+           unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS span_idx
+    FROM t
+),
+seg AS (
+    SELECT doc_id, n_spans, span_idx,
+           array_to_string(w[span_idx * 3 + 1 : span_idx * 3 + 3], ' ') AS span_text
+    FROM s0
+),
+kept AS (
+    SELECT * FROM (
+        SELECT seg.*, ROW_NUMBER() OVER (
+            PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+        FROM seg
+    ) WHERE rn = 1
+)
+SELECT doc_id,
+       string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text,
+       COUNT(*) AS n_kept,
+       MIN(n_spans) AS n_spans
+FROM kept GROUP BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "docs_span_dedup": QuerySpec(docs_span_dedup, SPAN_DEDUP_SQL),
+    }
+)
