@@ -107,6 +107,10 @@ _TAIL = (
     "docs_chunks",
     "docs_vocabulary",
     "docs_tfidf_top_terms",
+    # ...and events_cohort_retention (hash-green r3, untouched) yields
+    # its slot to emb_cluster_balanced_sample (kmeans -> per-cluster
+    # hash sampler composition).
+    "events_cohort_retention",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

@@ -1158,7 +1158,12 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.distributed_kmeans(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
-def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, dim: int = 64) -> str:
+def _kmeans_sql(
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    dim: int = 64,
+    tail: str | None = None,
+) -> str:
     """Unroll ``iters`` Lloyd iterations as CTE chains: a{t} assigns
     against c{t-1} (argmin squared-L2, ties to the lowest cid), c{t}
     averages members per (cid, dim) rounded to 6 decimals — the same
@@ -1189,11 +1194,10 @@ def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, dim: int = 64) -
                 f" CROSS JOIN generate_series(1, {dim}) AS t(i)"
                 f" GROUP BY a{t}.cid, t.i) GROUP BY cid)"
             )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT vec_id AS id, CAST(cid AS INTEGER) AS cluster FROM a{iters}"
+    tail = tail or (
+        f"SELECT vec_id AS id, CAST(cid AS INTEGER) AS cluster FROM a{iters}"
     )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
 QUERIES.update(
@@ -1243,5 +1247,44 @@ FROM kept GROUP BY doc_id
 QUERIES.update(
     {
         "docs_span_dedup": QuerySpec(docs_span_dedup, SPAN_DEDUP_SQL),
+    }
+)
+
+
+_BALANCED_M = 20
+
+
+def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling — the semantic-curation composition:
+    distributed k-means partitions the corpus by embedding geometry,
+    then the deterministic per-stratum hash sampler keeps exactly
+    min(m, |cluster|) ids per cluster. The balancing step rides the
+    same WindowGroupLimit shape as ``docs_stratified_sample``: each
+    task pre-prunes to m rows per cluster before the exchange."""
+    from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    assign = similarity.distributed_kmeans(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS
+    ).withColumnRenamed("id", "vec_id")
+    return sampling.stratified_sample(assign, ["cluster"], "vec_id", _BALANCED_M)
+
+
+_BALANCED_TAIL = f"""SELECT vec_id, cluster, sample_rank FROM (
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+           ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) AS sample_rank
+    FROM a{_KMEANS_ITERS}
+) t
+WHERE sample_rank <= {_BALANCED_M}"""
+
+
+QUERIES.update(
+    {
+        "emb_cluster_balanced_sample": QuerySpec(
+            emb_cluster_balanced_sample, _kmeans_sql(tail=_BALANCED_TAIL)
+        ),
     }
 )

@@ -370,3 +370,25 @@ def test_span_dedup_is_idempotent_on_clean_corpus(spark):
         toks = r["clean_text"].split(" ")
         spans = [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
         assert len(spans) == len(set(spans)), f"doc {r['doc_id']} kept a dup span"
+
+
+def test_cluster_balanced_sample_is_balanced(spark):
+    """Every cluster contributes exactly min(m, |cluster|) rows, ranks
+    are 1..n within each cluster, and membership matches the kmeans
+    assignment."""
+    from collections import Counter
+
+    from tests.conftest import SF_DIR
+
+    assign = {
+        r["id"]: r["cluster"]
+        for r in QUERIES["emb_kmeans_clusters"].fn(spark, SF_DIR).collect()
+    }
+    sizes = Counter(assign.values())
+    rows = QUERIES["emb_cluster_balanced_sample"].fn(spark, SF_DIR).collect()
+    got = Counter(r["cluster"] for r in rows)
+    for c, n in sizes.items():
+        assert got[c] == min(20, n), (c, got[c], n)
+    for r in rows:
+        assert assign[r["vec_id"]] == r["cluster"]
+        assert 1 <= r["sample_rank"] <= 20
