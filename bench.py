@@ -52,6 +52,7 @@ HEADLINE = [
     "docs_dedup_groups",
     "docs_repetition_stats",
     "emb_kmeans_clusters",
+    "docs_span_dedup",
 ]
 
 

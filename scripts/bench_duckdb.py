@@ -47,6 +47,9 @@ COMPARABLE = [
     "docs_language_id",
     "emb_cosine_topk",
     "docs_dedup_groups",
+    "docs_repetition_stats",
+    "emb_kmeans_clusters",
+    "docs_span_dedup",
 ]
 
 
