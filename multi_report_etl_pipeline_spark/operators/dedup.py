@@ -347,13 +347,17 @@ def span_dedup(
     every span is a repeat disappear (their group is empty) — in both
     engines.
 
-    Two shuffles at any scale: (1) the span-text window that elects the
-    first occurrence — partial state is one row per span occurrence,
-    never a whole doc; (2) the reassembly groupBy on doc id, whose
-    per-group state is bounded by the document itself (reassembly
-    inherently carries the doc, the same bound as reading it). The span
-    explode is the standard fan-out; span text, not a hash, is the key
-    so the oracle needs no hash-function parity."""
+    Two shuffles at any scale: (1) the first-occurrence election is ONE
+    ``min_by`` aggregation keyed by span text — the kept set is exactly
+    one row per distinct span, so the agg RESULT is the survivor set
+    (no window, no join-back), and the partial merge reduces Zipf-hot
+    boilerplate spans map-side before the exchange (a window-min would
+    funnel every occurrence of a hot span through one task); (2) the
+    reassembly groupBy on doc id, whose per-group state is bounded by
+    the document itself (reassembly inherently carries the doc, the
+    same bound as reading it). The span explode is the standard
+    fan-out; span text, not a hash, is the key so the oracle needs no
+    hash-function parity."""
     toks = F.col("__toks")
     n_spans = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("long")
     spans = (
@@ -371,11 +375,20 @@ def span_dedup(
             ).alias("span_idx", "span_text"),
         )
     )
-    w = Window.partitionBy("span_text")
-    first = F.min(F.struct(F.col(id_col), F.col("span_idx"))).over(w)
-    kept = spans.withColumn("__first", first).filter(
-        (F.col("__first")[id_col] == F.col(id_col))
-        & (F.col("__first")["span_idx"] == F.col("span_idx"))
+    kept = (
+        spans.groupBy("span_text")
+        .agg(
+            F.min_by(
+                F.struct(F.col(id_col), F.col("span_idx"), F.col("n_spans")),
+                F.struct(F.col(id_col), F.col("span_idx")),
+            ).alias("__w")
+        )
+        .select(
+            F.col("__w")[id_col].alias(id_col),
+            F.col("__w.span_idx").alias("span_idx"),
+            F.col("__w.n_spans").alias("n_spans"),
+            "span_text",
+        )
     )
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("span_idx").alias("i"), F.col("span_text").alias("t")))

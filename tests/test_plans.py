@@ -266,3 +266,20 @@ def test_repetition_stats_is_narrow_codegen(spark):
     assert "Exchange" not in plan, plan[:2000]
     assert "EvalPython" not in plan, plan[:2000]
     assert "Generate" not in plan, plan[:2000]  # no explode
+
+
+def test_span_dedup_election_is_partial_min_by_agg(spark):
+    """The first-occurrence election must be a partial-aggregated
+    min_by groupBy (map-side combine absorbs Zipf-hot boilerplate
+    spans), never a window — a window-min funnels every occurrence of
+    a hot span through one task at corpus scale."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.dedup import span_dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = physical_plan(span_dedup(docs))
+    assert "Window" not in plan, plan[:3000]
+    assert "min_by" in plan or "ObjectHashAggregate" in plan, plan[:3000]
+    # two real exchanges: span-text election + doc-id reassembly
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) <= 3, plan[:3000]  # incl. the fan_out repartition
