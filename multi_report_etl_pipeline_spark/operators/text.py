@@ -543,3 +543,66 @@ def repetition_stats(
             & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
         ).cast("int"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval over the corpus for one (small, literal) query —
+    the quality-match mining primitive (find training docs that look
+    like a target benchmark/topic). Okapi BM25 (Robertson & Walker
+    1994): score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Scale shape: the corpus-level constants (N, avgdl, df per query
+    term) come from ONE partial-aggregated pass that computes every
+    per-term df as a ``sum(when(array_contains(...)))`` — no explode,
+    no token shuffle, one 1-row collect bounded by |query| — then the
+    scoring pass is a NARROW projection (per-term tf via one filter
+    fold each) + TakeOrdered top-k. Two scans total, nothing
+    data-proportional ever shuffles."""
+    toks = words(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    stats = base.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("__toks", t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).collect()[0]
+    n, avgdl = float(stats["n"]), float(stats["avgdl"])
+    import math  # noqa: PLC0415
+
+    idf = [
+        math.log((n - float(stats[f"df_{i}"]) + 0.5) / (float(stats[f"df_{i}"]) + 0.5) + 1.0)
+        for i in range(len(query_terms))
+    ]
+    dl = F.size("__toks").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    def _eq(term: str):
+        # one-arg closure: F.filter inspects the lambda's arity, and a
+        # two-arg lambda (the `t=t` default-capture idiom) would be
+        # called as (element, index)
+        return lambda x: x == F.lit(term)
+
+    score = None
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter("__toks", _eq(t))).cast("double")
+        term = F.lit(idf[i]) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = term if score is None else score + term
+    return (
+        base.select(
+            F.col(id_col),
+            F.round(score, 6).alias("bm25"),
+        )
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

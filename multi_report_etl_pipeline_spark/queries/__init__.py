@@ -109,8 +109,13 @@ _TAIL = (
     "docs_tfidf_top_terms",
     # ...and events_cohort_retention (hash-green r3, untouched) yields
     # its slot to emb_cluster_balanced_sample (kmeans -> per-cluster
-    # hash sampler composition).
+    # hash sampler composition), and events_clicks_before_errors
+    # (hash-green r3; the plain range join compares raw timestamps, so
+    # this round's NTZ epoch fix to the BINNED variant — which stays in
+    # the window — does not touch it) to docs_bm25_topk (Okapi BM25
+    # retrieval for quality-match mining).
     "events_cohort_retention",
+    "events_clicks_before_errors",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

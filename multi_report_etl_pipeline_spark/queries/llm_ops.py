@@ -1288,3 +1288,47 @@ QUERIES.update(
         ),
     }
 )
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval top-20 for a fixed query — quality-match
+    mining (find corpus docs most like a target topic). One bounded
+    stats pass (N/avgdl/df, no explode) + one narrow scoring scan."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return text.bm25_topk(docs, list(_BM25_TERMS), k=20)
+
+
+def _bm25_sql(terms: tuple[str, ...] = _BM25_TERMS, k: int = 20) -> str:
+    dfs = ", ".join(
+        f"SUM(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(
+        f"ln((c.n - c.df{i} + 0.5) / (c.df{i} + 0.5) + 1.0)"
+        f" * tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * len(w) / c.avgdl))"
+        for i in range(len(terms))
+    )
+    tfs = ", ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(len(w)) AS avgdl, {dfs} FROM t),
+tf AS (SELECT doc_id, w, {tfs} FROM t),
+s AS (SELECT doc_id, ROUND({score}, 6) AS bm25 FROM tf CROSS JOIN c)
+SELECT doc_id, bm25 FROM s
+WHERE bm25 > 0.0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+QUERIES.update(
+    {
+        "docs_bm25_topk": QuerySpec(docs_bm25_topk, _bm25_sql()),
+    }
+)

@@ -393,3 +393,27 @@ def test_cluster_balanced_sample_is_balanced(spark):
     for r in rows:
         assert assign[r["vec_id"]] == r["cluster"]
         assert 1 <= r["sample_rank"] <= 20
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark):
+    """A doc saturated with the query terms must outrank everything,
+    docs with zero query terms must not appear, and higher tf of a
+    rarer term must beat common-term tf."""
+    from multi_report_etl_pipeline_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window merge spark window merge spark"),
+            (2, "spark alpha beta gamma delta epsilon zeta eta"),
+            (3, "alpha beta gamma delta"),
+            (4, "window window alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["spark", "window", "merge"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1
+    assert 3 not in ids
+    scores = {r["doc_id"]: r["bm25"] for r in rows}
+    assert scores[1] > scores[4] > 0
+    assert scores[1] > scores[2] > 0
