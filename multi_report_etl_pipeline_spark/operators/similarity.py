@@ -622,6 +622,10 @@ def distributed_kmeans(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     init = vecs.orderBy("id").limit(k).collect()  # bounded: k rows
+    if not init:  # empty corpus: empty assignment, same schema
+        return vecs.select(
+            "id", F.lit(0).cast("int").alias("cluster")
+        ).filter(F.lit(False))
     cids = list(range(len(init)))
     cents = np.stack([r["v"] for r in init]).astype("float64")
 

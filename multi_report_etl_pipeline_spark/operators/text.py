@@ -577,6 +577,10 @@ def bm25_topk(
             for i, t in enumerate(query_terms)
         ],
     ).collect()[0]
+    if stats["n"] == 0:  # empty corpus: no stats, no hits
+        return base.select(
+            F.col(id_col), F.lit(0.0).alias("bm25")
+        ).filter(F.lit(False))
     n, avgdl = float(stats["n"]), float(stats["avgdl"])
     import math  # noqa: PLC0415
 

@@ -289,3 +289,28 @@ def test_fixture_money_domains_are_nonnegative(duck):
         " MIN(l_tax) FROM sf_med.lineitem"
     ).fetchone()
     assert all(v >= 0 for v in row), "lineitem money went negative: q1 cents"
+
+
+def test_round4_operators_handle_empty_and_tiny_inputs(spark):
+    """Round-4 operators under the same discipline: empty inputs return
+    empty results; k-means with fewer vectors than k degrades to
+    |corpus| clusters instead of throwing."""
+    from multi_report_etl_pipeline_spark.operators import text
+    from multi_report_etl_pipeline_spark.operators.dedup import span_dedup
+    from multi_report_etl_pipeline_spark.operators.similarity import (
+        distributed_kmeans,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert text.repetition_stats(docs).count() == 0
+    assert span_dedup(docs).count() == 0
+    assert text.bm25_topk(docs, ["spark"], k=5).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert distributed_kmeans(emb, k=3, iters=2).count() == 0
+
+    two = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 9.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r["id"]: r["cluster"] for r in distributed_kmeans(two, k=5, iters=2).collect()}
+    assert got == {0: 0, 1: 1}
