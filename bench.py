@@ -53,6 +53,7 @@ HEADLINE = [
     "docs_repetition_stats",
     "emb_kmeans_clusters",
     "docs_span_dedup",
+    "docs_bm25_topk",
 ]
 
 

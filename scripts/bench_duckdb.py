@@ -50,6 +50,7 @@ COMPARABLE = [
     "docs_repetition_stats",
     "emb_kmeans_clusters",
     "docs_span_dedup",
+    "docs_bm25_topk",
 ]
 
 
