@@ -317,19 +317,13 @@ def vocabulary(
     than ``ngram`` contributes nothing."""
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
-    w = words(text_col)
-    if ngram == 1:
-        grams = w
-    else:
-        # guard: sequence(0, negative) would run DESCENDING in Spark
-        grams = F.when(
-            F.size(w) >= ngram,
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - F.lit(ngram)),
-                lambda i: F.array_join(F.slice(w, i + F.lit(1), F.lit(ngram)), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    tok = df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("token"))
+    # bind the token array as a column FIRST: referencing the words()
+    # split inside the n-gram lambda would re-run the regex split per
+    # index (no CSE inside higher-order lambdas — see repetition_stats)
+    base = df.select(F.col(id_col).alias("_doc"), words(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    grams = toks if ngram == 1 else consecutive_ngrams(toks, ngram)
+    tok = base.select("_doc", F.explode(grams).alias("token"))
     agg = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("_doc").alias("df"),
@@ -512,16 +506,19 @@ def repetition_stats(
     tree: subexpression elimination does not reach inside higher-order
     lambdas, so inlining ``words(text)`` into ``consecutive_ngrams``
     re-runs the regex split at every ``element_at`` reference — O(n^2)
-    regex work per doc (measured 2.8 s -> 0.35 s at sf0.1 for this
-    rewrite). ``CollapseProject`` keeps the stages separate because
-    merging would duplicate the non-cheap aliased arrays.
+    regex work per doc (measured 2.89 s -> 0.60 s at sf0.1 for this
+    rewrite; BASELINE.md round-4 table). ``CollapseProject`` keeps the
+    stages separate because merging would duplicate the non-cheap
+    aliased arrays. NULL-text docs produce no row, matching the
+    oracle's inner join over exploded tokens.
     """
     toks = F.col("__toks")
     top_frac = F.round(
         _max_run(F.array_sort(toks)).cast("double") / F.size(toks).cast("double"), 6
     )
     out = (
-        docs.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
         .select(
             F.col(id_col),
             toks,
@@ -577,7 +574,9 @@ def bm25_topk(
             for i, t in enumerate(query_terms)
         ],
     ).collect()[0]
-    if stats["n"] == 0:  # empty corpus: no stats, no hits
+    if stats["n"] == 0 or stats["avgdl"] is None:
+        # empty corpus, or every text NULL (avg/df aggregate to None
+        # while count(*) doesn't): no stats, no hits
         return base.select(
             F.col(id_col), F.lit(0.0).alias("bm25")
         ).filter(F.lit(False))

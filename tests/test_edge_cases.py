@@ -314,3 +314,15 @@ def test_round4_operators_handle_empty_and_tiny_inputs(spark):
     )
     got = {r["id"]: r["cluster"] for r in distributed_kmeans(two, k=5, iters=2).collect()}
     assert got == {0: 0, 1: 1}
+
+    # NULL text: repetition/span drop the doc (matching the oracles'
+    # inner joins over exploded tokens); bm25 survives an all-NULL
+    # corpus (count(*) > 0 but avg/df aggregate to None)
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    assert {r["doc_id"] for r in text.repetition_stats(nulls).collect()} == {2}
+    assert {r["doc_id"] for r in span_dedup(nulls).collect()} == {2}
+    all_null = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert text.bm25_topk(all_null, ["spark"], k=5).count() == 0
+    assert {r["doc_id"] for r in text.bm25_topk(nulls, ["a"], k=5).collect()} == {2}
