@@ -1296,9 +1296,16 @@ _BM25_TERMS = ("spark", "window", "merge")
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval top-20 for a fixed query — quality-match
     mining (find corpus docs most like a target topic). One bounded
-    stats pass (N/avgdl/df, no explode) + one narrow scoring scan."""
+    stats pass (N/avgdl/df, no explode; cached per corpus snapshot —
+    the persisted index-stats artifact, like the IVF quantizer) + one
+    narrow scoring scan."""
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
-    return text.bm25_topk(docs, list(_BM25_TERMS), k=20)
+    key = ("bm25_stats", sf_dir)
+    if key not in _CONSTRUCT_CACHE:
+        _CONSTRUCT_CACHE[key] = text.bm25_corpus_stats(docs, list(_BM25_TERMS))
+    return text.bm25_topk(
+        docs, list(_BM25_TERMS), k=20, stats=_CONSTRUCT_CACHE[key]
+    )
 
 
 def _bm25_sql(terms: tuple[str, ...] = _BM25_TERMS, k: int = 20) -> str:
