@@ -628,9 +628,14 @@ def bm25_topk(
         lambda acc, t: acc + _score_of(t),
         lambda acc: F.round(acc, 6),
     )
+    # zero-score docs are dropped AFTER the top-k: scores are >= 0, so
+    # zeros can only occupy ranks no positive doc wanted — the result
+    # set is identical to filter-then-top-k, and the filter no longer
+    # pushes below the projection (predicates get no CSE, so a pushed
+    # filter would re-evaluate the whole scoring fold per row)
     return (
         docs.select(F.col(id_col), bm25.alias("bm25"))
-        .filter(F.col("bm25") > 0.0)
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
+        .filter(F.col("bm25") > 0.0)
     )
