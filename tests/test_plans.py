@@ -285,3 +285,20 @@ def test_span_dedup_election_is_partial_min_by_agg(spark):
     # window shuffle fails here)
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(exchanges) == 2, plan[:3000]
+
+
+def test_bm25_scoring_fold_evaluates_split_once(spark):
+    """The BM25 score is one lambda-bound fold: the tokenizing split
+    must appear exactly ONCE in the executed plan. A regression to
+    aliased-column binding collapses back to N inlined splits
+    (CollapseProject), and a filter pushed below the projection
+    re-evaluates the whole fold per row — both show up as extra
+    split() occurrences here."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import text
+
+    docs = read_table(spark, SF_DIR, "documents")
+    stats = text.bm25_corpus_stats(docs, ["spark", "window"])
+    df = text.bm25_topk(docs, ["spark", "window"], k=5, stats=stats)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(") == 1, plan[:2000]
