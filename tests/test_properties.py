@@ -398,3 +398,85 @@ def test_funnel_matches_bruteforce_reference(events):
         "click_after_signup": click,
         "purchase_after_click": purchase,
     }
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # corpus: token lists over a tiny alphabet (forces span collisions)
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=14),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_dedup_matches_bruteforce_reference(corpora):
+    """span_dedup must agree with the literal Python definition on EVERY
+    corpus: chunk into 3-token spans (short tail included), keep the
+    globally first (doc_id, span_idx) occurrence of each span text,
+    reassemble in span order, drop fully-deduped docs."""
+    from multi_report_etl_pipeline_spark.operators.dedup import span_dedup
+
+    spark = _shared_spark["spark"]
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    seen: set[str] = set()
+    expect: dict[int, tuple[str, int, int]] = {}
+    for i, toks in enumerate(corpora):
+        spans = [" ".join(toks[j : j + 3]) for j in range(0, len(toks), 3)]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        if kept:
+            expect[i] = (" ".join(kept), len(kept), len(spans))
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_spans"])
+        for r in span_dedup(df, span_tokens=3).collect()
+    }
+    assert got == expect
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_repetition_stats_matches_bruteforce_reference(corpora):
+    """repetition_stats must agree with the literal Counter-based
+    definition for every doc: mode fraction, duplicate n-gram
+    occurrence fractions (0.0 when no n-grams), 6-dp rounding."""
+    from collections import Counter
+
+    from multi_report_etl_pipeline_spark.operators.text import repetition_stats
+
+    spark = _shared_spark["spark"]
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def dup_frac(grams):
+        return 0.0 if not grams else round(1.0 - len(set(grams)) / len(grams), 6)
+
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, toks in enumerate(corpora):
+        bg = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        tg = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["top_token_frac"] == round(
+            Counter(toks).most_common(1)[0][1] / len(toks), 6
+        )
+        assert r["dup_bigram_frac"] == dup_frac(bg)
+        assert r["dup_trigram_frac"] == dup_frac(tg)
