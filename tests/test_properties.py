@@ -480,3 +480,51 @@ def test_repetition_stats_matches_bruteforce_reference(corpora):
         )
         assert r["dup_bigram_frac"] == dup_frac(bg)
         assert r["dup_trigram_frac"] == dup_frac(tg)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["qa", "qb", "w1", "w2", "w3"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bm25_matches_bruteforce_reference(corpora):
+    """bm25_topk must reproduce the literal Okapi BM25 definition
+    (idf/tf/length-normalization, zero-score exclusion, score-then-id
+    ordering) on every corpus; scores compared at 1e-6."""
+    import math
+
+    from multi_report_etl_pipeline_spark.operators.text import bm25_topk
+
+    spark = _shared_spark["spark"]
+    terms = ["qa", "qb"]
+    k1, b = 1.2, 0.75
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n = len(corpora)
+    avgdl = sum(len(t) for t in corpora) / n
+    dfs = [sum(1 for t in corpora if q in t) for q in terms]
+    idf = [math.log((n - d + 0.5) / (d + 0.5) + 1.0) for d in dfs]
+    scored = []
+    for i, toks in enumerate(corpora):
+        norm = k1 * (1 - b + b * len(toks) / avgdl)
+        s = sum(
+            idf[j] * toks.count(q) * (k1 + 1) / (toks.count(q) + norm)
+            for j, q in enumerate(terms)
+        )
+        if round(s, 6) > 0.0:
+            scored.append((i, round(s, 6)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    expect = scored[:5]
+
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_topk(df, terms, k=5).collect()]
+    assert [g[0] for g in got] == [e[0] for e in expect], (got, expect)
+    for (gi, gs), (ei, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-6, (gi, gs, es)
