@@ -227,3 +227,49 @@ def pack_by_token_budget(
         "pack_id",
         F.floor((running - F.col("n_tokens")) / F.lit(float(budget))).cast("bigint"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, top-``k``
+    by Efraimidis-Spirakis priority (2006): each row draws a keyed
+    uniform u in (0, 1) and is ranked by u^(1/w) — the k highest
+    priorities form an exact weight-proportional sample (a row with 2x
+    the weight has exactly 2x the inclusion odds in the limit), the
+    standard training-mix selection when weights are per-document
+    quality scores rather than per-source rates (``mixture_sample``).
+
+    Engine-portable randomness: u derives from the same 16-bit md5
+    bucket every sampler here uses (u = (bucket + 0.5)/65536, never 0
+    or 1), so the selection is reproducible across engines/reruns and
+    the round-5 DuckDB twin can replay it. Rows with weight <= 0 or
+    NULL are excluded (their limit priority is 0). Scale shape: narrow
+    projection + TakeOrdered — nothing shuffles.
+
+    Output adds ``priority`` (rounded to 9dp; ranked before rounding
+    would risk cross-engine tie flips, so the ROUNDED value is the sort
+    key) and ``sample_rank``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (_hash_bucket(F.col(key_col), 65536).cast("double") + F.lit(0.5)) / F.lit(
+        65536.0
+    )
+    w = F.col(weight_col).cast("double")
+    pri = F.round(
+        F.pow(u, F.lit(1.0) / w), 9
+    )
+    ranked = (
+        df.filter(w > 0.0)
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    rank_w = Window.orderBy(F.col("priority").desc(), F.col(key_col).asc())
+    return ranked.withColumn("sample_rank", F.row_number().over(rank_w))

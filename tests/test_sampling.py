@@ -201,3 +201,63 @@ def test_temperature_rates_formula_and_composition(spark):
         temperature_rates(counts, tau=0)
     with _pytest.raises(ValueError):
         temperature_rates({}, tau=1.0)
+
+
+def test_weighted_sample_matches_bruteforce_reference(spark):
+    """Efraimidis-Spirakis top-k: priorities, selection, and ranks must
+    equal the literal Python computation from the same md5-derived
+    uniforms; zero/NULL weights are excluded."""
+    import hashlib
+
+    from multi_report_etl_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(w)) for i, w in zip(range(40), [1, 2, 5, 10] * 10)]
+    rows += [(100, 0.0), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+
+    def u_of(key):
+        bucket = int(hashlib.md5(str(key).encode()).hexdigest()[:4], 16) % 65536
+        return (bucket + 0.5) / 65536.0
+
+    expect = sorted(
+        (
+            (round(u_of(i) ** (1.0 / w), 9), i)
+            for i, w in rows
+            if w is not None and w > 0
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+
+    got = weighted_sample(df, "doc_id", "weight", k=10).collect()
+    assert [(r["priority"], r["doc_id"]) for r in got] == expect
+    assert [r["sample_rank"] for r in got] == list(range(1, 11))
+    # determinism across invocations
+    again = weighted_sample(df, "doc_id", "weight", k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_weighted_sample_priority_monotone_in_weight(spark):
+    """For a fixed key (fixed uniform), a higher weight must never
+    lower the priority — the defining property of u^(1/w)."""
+    from multi_report_etl_pipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(7, 1.0), (7, 2.0), (7, 8.0)], "doc_id long, weight double"
+    )
+    pris = [
+        r["priority"]
+        for r in sorted(
+            weighted_sample(df, "doc_id", "weight", k=3).collect(),
+            key=lambda r: r["weight"],
+        )
+    ]
+    assert pris == sorted(pris), pris
+
+
+def test_weighted_sample_rejects_bad_k(spark):
+    import pytest
+
+    from multi_report_etl_pipeline_spark.operators.sampling import weighted_sample
+
+    with pytest.raises(ValueError):
+        weighted_sample(None, "doc_id", "weight", k=0)
