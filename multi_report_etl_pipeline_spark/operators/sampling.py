@@ -246,11 +246,24 @@ def weighted_sample(
     Engine-portable randomness: u derives from the same 16-bit md5
     bucket every sampler here uses (u = (bucket + 0.5)/65536, never 0
     or 1), so the selection is reproducible across engines/reruns and
-    the round-5 DuckDB twin can replay it. Rows with weight <= 0 or
-    NULL are excluded (their limit priority is 0). Scale shape: narrow
-    projection + TakeOrdered — nothing shuffles.
+    the DuckDB twin (queries/llm_ops.py docs_weighted_sample) replays
+    it value-for-value. Rows with weight NULL, <= 0, or NaN are
+    excluded (NaN compares greater than any number in Spark, so an
+    unguarded ``w > 0`` filter would let NaN priorities seize the
+    top-k slots). Scale shape: narrow projection + TakeOrdered —
+    nothing shuffles.
 
-    Output adds ``priority`` (rounded to 9dp; ranked before rounding
+    Usable weight range: u has 16 bits of entropy and priority is
+    rounded to 9dp before ranking, so u^(1/w) saturates at the ends —
+    for w >~ 1.5e4 the largest-u rows all round to 1.0 (ties then
+    resolve key-ascending, quietly degrading the sample toward key
+    order), and for w <~ 0.5 the smallest-u rows round to 0.0
+    (harmless unless k exceeds the nonzero-priority count). Keep
+    weights within roughly [1e-2, 1e4] — per-document quality scores
+    naturally do — or rescale; ranking only depends on weight RATIOS,
+    so any positive rescale preserves the distribution.
+
+    Output adds ``priority`` (rounded to 9dp; ranking before rounding
     would risk cross-engine tie flips, so the ROUNDED value is the sort
     key) and ``sample_rank``.
     """
@@ -264,12 +277,17 @@ def weighted_sample(
         F.pow(u, F.lit(1.0) / w), 9
     )
     ranked = (
-        df.filter(w > 0.0)
+        df.filter((w > 0.0) & ~F.isnan(w))
         .withColumn("priority", pri)
         .orderBy(F.col("priority").desc(), F.col(key_col).asc())
         .limit(k)
     )
     from pyspark.sql import Window  # noqa: PLC0415
 
+    # ORDER MATTERS: the unpartitioned row_number window is safe ONLY
+    # because it runs above the `.limit(k)` — a single partition of k
+    # rows. Ranking before the limit would funnel the whole corpus
+    # through one task's global sort (tests/test_plans.py pins the
+    # limit-then-rank shape so a reorder fails loudly).
     rank_w = Window.orderBy(F.col("priority").desc(), F.col(key_col).asc())
     return ranked.withColumn("sample_rank", F.row_number().over(rank_w))

@@ -82,7 +82,6 @@ _TAIL = (
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",
-    "docs_image_decode",
     "emb_cosine_dedup",
     "docs_hash_sample",
     "docs_stratified_sample",
@@ -116,6 +115,16 @@ _TAIL = (
     # retrieval for quality-match mining).
     "events_cohort_retention",
     "events_clicks_before_errors",
+    # round-5 rotation (verdict items #1/#5): docs_weighted_sample — the
+    # one operator without driver evidence — enters with its DuckDB
+    # oracle, and docs_image_decode rotates back IN for a post-change row
+    # (native PNG decode lands this round, extending its emitted rows +
+    # oracle). In exchange, two two-consecutive-round-green entries
+    # whose code this round does not touch are demoted (both r3+r4
+    # hash-green in CORRECTNESS_r0{3,4}.json, both still DuckDB-checked
+    # by pytest every round): events_sliding_avg and docs_audio_decode.
+    "events_sliding_avg",
+    "docs_audio_decode",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

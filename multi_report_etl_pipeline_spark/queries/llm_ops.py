@@ -1339,3 +1339,50 @@ QUERIES.update(
         "docs_bm25_topk": QuerySpec(docs_bm25_topk, _bm25_sql()),
     }
 )
+
+
+_WSAMPLE_K = 25
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus selection (operators/sampling.py
+    weighted_sample): Efraimidis-Spirakis top-k without replacement,
+    weight = n_chars/100 standing in for a per-document quality score
+    (range ~[0.5, 5.5] — squarely inside the documented usable band).
+    The oracle replays the identical keyed uniforms, pow, 9dp rounding,
+    and (priority DESC, doc_id ASC) tie-break."""
+    from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", (F.col("n_chars") / F.lit(100.0)).alias("weight")
+    )
+    return sampling.weighted_sample(docs, "doc_id", "weight", k=_WSAMPLE_K)
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, source, n_chars / 100.0 AS weight,
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+            + 0.5) / 65536.0 AS u
+    FROM documents
+    WHERE n_chars / 100.0 > 0 AND NOT isnan(n_chars / 100.0)
+),
+p AS (
+    SELECT doc_id, lang, source, weight,
+           ROUND(POWER(u, 1.0 / weight), 9) AS priority
+    FROM t
+)
+SELECT doc_id, lang, source, weight, priority,
+       CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS INTEGER)
+           AS sample_rank
+FROM p
+ORDER BY priority DESC, doc_id ASC
+LIMIT {_WSAMPLE_K}
+"""
+
+
+QUERIES.update(
+    {
+        "docs_weighted_sample": QuerySpec(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
+    }
+)

@@ -287,6 +287,22 @@ def test_span_dedup_election_is_partial_min_by_agg(spark):
     assert len(exchanges) == 2, plan[:3000]
 
 
+def test_weighted_sample_limits_before_global_rank_window(spark):
+    """weighted_sample's unpartitioned row_number window is safe ONLY
+    above the top-k: the plan must be Window -> TakeOrderedAndProject
+    (per-partition heaps, k rows survive), with no Exchange and no
+    full Sort anywhere. A reorder that ranks before the limit would
+    funnel the whole corpus through one task's global sort."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_weighted_sample"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # plans print top-down: the Window node must sit ABOVE the top-k
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:3000]
+    assert "Exchange" not in plan, plan[:3000]
+    assert "\n+- Sort" not in plan and "- Sort " not in plan, plan[:3000]
+
+
 def test_bm25_scoring_fold_evaluates_split_once(spark):
     """The BM25 score is one lambda-bound fold: the tokenizing split
     must appear exactly ONCE in the executed plan. A regression to

@@ -254,6 +254,21 @@ def test_weighted_sample_priority_monotone_in_weight(spark):
     assert pris == sorted(pris), pris
 
 
+def test_weighted_sample_excludes_nan_weights(spark):
+    """Spark compares NaN greater than any number, so NaN weights pass a
+    bare `w > 0` filter and their NaN priorities sort FIRST descending —
+    the ADVICE-flagged seizure. The isnan guard must drop them."""
+    from multi_report_etl_pipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0), (4, float("nan"))],
+        "doc_id long, weight double",
+    )
+    got = weighted_sample(df, "doc_id", "weight", k=4).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 3]
+    assert all(r["priority"] == r["priority"] for r in got)  # no NaN priority
+
+
 def test_weighted_sample_rejects_bad_k(spark):
     import pytest
 
