@@ -1161,14 +1161,16 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_sql(
     k: int = _KMEANS_K,
     iters: int = _KMEANS_ITERS,
-    dim: int = 64,
     tail: str | None = None,
 ) -> str:
     """Unroll ``iters`` Lloyd iterations as CTE chains: a{t} assigns
     against c{t-1} (argmin squared-L2, ties to the lowest cid), c{t}
     averages members per (cid, dim) rounded to 6 decimals — the same
     rounding the Spark plan applies, so both engines iterate from
-    identical centroid matrices."""
+    identical centroid matrices. The dimension is derived from the data
+    (unnest + generate_subscripts expand the vector in lockstep), never
+    hard-coded, so a fixture dim change cannot silently truncate the
+    centroid average on the oracle side only."""
     dist = (
         "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)"
         " + list_dot_product(c.c, c.c)"
@@ -1189,10 +1191,11 @@ def _kmeans_sql(
         if t < iters:
             parts.append(
                 f"c{t} AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
-                f"SELECT a{t}.cid, t.i, ROUND(AVG(e.v[t.i]), 6) AS m"
-                f" FROM a{t} JOIN e USING (vec_id)"
-                f" CROSS JOIN generate_series(1, {dim}) AS t(i)"
-                f" GROUP BY a{t}.cid, t.i) GROUP BY cid)"
+                f"SELECT cid, i, ROUND(AVG(x), 6) AS m FROM ("
+                f"SELECT a{t}.cid, generate_subscripts(e.v, 1) AS i,"
+                f" unnest(e.v) AS x"
+                f" FROM a{t} JOIN e USING (vec_id))"
+                f" GROUP BY cid, i) GROUP BY cid)"
             )
     tail = tail or (
         f"SELECT vec_id AS id, CAST(cid AS INTEGER) AS cluster FROM a{iters}"

@@ -15,17 +15,18 @@ from hypothesis import strategies as st
 
 from multi_report_etl_pipeline_spark import staging
 
+import pytest
+
 _shared_spark = {"spark": None}
 
 
-def _attach(spark):
-    # hypothesis forbids function-scoped fixtures inside @given; the
-    # session-scoped spark fixture is safe to stash once per module
+@pytest.fixture(scope="module", autouse=True)
+def _seed_shared_spark(spark):
+    # hypothesis forbids function-scoped fixtures inside @given; stash
+    # the session-scoped spark handle once per module. Autouse (rather
+    # than a sentinel test) so `pytest -k <one property>` still seeds it.
     _shared_spark["spark"] = spark
-
-
-def test_capture_spark(spark):
-    _attach(spark)
+    yield
 
 
 @settings(
