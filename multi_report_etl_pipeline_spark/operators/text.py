@@ -317,13 +317,26 @@ def vocabulary(
     than ``ngram`` contributes nothing."""
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
-    # bind the token array as a column FIRST: referencing the words()
-    # split inside the n-gram lambda would re-run the regex split per
-    # index (no CSE inside higher-order lambdas — see repetition_stats)
-    base = df.select(F.col(id_col).alias("_doc"), words(text_col).alias("__toks"))
-    toks = F.col("__toks")
-    grams = toks if ngram == 1 else consecutive_ngrams(toks, ngram)
-    tok = base.select("_doc", F.explode(grams).alias("token"))
+    if ngram == 1:
+        # explode DIRECTLY over the split: the generator fuses with the
+        # projection in codegen. Binding the array as an aliased column
+        # first (the ngram>1 shape) materializes it through an extra
+        # Generate input row — measured 3x slower at sf1 (0.66 s ->
+        # 1.99 s, BASELINE.md round-5 A/B); there is no lambda here, so
+        # the lambda-CSE hazard the binding exists for does not apply.
+        tok = df.select(
+            F.col(id_col).alias("_doc"), F.explode(words(text_col)).alias("token")
+        )
+    else:
+        # bind the token array as a column FIRST: referencing the
+        # words() split inside the n-gram lambda would re-run the regex
+        # split per index (no CSE inside higher-order lambdas — see
+        # repetition_stats)
+        base = df.select(F.col(id_col).alias("_doc"), words(text_col).alias("__toks"))
+        tok = base.select(
+            "_doc",
+            F.explode(consecutive_ngrams(F.col("__toks"), ngram)).alias("token"),
+        )
     agg = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("_doc").alias("df"),
