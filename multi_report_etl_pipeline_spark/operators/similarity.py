@@ -399,6 +399,70 @@ def _train_centroids(
     return cents
 
 
+def train_centroids_portable(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 20000,
+):
+    """Engine-portable quantizer training — the value-oracle-able
+    replacement for ``_train_centroids``. Every choice is
+    SQL-replicable, so a DuckDB twin can unroll the identical training
+    (queries/llm_ops._ivf_sql) and the IVF query graduates from
+    rows-only to a hash-checked oracle row:
+
+    - sample = the ``train_sample`` LOWEST-id vectors (ORDER BY id
+      LIMIT n — deterministic, engine-portable; the RNG-seeded sample
+      of ``_train_centroids`` is not), collected once — the same
+      bounded-by-contract driver step, k-means quality saturates long
+      before corpus size;
+    - init = the ``n_cells`` lowest-id sample vectors, cid = rank in
+      id order (the ``distributed_kmeans`` convention);
+    - ``iters`` fixed Lloyd rounds (no convergence break — data-value
+      -dependent stopping would have to be replicated bit-for-bit),
+      assignment = argmin squared-L2 with ties to the lowest cid,
+      update = member mean rounded HALF-UP to 6 decimals (matching
+      F.round/DuckDB ROUND, np.round's half-even does not), empty
+      clusters drop.
+
+    Returns ``(cids, centroids)``: the surviving cluster ids (ascending)
+    and the matching (len(cids) x dim) matrix.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(train_sample)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("empty corpus: cannot train a quantizer")
+    m = np.stack([r["v"] for r in sample]).astype("float64")
+
+    def round_half_up_6(x: "np.ndarray") -> "np.ndarray":
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    cids = list(range(min(n_cells, len(m))))
+    cents = m[: len(cids)].copy()
+    for _ in range(iters):
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ cents.T) + (
+            cents * cents
+        ).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)  # first minimum = lowest cid on ties
+        new_cids, new_cents = [], []
+        for j, c in enumerate(cids):
+            members = m[assign == j]
+            if len(members):
+                new_cids.append(c)
+                new_cents.append(round_half_up_6(members.mean(axis=0)))
+        cids = new_cids
+        cents = np.stack(new_cents)
+    return np.asarray(cids, dtype="int64"), cents
+
+
 def kmeans_cells(
     corpus: DataFrame,
     n_cells: int = 10,
@@ -478,11 +542,20 @@ def ivf_topk(
     on the cell id rather than a cross join. Approximate -> rows-only
     + recall-vs-brute test, like the LSH family.
 
-    ``centroids`` (an ``n_cells x dim`` numpy matrix) lets a repeat
-    caller reuse a previously trained quantizer instead of re-running
-    the sample+Lloyd's training per invocation — the trained matrix IS
-    the index artifact a deployment persists; the caller owns
-    invalidation against the corpus snapshot.
+    ``centroids`` lets a repeat caller reuse a previously trained
+    quantizer instead of re-running the training per invocation — the
+    trained matrix IS the index artifact a deployment persists; the
+    caller owns invalidation against the corpus snapshot. Accepts
+    either a bare ``n_cells x dim`` matrix (cell ids = row index, the
+    ``_train_centroids`` legacy) or the ``(cids, matrix)`` pair
+    ``train_centroids_portable`` returns (cell ids survive cluster
+    drop-out, and the oracle twin reproduces them).
+
+    Probe ranking is squared-L2 to the centroid (ties to the lowest
+    cell id) — the same metric, float path, and tie-break as the cell
+    assignment itself and as ``distributed_kmeans``'s oracle-proven
+    assignment step, so the DuckDB twin replays it with the identical
+    ROW_NUMBER ordering.
     """
     if label_col is None:
         import numpy as np  # noqa: PLC0415
@@ -491,7 +564,14 @@ def ivf_topk(
         from collections.abc import Iterator  # noqa: PLC0415
 
         if centroids is None:
-            centroids = _train_centroids(corpus, n_cells, id_col, vec_col)
+            centroids = train_centroids_portable(corpus, n_cells, 3, id_col, vec_col)
+        if isinstance(centroids, tuple):
+            cid_arr, cents = centroids
+            cid_arr = np.asarray(cid_arr, dtype="int64")
+        else:
+            cents = centroids
+            cid_arr = np.arange(len(cents), dtype="int64")
+        c_sq = (cents * cents).sum(axis=1)
 
         def assign_with_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -500,34 +580,37 @@ def ivf_topk(
                 mm = np.stack(pdf["c_vec"].to_numpy()).astype("float64")
                 d2 = (
                     (mm * mm).sum(axis=1)[:, None]
-                    - 2.0 * (mm @ centroids.T)
-                    + (centroids * centroids).sum(axis=1)[None, :]
+                    - 2.0 * (mm @ cents.T)
+                    + c_sq[None, :]
                 )
                 out = pdf.copy()
-                out["cell"] = d2.argmin(axis=1)
+                # argmin keeps the FIRST minimum; columns are in
+                # ascending-cid order, so ties go to the lowest cid
+                out["cell"] = cid_arr[d2.argmin(axis=1)]
                 yield out
 
         c = corpus.select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
         ).mapInPandas(assign_with_vec, "c_id long, c_vec array<float>, cell int")
 
-        cnorm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-
         def probe_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            n_take = min(n_probe, len(cents))
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 mm = np.stack(pdf["q_vec"].to_numpy()).astype("float64")
-                mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
-                sims = mm @ cnorm.T
-                # stable top-n_probe: sort by (-sim, cell)
-                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-                n = len(pdf)
+                d2 = (
+                    (mm * mm).sum(axis=1)[:, None]
+                    - 2.0 * (mm @ cents.T)
+                    + c_sq[None, :]
+                )
+                # stable sort on d2: ties resolve to the lowest cid
+                order = np.argsort(d2, axis=1, kind="stable")[:, :n_take]
                 yield pd.DataFrame(
                     {
-                        "q_id": pdf["q_id"].to_numpy().repeat(n_probe),
-                        "q_vec": [v for v in pdf["q_vec"] for _ in range(n_probe)],
-                        "cell": order.reshape(n * n_probe),
+                        "q_id": pdf["q_id"].to_numpy().repeat(n_take),
+                        "q_vec": [v for v in pdf["q_vec"] for _ in range(n_take)],
+                        "cell": cid_arr[order].reshape(len(pdf) * n_take),
                     }
                 )
 
@@ -587,6 +670,7 @@ def distributed_kmeans(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_vectors: bool | None = None,
 ) -> DataFrame:
     """Fully-distributed Lloyd's k-means: every iteration is a corpus-wide
     Spark job (unlike ``kmeans_cells``, whose quantizer trains on a

@@ -1063,23 +1063,106 @@ FROM lineitem GROUP BY 1
 """
 
 
+_IVF_CELLS, _IVF_ITERS, _IVF_PROBE, _IVF_SAMPLE = 10, 3, 5, 20000
+
+
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means-trained coarse quantizer (10 cells), probe the 5
-    nearest cells per query (50% candidate cut); mean top-10 recall >=0.7
-    vs brute force is gated in tests/test_llm_ops.py. The fixtures are
-    near-random 64-d vectors — the worst case for coarse quantization —
-    so the probe fraction is high; clustered real-world embeddings get
-    the same recall at a far smaller cut."""
+    """IVF ANN: portable-trained coarse quantizer (10 cells, 3 Lloyd
+    rounds over the id-ordered bounded sample), probe the 5 nearest
+    cells per query by squared-L2 (50% candidate cut), exact cosine
+    top-10 inside them. The whole pipeline — training included — is
+    under the VALUE-level DuckDB oracle (_ivf_sql unrolls the same
+    iterations as chained CTEs, the technique emb_kmeans_clusters
+    proved); mean top-10 recall >=0.7 vs brute force is additionally
+    gated in tests/test_llm_ops.py. The fixtures are near-random 64-d
+    vectors — the worst case for coarse quantization — so the probe
+    fraction is high; clustered real-world embeddings get the same
+    recall at a far smaller cut."""
     emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     key = ("ivf_centroids", sf_dir)
     if key not in _CONSTRUCT_CACHE:
-        _CONSTRUCT_CACHE[key] = similarity._train_centroids(
-            emb, n_cells=10, id_col="vec_id", vec_col="embedding"
+        _CONSTRUCT_CACHE[key] = similarity.train_centroids_portable(
+            emb, n_cells=_IVF_CELLS, iters=_IVF_ITERS, train_sample=_IVF_SAMPLE
         )
     return similarity.ivf_topk(
-        emb, queries, k=10, n_probe=5, centroids=_CONSTRUCT_CACHE[key]
+        emb, queries, k=10, n_probe=_IVF_PROBE, centroids=_CONSTRUCT_CACHE[key]
     )
+
+
+def _ivf_sql(
+    n_cells: int = _IVF_CELLS,
+    iters: int = _IVF_ITERS,
+    n_probe: int = _IVF_PROBE,
+    train_sample: int = _IVF_SAMPLE,
+    k: int = 10,
+) -> str:
+    """Unroll the ENTIRE IVF pipeline — quantizer training, corpus cell
+    assignment, per-query probe, in-cell exact cosine top-k — as one
+    DuckDB query, mirroring train_centroids_portable + ivf_topk
+    choice-for-choice: id-ordered LIMIT sample, lowest-id init,
+    ``iters`` Lloyd rounds with 6dp half-up centroid rounding and
+    lowest-cid ties, squared-L2 probe ranking, (sim DESC, c_id ASC)
+    final ranking. Surviving cluster ids keep their ORIGINAL cid (the
+    Spark side tracks them through drop-out the same way)."""
+
+    def dist(row: str, cent: str) -> str:
+        return (
+            f"list_dot_product({row}.v, {row}.v)"
+            f" - 2 * list_dot_product({row}.v, {cent}.c)"
+            f" + list_dot_product({cent}.c, {cent}.c)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"s AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {train_sample})",
+        f"init AS (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT {n_cells})",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c"
+        " FROM init)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cid FROM ("
+            f"SELECT s.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY s.vec_id ORDER BY {dist('s', 'c')}, c.cid) AS rn"
+            f" FROM s CROSS JOIN c{t - 1} AS c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
+            f"SELECT cid, i, ROUND(AVG(x), 6) AS m FROM ("
+            f"SELECT a{t}.cid, generate_subscripts(s.v, 1) AS i,"
+            f" unnest(s.v) AS x"
+            f" FROM a{t} JOIN s USING (vec_id))"
+            f" GROUP BY cid, i) GROUP BY cid)"
+        )
+    parts += [
+        # full-corpus cell assignment against the final centroids
+        f"cell AS (SELECT vec_id, cid AS cell FROM ("
+        f"SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {dist('e', 'c')}, c.cid) AS rn"
+        f" FROM e CROSS JOIN c{iters} AS c) WHERE rn = 1)",
+        "q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0)",
+        f"probe AS (SELECT q_id, cid AS cell FROM ("
+        f"SELECT q.q_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.q_id ORDER BY {dist('q', 'c')}, c.cid) AS rn"
+        f" FROM q CROSS JOIN c{iters} AS c) WHERE rn <= {n_probe})",
+        "sims AS (SELECT p.q_id, e.vec_id AS c_id,"
+        " list_dot_product(qv.v, e.v)"
+        " / (sqrt(list_dot_product(qv.v, qv.v))"
+        " * sqrt(list_dot_product(e.v, e.v))) AS sim"
+        " FROM probe p JOIN q AS qv USING (q_id)"
+        " JOIN cell ON cell.cell = p.cell"
+        " JOIN e ON e.vec_id = cell.vec_id"
+        " WHERE e.vec_id <> p.q_id)",
+    ]
+    tail = f"""SELECT q_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+            AS INTEGER) AS rank,
+       c_id,
+       ROUND(sim, 6) AS cosine_sim
+FROM sims
+QUALIFY rank <= {k}"""
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
 QUERIES.update(
@@ -1095,7 +1178,7 @@ QUERIES.update(
         "lineitem_quantity_quantiles": QuerySpec(
             lineitem_quantity_quantiles, QUANTILES_SQL
         ),
-        "emb_ivf_topk": QuerySpec(emb_ivf_topk, None),
+        "emb_ivf_topk": QuerySpec(emb_ivf_topk, _ivf_sql()),
     }
 )
 
