@@ -694,8 +694,15 @@ def distributed_kmeans(
     partial-aggregated shuffle of (cluster, dim) cells — k*dim groups
     regardless of corpus size — and a bounded k*dim driver collect.
     Empty clusters drop out (both engines aggregate only over members).
-    Re-scans the source per iteration; persist the projected (id, v)
-    upstream when iterating more than a few times over cold storage.
+
+    ``persist_vectors`` controls whether the projected (id, v) frame is
+    cached (MEMORY_AND_DISK) across the update rounds instead of
+    re-scanning the source each iteration. Default (None) auto-persists
+    when there are >= 4 update rounds — below that the cache write
+    costs about what it saves (A/B at sf1 in BASELINE.md round-5). The
+    cache is released before the final assignment pass, which re-reads
+    the source once either way, so the operator never leaks cached
+    blocks into a long-lived session.
     """
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
@@ -705,6 +712,11 @@ def distributed_kmeans(
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    do_persist = (iters - 1) >= 4 if persist_vectors is None else persist_vectors
+    if do_persist:
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     init = vecs.orderBy("id").limit(k).collect()  # bounded: k rows
     if not init:  # empty corpus: empty assignment, same schema
         return vecs.select(
@@ -755,4 +767,9 @@ def distributed_kmeans(
                 for c in cids
             ]
         )
+    if do_persist:
+        # the update rounds are done; the final assignment recomputes
+        # from source (same cost as the unpersisted path's last pass)
+        # rather than pinning cache blocks past the operator's lifetime
+        vecs = vecs.unpersist()
     return assigned(cids, cents).select("id", "cluster")
