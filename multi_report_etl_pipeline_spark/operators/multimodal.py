@@ -8,13 +8,15 @@ extraction / resize / frame sampling as **Arrow-batched Python**
 batch, not once per row.
 
 The codec tiers:
-- ``decode_image`` decodes uncompressed formats NATIVELY (binary
-  PPM/PGM, BI_RGB 24/32-bit BMP — pure numpy, no imaging library) and
-  is golden-image tested; ``image_stats`` runs it through the Arrow
-  batch path with per-row corrupt-payload isolation.
-- Compressed formats (JPEG/PNG/...) fall back to PIL when importable
-  and raise NotImplementedError otherwise — the one remaining declared
-  gap in this container (no imaging library is installable here).
+- ``decode_image`` decodes PPM/PGM, BI_RGB 24/32-bit BMP, and 8-bit
+  non-interlaced PNG NATIVELY (numpy + stdlib zlib, no imaging
+  library) and is golden-image tested; ``image_stats`` runs it through
+  the Arrow batch path with per-row corrupt-payload isolation, and
+  ``encode_png`` round-trips the compressed tier back out.
+- Remaining compressed formats (JPEG/...) fall back to PIL when
+  importable and raise NotImplementedError otherwise — the one
+  remaining declared gap in this container (no imaging library is
+  installable here).
 - ``fake_decode`` remains the oracle-checkable pseudo-codec (length,
   md5, byte histogram) used by the driver-checked feature queries,
   since the synthetic fixtures carry text bytes, not pixel data.
@@ -150,24 +152,169 @@ def _decode_bmp(payload: bytes):
     return rows[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """Native PNG decoder — stdlib zlib inflate + per-scanline unfilter,
+    no imaging library. Supports the formats a training-data pipeline
+    actually stores: 8-bit depth, color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA), all five scanline filters, non-interlaced.
+    Palette (type 3), 1/2/4/16-bit depths, and Adam7 interlace raise
+    ValueError (DECODE_ERRORS — poison-row isolation upstream).
+
+    Filters None/Up are vectorized; Sub is a per-row cumulative sum over
+    the pixel stride; Average/Paeth fall back to the per-byte recurrence
+    (inherently sequential — each byte depends on the just-reconstructed
+    left neighbor). Correctness-tier throughput: a production 100 TB
+    image pipeline would swap in a SIMD decoder behind the same
+    ``decode_image`` dispatch; the Spark-side plumbing (Arrow batches,
+    poison-row isolation, schema) is identical either way.
+
+    Returns uint8 (h, w) for grayscale or (h, w, channels) otherwise.
+    """
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        length = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension PNG")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("IDAT shorter than the scanline geometry")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    at = 0
+    for y in range(height):
+        f = raw[at]
+        line = np.frombuffer(raw, np.uint8, stride, at + 1).copy()
+        at += 1 + stride
+        if f == 0:  # None
+            pass
+        elif f == 2:  # Up (uint8 wrap-around IS the mod-256 the spec wants)
+            line += prev
+        elif f == 1:  # Sub: cumulative sum over the pixel stride
+            line = (
+                line.reshape(width, channels)
+                .cumsum(axis=0, dtype=np.int64)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        out[y] = line
+        prev = line
+    arr = out.reshape(height, width, channels)
+    return arr[:, :, 0] if channels == 1 else arr
+
+
+def encode_png(arr) -> bytes:
+    """Re-encode a uint8 array ((h, w) gray, (h, w, 2) gray+alpha,
+    (h, w, 3) RGB, (h, w, 4) RGBA) as a non-interlaced 8-bit PNG with
+    filter-0 scanlines — the stdlib inverse of ``_decode_png``, so
+    decode -> transform -> encode round-trips without an imaging
+    library (the PNM pair's story, for the compressed tier)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type = 0
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        color_type = {2: 4, 3: 2, 4: 6}[a.shape[2]]
+    else:
+        raise ValueError(f"cannot encode shape {np.shape(arr)} as PNG")
+    h, w = a.shape[:2]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to a uint8 numpy array (h, w[, c]).
 
-    Uncompressed formats decode natively (no imaging library needed):
-    binary PPM/PGM by header magic P6/P5, BI_RGB 24/32-bit BMP by magic
-    BM. Compressed formats (JPEG/PNG/...) fall back to PIL when
-    importable and raise NotImplementedError otherwise — deliberately
-    not faked, so callers can't mistake stub output for pixels."""
+    Native decoders (no imaging library needed): binary PPM/PGM by
+    header magic P6/P5, BI_RGB 24/32-bit BMP by magic BM, and 8-bit
+    non-interlaced PNG by signature (stdlib zlib inflate + unfilter —
+    see ``_decode_png``). Remaining compressed formats (JPEG/...) fall
+    back to PIL when importable and raise NotImplementedError otherwise
+    — deliberately not faked, so callers can't mistake stub output for
+    pixels."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as exc:
         raise NotImplementedError(
-            "compressed-image decoding requires PIL; this environment "
-            "decodes only PPM/PGM/BMP natively (see decode_image)"
+            "this image format requires PIL; this environment decodes "
+            "PPM/PGM/BMP/PNG natively (see decode_image)"
         ) from exc
     import io  # noqa: PLC0415
 

@@ -438,27 +438,66 @@ FROM media CROSS JOIN idx
 
 
 def docs_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec under the oracle gate: each document's bytes are
-    wrapped as a genuine binary PGM (P5, width = byte length, height 1)
-    on the Spark side, decoded to pixels by the native codec inside the
-    Arrow image_stats path, and the emitted dimensions + mean gray value
+    """REAL codecs under the oracle gate: each document's bytes become a
+    genuine 1-row grayscale image — even doc_ids as binary PGM (P5
+    header built in-plan), odd doc_ids as a NATIVE 8-bit PNG
+    (zlib-compressed, filtered scanline — encoded in an Arrow batch
+    step) — decoded back to pixels by the native codecs inside the
+    Arrow image_stats path. The emitted dimensions + mean gray value
     are value-checked against DuckDB computing the same statistics
-    directly from the characters. Proves decode really reads pixel
-    data — a header/offset/shape bug shifts the mean."""
+    directly from the characters, so a header/offset/unfilter/inflate
+    bug in EITHER container shifts the mean and fails the hash."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
     from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
 
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     header = F.concat(
         F.lit("P5\n"), F.octet_length("text").cast("string"), F.lit(" 1\n255\n")
     )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.concat(F.encode(header, "UTF-8"), F.encode("text", "UTF-8")).alias("payload"),
+    meta = [
         F.lit("image").alias("media_type"),
         F.col("lang").alias("meta_lang"),
         F.col("source").alias("meta_source"),
+    ]
+    pgm = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.encode(header, "UTF-8"), F.encode("text", "UTF-8")).alias("payload"),
+        *meta,
     )
-    stats = multimodal.image_stats(media)
+
+    def _to_png(batches: Iterator) -> Iterator:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads = [
+                multimodal.encode_png(
+                    np.frombuffer(t.encode("utf-8"), dtype=np.uint8)[None, :]
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image",
+                    "meta_lang": pdf["meta_lang"],
+                    "meta_source": pdf["meta_source"],
+                }
+            )
+
+    png = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            "text",
+            F.col("lang").alias("meta_lang"),
+            F.col("source").alias("meta_source"),
+        )
+        .mapInPandas(_to_png, multimodal.MEDIA_SCHEMA)
+    )
+    stats = multimodal.image_stats(pgm.unionByName(png))
     return stats.select(
         F.col("media_id").alias("doc_id"),
         "width",

@@ -354,12 +354,14 @@ def test_truncated_and_zeroed_payloads_null_their_rows(spark):
 
 def test_compressed_decode_activates_with_pil(spark):
     """Capability-probe golden test: skipped in containers without an
-    imaging library, ACTIVE wherever PIL exists — the compressed-codec
-    tier then gets real coverage instead of remaining a declared gap.
-    Round-trips a PNG through decode_image and the image_stats Arrow
-    path, and pins that a corrupt compressed payload still nulls its
-    row rather than killing the batch (PIL raises OSError subclasses,
-    which decode_image re-raises as ValueError)."""
+    imaging library, ACTIVE wherever PIL exists — the remaining
+    compressed-codec tier (JPEG, now that PNG decodes natively) then
+    gets real coverage instead of staying a declared gap. Also
+    cross-checks the NATIVE PNG decoder against PIL's independent
+    encoder (filtered scanlines PIL chooses must reconstruct
+    identically), and pins that a corrupt compressed payload still
+    nulls its row rather than killing the batch (PIL raises OSError
+    subclasses, which decode_image re-raises as ValueError)."""
     pytest.importorskip("PIL")
     import io
 
@@ -372,22 +374,158 @@ def test_compressed_decode_activates_with_pil(spark):
     )
 
     want = (np.arange(6 * 8 * 3) % 256).astype("uint8").reshape(6, 8, 3)
+    # native PNG decoder vs PIL's encoder (independent implementation)
     buf = io.BytesIO()
     Image.fromarray(want).save(buf, format="PNG")
-    png = buf.getvalue()
-    assert np.array_equal(decode_image(png), want)
+    assert np.array_equal(decode_image(buf.getvalue()), want)
+
+    # the PIL fallback tier: JPEG (lossy — check shape + rough values)
+    jbuf = io.BytesIO()
+    Image.fromarray(want).save(jbuf, format="JPEG", quality=95)
+    jpeg = jbuf.getvalue()
+    got_arr = decode_image(jpeg)
+    assert got_arr.shape == want.shape
 
     media = spark.createDataFrame(
         [
-            (1, png, "image", "en", "t"),
-            (2, b"\x89PNG\r\n\x1a\n garbage", "image", "en", "t"),
+            (1, jpeg, "image", "en", "t"),
+            (2, b"\xff\xd8\xff garbage jpeg", "image", "en", "t"),
         ],
         "media_id long, payload binary, media_type string, "
         "meta_lang string, meta_source string",
     ).coalesce(1)
     got = {r.media_id: r for r in image_stats(media).collect()}
     assert (got[1].width, got[1].height, got[1].channels) == (8, 6, 3)
-    assert got[1].mean_pixel == [
-        round(float(m), 6) for m in want.astype(np.float64).mean(axis=(0, 1))
-    ]
     assert got[2].width is None
+
+
+def test_decode_png_all_filters_match_spec_reference():
+    """The native PNG unfilter vs an independent all-Python
+    transcription of the RFC 2083 recurrences, for every color type and
+    a scanline stream cycling through all five filters."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import _decode_png
+
+    def ref_unfilter(scan, w, h, ch):
+        stride = w * ch
+        out, prev, at = [], [0] * stride, 0
+        for _y in range(h):
+            f = scan[at]
+            at += 1
+            cur = list(scan[at : at + stride])
+            at += stride
+            rec = [0] * stride
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 0:
+                    v = cur[i]
+                elif f == 1:
+                    v = cur[i] + a
+                elif f == 2:
+                    v = cur[i] + b
+                elif f == 3:
+                    v = cur[i] + ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = cur[i] + pr
+                rec[i] = v & 0xFF
+            out.append(rec)
+            prev = rec
+        return np.array(out, dtype=np.uint8).reshape(h, w, ch)
+
+    def png_from_raw(raw, w, h, color_type):
+        def chunk(t, b):
+            return struct.pack(">I", len(b)) + t + b + struct.pack(
+                ">I", zlib.crc32(t + b)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(7)
+    for ch, ctype in [(1, 0), (2, 4), (3, 2), (4, 6)]:
+        w, h = 6, 10
+        raw = bytearray()
+        for y in range(h):
+            raw.append(y % 5)  # every filter type appears twice
+            raw.extend(rng.randint(0, 256, size=w * ch).astype(np.uint8).tobytes())
+        got = _decode_png(png_from_raw(bytes(raw), w, h, ctype))
+        if got.ndim == 2:
+            got = got[:, :, None]
+        assert np.array_equal(got, ref_unfilter(bytes(raw), w, h, ch)), (ch, ctype)
+
+
+def test_encode_png_round_trips_and_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(1)
+    for shape in [(5, 7), (5, 7, 2), (5, 7, 3), (5, 7, 4)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        b = decode_image(encode_png(a))
+        assert b.shape == a.shape and np.array_equal(a, b), shape
+    with _pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2, 5), dtype=np.uint8))
+    # malformed payloads raise inside DECODE_ERRORS, never escape it
+    rgb = encode_png(rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8))
+    for bad in (
+        b"\x89PNG\r\n\x1a\n garbage",
+        rgb[:40],  # truncated mid-chunk
+        rgb[:8] + rgb[33:],  # IDAT but no IHDR
+    ):
+        with _pytest.raises(ValueError):
+            _decode_png(bad)
+
+
+def test_image_stats_decodes_png_through_arrow_path(spark):
+    """The Arrow batch path over NATIVE PNG payloads: dims + means match
+    numpy, corrupt PNG nulls its row, mixed containers coexist in one
+    batch."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        encode_png,
+        image_stats,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(4, 6, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, size=(3, 5)).astype(np.uint8)
+    rows = [
+        (1, encode_png(img), "image", "en", "t"),
+        (2, encode_png(gray), "image", "en", "t"),
+        (3, b"\x89PNG\r\n\x1a\n nope", "image", "en", "t"),
+        (4, _make_ppm(6, 4), "image", "en", "t"),  # PNM in the same batch
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, "
+        "meta_lang string, meta_source string",
+    ).coalesce(1)
+    got = {r.media_id: r for r in image_stats(media).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (6, 4, 3)
+    assert list(got[1].mean_pixel) == [
+        round(float(m), 6) for m in img.astype(np.float64).mean(axis=(0, 1))
+    ]
+    assert (got[2].width, got[2].height, got[2].channels) == (5, 3, 1)
+    assert got[3].width is None and got[3].mean_pixel is None
+    assert got[4].width == 6
