@@ -146,7 +146,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-02 00:00:00").cast("timestamp")
     )
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    # revenue in long cents (scale 4), the q1 convention: the DECIMAL
+    # product here is precision-37, which leaves Spark's long-backed
+    # fast Decimal for boxed BigDecimal per row — cents keep the agg in
+    # whole-stage codegen (sf1 A/B: 0.739 -> 0.689 s, value-identical;
+    # BASELINE.md round-5). Per-row dpc < 2^37 and groups are single
+    # orders, so int64 never overflows; ANSI raises if inputs lie.
+    revenue_c4 = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)") * (
+        F.lit(100).cast("bigint") - F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    )
     return (
         li.join(orders, li.l_orderkey == F.col("o_orderkey"))
         .groupBy(
@@ -154,7 +162,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg((F.sum(revenue_c4) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -165,7 +173,7 @@ SELECT
     l_orderkey,
     strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
     o_orderpriority,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -235,7 +243,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    # long-cents revenue, q1/q3 convention (codegen-friendly, exact,
+    # value-identical to the decimal form — sf1 A/B in BASELINE.md).
+    # Budget: per-row < 2^37, per-nation sums stay under 2^63 through
+    # ~sf100; ANSI raises on overflow rather than wrapping.
+    revenue_c4 = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)") * (
+        F.lit(100).cast("bigint") - F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    )
     return (
         li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -243,14 +257,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg((F.sum(revenue_c4) / F.lit(10000.0)).alias("revenue"))
     )
 
 
 Q5_SQL = """
 SELECT
     n_name,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
