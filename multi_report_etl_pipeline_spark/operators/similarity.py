@@ -182,6 +182,95 @@ def cosine_dedup(
     return corpus.join(dropped, id_col, "left_anti")
 
 
+def cluster_near_dup_pairs(
+    corpus: DataFrame,
+    assign: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup candidate pairs restricted to cluster-mates: all pairs
+    within each cluster of ``assign`` (an (id, cluster) frame, e.g.
+    ``distributed_kmeans`` output) at cosine >= ``threshold``.
+
+    Physical shape: one shuffle co-locating each cluster, then ONE
+    normalized GEMM per cluster inside Arrow ``applyInPandas`` emits
+    candidates at (threshold - 1e-6); the exact JVM zip_with/aggregate
+    fold rescoring (vectors carried through — no corpus join-back)
+    makes the emitted ``cosine_sim`` bit-identical to the quadratic
+    ``near_dup_pairs``, so the GEMM only prunes. Work is
+    O(sum cluster_size^2) ≈ O(n^2/k) instead of O(n^2)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    clustered = vecs.join(assign.select("id", "cluster"), "id")
+    cut = float(threshold) - 1e-6
+
+    _empty = {"id_1": "int64", "id_2": "int64"}
+
+    def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_1": [], "id_2": [], "v1": [], "v2": []}
+            ).astype(_empty, errors="ignore")
+        pdf = pdf.sort_values("id").reset_index(drop=True)  # id_1 < id_2
+        m = np.stack(pdf["v"].to_numpy()).astype("float64")
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["id"].to_numpy()
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        keep = sims[iu, ju] >= cut
+        vs = pdf["v"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_1": ids[iu[keep]],
+                "id_2": ids[ju[keep]],
+                "v1": [vs[i] for i in iu[keep]],
+                "v2": [vs[j] for j in ju[keep]],
+            }
+        )
+
+    cand = clustered.groupBy("cluster").applyInPandas(
+        pairs_of, "id_1 long, id_2 long, v1 array<float>, v2 array<float>"
+    )
+    sim = F.expr(DOT.format(a="v1", b="v2")) / (
+        F.sqrt(F.expr(DOT.format(a="v1", b="v1")))
+        * F.sqrt(F.expr(DOT.format(a="v2", b="v2")))
+    )
+    return (
+        cand.withColumn("cosine_sim", F.round(sim, 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_1", "id_2", "cosine_sim")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): cluster
+    the corpus by embedding geometry, then prune near-duplicates only
+    WITHIN each cluster — the practical O(n^2/k) semantic dedup (true
+    near-dups land in the same cell, so the cross-cluster pairs the
+    restriction skips are overwhelmingly non-duplicates).
+
+    Composition of two oracle-proven parts: ``distributed_kmeans``
+    (engine-portable Lloyd's) for the partition and the min-id survivor
+    rule of ``cosine_dedup`` over the cluster-restricted pairs — so the
+    ENTIRE operator sits under a value-level DuckDB oracle (unrolled
+    kmeans CTEs + pairwise-cosine tail; queries/llm_ops.py). At 100 TB,
+    k scales with the corpus to hold the per-cluster quadratic bounded,
+    and the pair stage is one co-location shuffle + per-cluster GEMMs."""
+    assign = distributed_kmeans(corpus, k, iters, id_col, vec_col)
+    pairs = cluster_near_dup_pairs(corpus, assign, threshold, id_col, vec_col)
+    return cosine_dedup(corpus, threshold, id_col, vec_col, candidate_pairs=pairs)
+
+
 def lsh_ann_pairs(
     corpus: DataFrame,
     max_l2_dist: float = 1.0,

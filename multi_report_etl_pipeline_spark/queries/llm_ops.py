@@ -1511,3 +1511,45 @@ QUERIES.update(
         "docs_weighted_sample": QuerySpec(docs_weighted_sample, WEIGHTED_SAMPLE_SQL),
     }
 )
+
+
+_SEMDEDUP_T = 0.4
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the full value oracle: distributed k-means
+    partitions the corpus, near-dups are pruned within clusters only
+    (min-id survivor), and the DuckDB twin replays BOTH stages — the
+    unrolled Lloyd CTEs plus a cluster-restricted pairwise-cosine tail.
+    The O(n^2/k) scale path next to the exact-quadratic
+    emb_cosine_dedup baseline."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    return similarity.semantic_dedup(
+        emb, threshold=_SEMDEDUP_T, k=_KMEANS_K, iters=_KMEANS_ITERS
+    ).select("vec_id", "label")
+
+
+# leading comma: this tail CONTINUES the generator's WITH list with two
+# more CTEs before its final SELECT
+_SEMDEDUP_TAIL = f""", pairs AS (
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2
+    FROM a{_KMEANS_ITERS} a
+    JOIN a{_KMEANS_ITERS} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE ROUND(list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {_SEMDEDUP_T}
+),
+dropped AS (SELECT DISTINCT id_2 FROM pairs)
+SELECT emb.vec_id, emb.label FROM embeddings emb
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_2 = emb.vec_id)"""
+
+
+QUERIES.update(
+    {
+        "emb_semantic_dedup": QuerySpec(
+            emb_semantic_dedup, _kmeans_sql(tail=_SEMDEDUP_TAIL)
+        ),
+    }
+)

@@ -417,3 +417,49 @@ def test_bm25_ranks_planted_relevant_doc_first(spark):
     scores = {r["doc_id"]: r["bm25"] for r in rows}
     assert scores[1] > scores[4] > 0
     assert scores[1] > scores[2] > 0
+
+
+def test_semantic_dedup_pairs_are_cocluster_restriction_of_exact(spark):
+    """SemDeDup's dropped set must be exactly the quadratic
+    near_dup_pairs restricted to co-clustered pairs (same threshold,
+    same rounding) — the GEMM prefilter + JVM rescore may prune, never
+    alter; and survivors must equal corpus minus min-id drops."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    assign = similarity.distributed_kmeans(emb, k=8, iters=3)
+    cluster_of = {r.id: r.cluster for r in assign.collect()}
+    exact = {
+        (r.id_1, r.id_2)
+        for r in similarity.near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    want_pairs = {
+        (a, b) for a, b in exact if cluster_of[a] == cluster_of[b]
+    }
+    got_pairs = {
+        (r.id_1, r.id_2)
+        for r in similarity.cluster_near_dup_pairs(emb, assign, 0.4).collect()
+    }
+    assert got_pairs == want_pairs
+    survivors = {
+        r.vec_id for r in similarity.semantic_dedup(emb, threshold=0.4).collect()
+    }
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert survivors == all_ids - {b for _a, b in want_pairs}
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """One co-location shuffle + one grouped-pandas GEMM stage for the
+    pair generation, LeftAnti survivors, no cartesian/nested-loop join
+    anywhere — the O(n^2/k) shape that replaces the quadratic cross
+    join at scale."""
+    from multi_report_etl_pipeline_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["emb_semantic_dedup"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # pair stage: exactly one grouped-pandas kernel (the per-cluster
+    # GEMM); the kmeans assignment passes are MapInPandas, not grouped
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:3000]
