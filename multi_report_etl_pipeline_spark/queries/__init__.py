@@ -131,6 +131,19 @@ _TAIL = (
     # kmeans + pairwise-cosine value oracle — so the operator gets a
     # driver row the round it lands.
     "events_sessionization",
+    # round-5 additions (after the verdict-item rotation above): three
+    # NEW operators land this round and each takes a driver row the
+    # round it lands — docs_unigram_logprob (CCNet-style LM-perplexity
+    # bucketing), docs_dsir_sample (hashed-n-gram importance
+    # resampling), emb_int8_topk (int8-quantized cosine ANN). In
+    # exchange three r3+r4 hash-green entries whose code round 5 does
+    # not touch are demoted (events.py and streaming/__init__.py have
+    # no round-5 diffs; all three stay DuckDB-oracle-checked by pytest
+    # every round): events_multi_resolution_rollup,
+    # events_clicks_before_errors_binned, streaming_dedup.
+    "events_multi_resolution_rollup",
+    "events_clicks_before_errors_binned",
+    "streaming_dedup",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

@@ -1553,3 +1553,64 @@ QUERIES.update(
         ),
     }
 )
+
+
+_LM_VOCAB = 16
+_LM_BUCKETS = (6.25, 6.65)
+
+
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality bucketing (text.unigram_logprob):
+    per-doc cross-entropy under a truncated add-one corpus unigram LM,
+    bucketed head/middle/tail. The V-row LM artifact is fit once per
+    corpus snapshot and cached (like the BM25 stats row / IVF
+    quantizer); scoring is one explode + broadcast-hash-join + per-doc
+    partial agg — the corpus never shuffles, only one slim row per doc.
+    Micro-nat integer log-probs make the sums exact across engines."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    key = ("unigram_lm", sf_dir)
+    if key not in _CONSTRUCT_CACHE:
+        _CONSTRUCT_CACHE[key] = text.unigram_lm_stats(docs, vocab_size=_LM_VOCAB)
+    return text.unigram_logprob(
+        docs, stats=_CONSTRUCT_CACHE[key], buckets=_LM_BUCKETS
+    )
+
+
+def _unigram_logprob_sql(vocab_size: int = _LM_VOCAB) -> str:
+    t1, t2 = _LM_BUCKETS
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+n AS (SELECT COUNT(*) AS n_total FROM tok),
+vocab AS (SELECT token, COUNT(*) AS c FROM tok
+          GROUP BY 1 ORDER BY COUNT(*) DESC, token ASC LIMIT {vocab_size}),
+lm AS (SELECT v.token,
+              CAST(ROUND(ln((v.c + 1.0) / (n.n_total + {vocab_size} + 1.0))
+                         * 1000000) AS BIGINT) AS lp_micro
+       FROM vocab v CROSS JOIN n),
+scored AS (
+    SELECT t.doc_id,
+           COALESCE(l.lp_micro,
+                    CAST(ROUND(ln(1.0 / (n.n_total + {vocab_size} + 1.0))
+                               * 1000000) AS BIGINT)) AS lpm
+    FROM tok t LEFT JOIN lm l USING (token) CROSS JOIN n
+),
+per AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lpm) AS s FROM scored GROUP BY 1),
+ce AS (SELECT doc_id, n_tokens,
+              ROUND(-(CAST(s AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE), 6)
+                  AS cross_entropy
+       FROM per)
+SELECT doc_id, n_tokens, cross_entropy,
+       CASE WHEN cross_entropy < {t1} THEN 'head'
+            WHEN cross_entropy < {t2} THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ce
+"""
+
+
+QUERIES.update(
+    {
+        "docs_unigram_logprob": QuerySpec(
+            docs_unigram_logprob, _unigram_logprob_sql()
+        ),
+    }
+)

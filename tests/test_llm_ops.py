@@ -463,3 +463,71 @@ def test_semantic_dedup_plan_shape(spark):
     # pair stage: exactly one grouped-pandas kernel (the per-cluster
     # GEMM); the kmeans assignment passes are MapInPandas, not grouped
     assert plan.count("FlatMapGroupsInPandas") == 1, plan[:3000]
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    """Tiny corpus scored against the literal CCNet-style definition in
+    Python: top-V vocab with add-one smoothing, OOV floor for tokens
+    outside the cut, micro-nat integer sums. NULL-text docs yield no
+    row, and the result is invariant under repartitioning (the exact
+    integer-sum order-independence claim)."""
+    import math
+
+    from multi_report_etl_pipeline_spark.operators.text import (
+        unigram_lm_stats,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c d"), (3, "zz qq"), (4, None)],
+        "doc_id long, text string",
+    )
+    stats = unigram_lm_stats(docs, vocab_size=2)
+    assert stats == {"n_total": 9, "vocab": [("a", 3), ("b", 2)], "vocab_size": 2}
+    denom = 9 + 2 + 1.0
+    lp = {"a": round(math.log(4 / denom) * 1e6), "b": round(math.log(3 / denom) * 1e6)}
+    oov = round(math.log(1 / denom) * 1e6)
+
+    def want_ce(toks):
+        s = sum(lp.get(t, oov) for t in toks)
+        return -(s / 1e6) / len(toks)
+
+    got = {r["doc_id"]: r for r in unigram_logprob(docs, stats=stats).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["cross_entropy"] == pytest.approx(want_ce(["a", "a", "b"]), abs=1e-6)
+    assert got[2]["cross_entropy"] == pytest.approx(
+        want_ce(["a", "b", "c", "d"]), abs=1e-6
+    )
+    # all-OOV doc: exactly the floor log-prob
+    assert got[3]["cross_entropy"] == pytest.approx(-math.log(1 / denom), abs=1e-6)
+    assert got[1]["cross_entropy"] < got[2]["cross_entropy"] < got[3]["cross_entropy"]
+    # bucket edges follow the (t1, t2) thresholds
+    mid = (got[1]["cross_entropy"] + got[3]["cross_entropy"]) / 2
+    buckets = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in unigram_logprob(
+            docs, stats=stats, buckets=(mid, got[3]["cross_entropy"])
+        ).collect()
+    }
+    assert buckets[1] == "head" and buckets[3] == "tail"
+    # partitioning must not change a single value (integer micro-nat sums)
+    again = {
+        r["doc_id"]: r
+        for r in unigram_logprob(docs.repartition(7), stats=stats).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_unigram_logprob_empty_corpus(spark):
+    from multi_report_etl_pipeline_spark.operators.text import unigram_logprob
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = unigram_logprob(empty)
+    assert out.columns == ["doc_id", "n_tokens", "cross_entropy", "ppl_bucket"]
+    assert out.collect() == []
+    # all-NULL text behaves like empty: no tokens, no rows
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert unigram_logprob(nulls).collect() == []

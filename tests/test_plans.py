@@ -318,3 +318,22 @@ def test_bm25_scoring_fold_evaluates_split_once(spark):
     df = text.bm25_topk(docs, ["spark", "window"], k=5, stats=stats)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("split(") == 1, plan[:2000]
+
+
+def test_unigram_logprob_broadcasts_lm_and_reuses_partitioning(spark):
+    """The V-row LM must reach the exploded token stream as a broadcast
+    hash join (never a sort-merge shuffle of the corpus), and the
+    per-doc sum must partial-aggregate on the fan_out's existing doc_id
+    partitioning — exactly one data Exchange in the whole plan. A
+    regression that shuffles tokens for the join, or re-exchanges for
+    the aggregation, fails here."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_unigram_logprob"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("partial_sum") == 1, plan[:3000]
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, plan[:3000]
