@@ -291,3 +291,126 @@ def weighted_sample(
     # limit-then-rank shape so a reorder fails loudly).
     rank_w = Window.orderBy(F.col("priority").desc(), F.col(key_col).asc())
     return ranked.withColumn("sample_rank", F.row_number().over(rank_w))
+
+
+def dsir_bucket_stats(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+):
+    """Fit the DSIR importance estimator (Xie et al. 2023,
+    arXiv:2302.03169 "Data Selection for Language Models via Importance
+    Resampling"): hashed-unigram bucket counts for the raw corpus and
+    its target slice, in ONE explode + hash-agg pass whose map-side
+    partial counts cap the exchange at ``n_buckets`` rows per task.
+    The collect is bounded by ``n_buckets`` — this is the persisted
+    estimator artifact (like the BM25 stats row and the unigram LM): a
+    deployment fits it once against the target distribution and scores
+    any number of raw shards with it.
+
+    Per-bucket importance log-ratios come from the exact integer counts
+    with add-one smoothing, fixed as integer micro-nats:
+    lr[b] = round(ln(((c_t+1)/(n_t+B)) / ((c_raw+1)/(n_raw+B))) * 1e6).
+    ``default_micro`` is the both-unseen ratio — tokens hashing to a
+    bucket the fit never saw (possible only when scoring a DIFFERENT
+    corpus than the fit) score ln((n_raw+B)/(n_t+B)).
+    """
+    import math  # noqa: PLC0415
+
+    from multi_report_etl_pipeline_spark.operators.text import words  # noqa: PLC0415
+
+    tok = docs.select(
+        target_pred.cast("long").alias("is_t"),
+        F.explode(words(F.col(text_col))).alias("token"),
+    )
+    rows = (
+        tok.groupBy(_hash_bucket(F.col("token"), n_buckets).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c_raw"), F.sum("is_t").alias("c_t"))
+        .collect()
+    )
+    n_raw = sum(int(r["c_raw"]) for r in rows)
+    n_t = sum(int(r["c_t"]) for r in rows)
+    b = float(n_buckets)
+
+    def lr_micro(c_raw: int, c_t: int) -> int:
+        return round(
+            math.log(((c_t + 1.0) / (n_t + b)) / ((c_raw + 1.0) / (n_raw + b))) * 1e6
+        )
+
+    return {
+        "n_buckets": n_buckets,
+        "n_raw": n_raw,
+        "n_t": n_t,
+        "lr_micro": [
+            (int(r["bucket"]), lr_micro(int(r["c_raw"]), int(r["c_t"]))) for r in rows
+        ],
+        "default_micro": lr_micro(0, 0),
+    }
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target_pred: Column | None = None,
+    k: int = 64,
+    n_buckets: int = 1024,
+    stats=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR data selection: keep the ``k`` documents whose hashed-unigram
+    feature distribution looks most like the target slice. Each doc's
+    log importance weight is the sum of its tokens' per-bucket
+    log-ratios — exact int64 micro-nat arithmetic, so the value is
+    independent of partitioning and engine (the long-cents convention).
+    (The paper resamples with Gumbel noise; the deterministic top-k here
+    composes with ``weighted_sample`` when sampled — not ranked —
+    selection is wanted.)
+
+    Plan shape: the ≤B-row estimator broadcasts into the exploded token
+    stream (broadcast hash join — the corpus never shuffles), the
+    per-doc sum partial-aggregates map-side so the only exchange
+    carries one slim row per document, and the final cut is a
+    TakeOrdered top-k ((log_weight DESC, id ASC) — no global sort).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if stats is None:
+        if target_pred is None:
+            raise ValueError("need target_pred when no fitted stats are passed")
+        stats = dsir_bucket_stats(docs, target_pred, n_buckets, text_col)
+    from multi_report_etl_pipeline_spark.operators.text import words  # noqa: PLC0415
+
+    spark = docs.sparkSession
+    lr = spark.createDataFrame(
+        stats["lr_micro"] or [(0, 0)], "bucket int, lr_micro long"
+    )
+    if not stats["lr_micro"]:
+        lr = lr.filter(F.lit(False))
+    tok = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("token")
+    )
+    per = (
+        tok.select(
+            F.col(id_col), _hash_bucket(F.col("token"), stats["n_buckets"]).alias("bucket")
+        )
+        .join(F.broadcast(lr), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("lr_micro"), F.lit(stats["default_micro"]))
+            ).alias("_s"),
+        )
+    )
+    return (
+        per.select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(F.col("_s").cast("double") / F.lit(1000000.0), 6).alias(
+                "log_weight"
+            ),
+        )
+        .orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

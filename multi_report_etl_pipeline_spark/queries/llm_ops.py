@@ -1614,3 +1614,58 @@ QUERIES.update(
         ),
     }
 )
+
+
+_DSIR_BUCKETS = 1024
+_DSIR_K = 40
+_DSIR_TARGET = ("src0", "src1")
+
+
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/sampling.py dsir_sample):
+    select the 40 docs whose hashed-unigram distribution is most
+    target-like, target = the src0/src1 slice. The ≤B-row estimator is
+    fit once per corpus snapshot and cached (the persisted artifact
+    pattern); scoring is explode → broadcast join → per-doc partial agg
+    → TakeOrdered — the corpus never shuffles."""
+    from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    key = ("dsir_stats", sf_dir)
+    if key not in _CONSTRUCT_CACHE:
+        _CONSTRUCT_CACHE[key] = sampling.dsir_bucket_stats(
+            docs, F.col("source").isin(*_DSIR_TARGET), n_buckets=_DSIR_BUCKETS
+        )
+    return sampling.dsir_sample(docs, k=_DSIR_K, stats=_CONSTRUCT_CACHE[key])
+
+
+def _dsir_sql(n_buckets: int = _DSIR_BUCKETS, k: int = _DSIR_K) -> str:
+    targets = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    return f"""
+WITH tok AS (
+    SELECT doc_id,
+           CASE WHEN source IN ({targets}) THEN 1 ELSE 0 END AS is_t,
+           CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) % {n_buckets} AS bucket
+    FROM (SELECT doc_id, source, unnest({_WORDS}) AS token FROM documents)
+),
+bc AS (SELECT bucket, COUNT(*) AS c_raw, SUM(is_t) AS c_t FROM tok GROUP BY 1),
+tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_t) AS n_t FROM bc),
+lr AS (SELECT bucket,
+              CAST(ROUND(ln(((c_t + 1.0) / (tot.n_t + {n_buckets}))
+                            / ((c_raw + 1.0) / (tot.n_raw + {n_buckets})))
+                         * 1000000) AS BIGINT) AS lr_micro
+       FROM bc CROSS JOIN tot),
+per AS (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(l.lr_micro) AS s
+        FROM tok t LEFT JOIN lr l USING (bucket) GROUP BY 1)
+SELECT doc_id, n_tokens, ROUND(CAST(s AS DOUBLE) / 1000000.0, 6) AS log_weight
+FROM per
+ORDER BY log_weight DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+QUERIES.update(
+    {
+        "docs_dsir_sample": QuerySpec(docs_dsir_sample, _dsir_sql()),
+    }
+)

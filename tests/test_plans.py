@@ -337,3 +337,22 @@ def test_unigram_logprob_broadcasts_lm_and_reuses_partitioning(spark):
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
     assert len(exchanges) == 1, plan[:3000]
+
+
+def test_dsir_sample_broadcasts_estimator_with_takeordered_cut(spark):
+    """The ≤B-row estimator must broadcast into the token stream (no
+    corpus shuffle for the join), the per-doc sum must reuse the
+    fan_out's doc_id partitioning (one data Exchange total), and the
+    top-k must compile to TakeOrderedAndProject — never a global
+    Sort."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_dsir_sample"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "\n+- Sort" not in plan and "- Sort " not in plan, plan[:3000]
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, plan[:3000]

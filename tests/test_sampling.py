@@ -276,3 +276,109 @@ def test_weighted_sample_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         weighted_sample(None, "doc_id", "weight", k=0)
+
+
+def _dsir_python_reference(corpus, targets, n_buckets, bucket_of):
+    """Literal DSIR definition: hashed-unigram bucket counts with
+    add-one smoothing, integer micro-nat log-ratio sums."""
+    import math
+
+    c_raw: dict[int, int] = {}
+    c_t: dict[int, int] = {}
+    for _id, src, text in corpus:
+        for t in text.split():
+            b = bucket_of(t)
+            c_raw[b] = c_raw.get(b, 0) + 1
+            if src in targets:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_raw, n_t = sum(c_raw.values()), sum(c_t.values())
+
+    def lr(b):
+        return round(
+            math.log(
+                ((c_t.get(b, 0) + 1.0) / (n_t + n_buckets))
+                / ((c_raw.get(b, 0) + 1.0) / (n_raw + n_buckets))
+            )
+            * 1e6
+        )
+
+    out = {}
+    for _id, _src, text in corpus:
+        toks = text.split()
+        out[_id] = round(sum(lr(bucket_of(t)) for t in toks) / 1e6, 6)
+    return out
+
+
+def test_dsir_sample_matches_python_reference(spark):
+    """Exact log weights vs the literal definition (same md5 bucketing),
+    target-slice docs outrank off-target docs, and the result is
+    invariant under repartitioning (integer micro-nat sums)."""
+    import hashlib
+
+    from multi_report_etl_pipeline_spark.operators.sampling import dsir_sample
+
+    corpus = [
+        (1, "good", "alpha beta alpha gamma"),
+        (2, "good", "alpha beta beta"),
+        (3, "bulk", "zeta eta theta iota kappa"),
+        (4, "bulk", "alpha zeta zeta eta"),
+        (5, "bulk", "alpha beta gamma alpha"),
+    ]
+    n_buckets = 64
+
+    def bucket_of(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % n_buckets
+
+    want = _dsir_python_reference(corpus, {"good"}, n_buckets, bucket_of)
+    docs = spark.createDataFrame(corpus, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_sample(
+            docs, F.col("source") == "good", k=5, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == want
+    # doc 5 has target-like content from a bulk source: DSIR must rank it
+    # with the target docs, above the off-target doc 3
+    assert got[5] > got[3]
+    assert min(got[1], got[2]) > got[3]
+    again = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_sample(
+            docs.repartition(5), F.col("source") == "good", k=5, n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == again
+
+
+def test_dsir_pretrained_stats_score_unseen_corpus(spark):
+    """A fitted estimator must transfer: scoring a corpus with tokens
+    the fit never saw falls back to the both-unseen default ratio
+    instead of dropping tokens (the LEFT join + coalesce path), and
+    n_tokens still counts every token."""
+    from multi_report_etl_pipeline_spark.operators.sampling import (
+        dsir_bucket_stats,
+        dsir_sample,
+    )
+
+    fit = spark.createDataFrame(
+        [(1, "good", "alpha beta"), (2, "bulk", "zeta eta")],
+        "doc_id long, source string, text string",
+    )
+    stats = dsir_bucket_stats(fit, F.col("source") == "good", n_buckets=8)
+    fresh = spark.createDataFrame(
+        [(10, "totally unseen tokens here")], "doc_id long, text string"
+    )
+    got = dsir_sample(fresh, k=1, stats=stats).collect()
+    assert len(got) == 1 and got[0]["n_tokens"] == 4
+    # all-unseen docs score n * default_micro exactly
+    assert got[0]["log_weight"] == round(4 * stats["default_micro"] / 1e6, 6)
+
+
+def test_dsir_sample_rejects_bad_args(spark):
+    from multi_report_etl_pipeline_spark.operators.sampling import dsir_sample
+
+    with pytest.raises(ValueError):
+        dsir_sample(None, F.lit(True), k=0)
+    with pytest.raises(ValueError):
+        dsir_sample(None, None, k=5)
