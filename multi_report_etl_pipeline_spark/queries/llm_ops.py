@@ -1669,3 +1669,64 @@ QUERIES.update(
         "docs_dsir_sample": QuerySpec(docs_dsir_sample, _dsir_sql()),
     }
 )
+
+
+def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over int8-quantized embeddings for the same query
+    set as emb_cosine_topk — the compressed-storage ANN serving path
+    (4x scan bandwidth). Quantized dot products are exact integer
+    arithmetic, so unlike LSH/IVF this approximate index sits under the
+    full value oracle; recall vs the f32 exact baseline is gated in
+    tests/test_llm_ops.py. Quantized query rows are cached per corpus
+    snapshot like the other construction artifacts."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    key = ("int8_topk_queries", sf_dir)
+    if key not in _CONSTRUCT_CACHE:
+        _CONSTRUCT_CACHE[key] = (
+            queries.filter(
+                F.array_max(
+                    F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+                )
+                > 0.0
+            )
+            .select(
+                F.col("vec_id").alias("q_id"),
+                similarity.int8_quantize("embedding").alias("q_q8"),
+            )
+            .collect()
+        )
+    return similarity.int8_topk(emb, queries, k=10, q_rows=_CONSTRUCT_CACHE[key])
+
+
+INT8_TOPK_SQL = """
+WITH v AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am
+           FROM embeddings),
+qz AS (SELECT vec_id,
+              [CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT) for x in embedding]
+                  AS q8
+       FROM v WHERE am > 0),
+q AS (SELECT vec_id AS q_id, q8 AS q_q8 FROM qz WHERE vec_id % 100 = 0),
+sims AS (
+    SELECT q_id, c.vec_id AS c_id,
+           list_dot_product(CAST(q_q8 AS DOUBLE[]), CAST(c.q8 AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(q_q8 AS DOUBLE[]), CAST(q_q8 AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(c.q8 AS DOUBLE[]), CAST(c.q8 AS DOUBLE[]))))
+               AS sim
+    FROM qz c CROSS JOIN q WHERE c.vec_id <> q_id
+)
+SELECT q_id,
+       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank,
+       c_id,
+       ROUND(sim, 6) AS int8_cosine
+FROM sims
+QUALIFY rank <= 10
+"""
+
+
+QUERIES.update(
+    {
+        "emb_int8_topk": QuerySpec(emb_int8_topk, INT8_TOPK_SQL),
+    }
+)
