@@ -54,6 +54,9 @@ HEADLINE = [
     "emb_kmeans_clusters",
     "docs_span_dedup",
     "docs_bm25_topk",
+    "docs_unigram_logprob",
+    "docs_dsir_sample",
+    "emb_int8_topk",
 ]
 
 
