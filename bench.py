@@ -57,6 +57,7 @@ HEADLINE = [
     "docs_unigram_logprob",
     "docs_dsir_sample",
     "emb_int8_topk",
+    "docs_bpe_merges",
 ]
 
 

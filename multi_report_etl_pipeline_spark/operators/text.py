@@ -654,6 +654,95 @@ def bm25_topk(
     )
 
 
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    passes: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): learn the top-``n_merges`` byte-pair merges from
+    the corpus. Returns the trained merge table
+    (merge_rank, left_sym, right_sym, pair_count) — the artifact a
+    tokenizer build consumes.
+
+    Scale shape — the reason BPE training is feasible at 100 TB: the
+    corpus is touched ONCE (word-frequency aggregation, map-side
+    combine), and every merge iteration runs on the persisted
+    DISTINCT-WORD table, which is Heaps'-law-bounded and orders of
+    magnitude smaller than the corpus. Per iteration: one
+    adjacent-pair explode + hash agg over that word table, a 1-row
+    argmax collect ((count DESC, pair ASC) tie-break), and a narrow
+    merge projection. Driver state is ``n_merges`` rows total.
+
+    Words are represented as space-joined symbol strings
+    (" l o w e r "); a merge rewrites them with ``passes`` chained
+    literal ``replace`` calls. Spark and DuckDB replace share
+    exact left-to-right non-overlapping scan semantics, so the DuckDB
+    twin (queries/llm_ops.py) replays training value-for-value with
+    the merges unrolled as CTEs — the kmeans-oracle technique. One
+    documented deviation from canonical greedy BPE: inside a run of
+    >= 4 identical symbols, a single scan pass can pair symbols
+    differently than strict left-to-right (" a a a a a " merges to
+    "aa a aa", greedy gives "aa aa a"); the fixpoint after ``passes``
+    passes merges the same NUMBER of pairs and is deterministic and
+    engine-identical, which is what the oracle gate needs. Real word
+    distributions essentially never hit it.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    spark = docs.sparkSession
+    schema = "merge_rank int, left_sym string, right_sym string, pair_count long"
+    wf = (
+        docs.select(F.explode(words(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("token"), "(.)", "$1 ")
+            ).alias("rep"),
+            "cnt",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        merges: list[tuple[int, str, str, int]] = []
+        cur = wf
+        for i in range(n_merges):
+            # bind the symbol array as a column BEFORE the n-gram lambda
+            # (no CSE inside higher-order lambdas — see repetition_stats)
+            syms = cur.select(
+                F.split(F.trim(F.col("rep")), " ").alias("__s"), "cnt"
+            )
+            best = (
+                syms.select(
+                    F.explode(consecutive_ngrams(F.col("__s"), 2)).alias("pair"),
+                    "cnt",
+                )
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, c = best[0]["pair"], int(best[0]["c"])
+            left, right = pair.split(" ")
+            merges.append((i, left, right, c))
+            new_rep = F.col("rep")
+            for _ in range(passes):
+                new_rep = F.replace(
+                    new_rep, F.lit(f" {pair} "), F.lit(f" {left}{right} ")
+                )
+            cur = cur.select(new_rep.alias("rep"), "cnt")
+        return spark.createDataFrame(merges, schema)
+    finally:
+        wf.unpersist()
+
+
 def unigram_lm_stats(
     docs: DataFrame,
     vocab_size: int = 16,

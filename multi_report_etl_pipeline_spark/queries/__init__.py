@@ -144,6 +144,13 @@ _TAIL = (
     "events_multi_resolution_rollup",
     "events_clicks_before_errors_binned",
     "streaming_dedup",
+    # ...and a fourth new operator, docs_bpe_merges (distributed BPE
+    # tokenizer training under an unrolled-iteration value oracle),
+    # takes the slot of streaming_interval_join (r3+r4 hash-green,
+    # streaming/__init__.py untouched in round 5; the family keeps 7
+    # in-window rows and the batch range-join twins stay
+    # pytest-checked).
+    "streaming_interval_join",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

@@ -1730,3 +1730,73 @@ QUERIES.update(
         "emb_int8_topk": QuerySpec(emb_int8_topk, INT8_TOPK_SQL),
     }
 )
+
+
+_BPE_MERGES = 6
+_BPE_PASSES = 4
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (text.bpe_train_merges): the
+    top-6 learned merges with their pair counts. One corpus pass builds
+    the word-frequency table; every merge iteration runs on that
+    persisted Heaps'-bounded table. The DuckDB twin replays the whole
+    training loop with the iterations unrolled as CTEs (the
+    kmeans-oracle technique), so tokenizer TRAINING — not just
+    application — sits under the value gate."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return text.bpe_train_merges(
+        docs, n_merges=_BPE_MERGES, passes=_BPE_PASSES
+    )
+
+
+def _bpe_sql(n_merges: int = _BPE_MERGES, passes: int = _BPE_PASSES) -> str:
+    def rep_chain(col: str, pat: str, rpl: str) -> str:
+        out = col
+        for _ in range(passes):
+            out = f"replace({out}, {pat}, {rpl})"
+        return out
+
+    ctes = [
+        f"""w0 AS (
+    SELECT ' ' || regexp_replace(token, '(.)', '\\1 ', 'g') AS rep, COUNT(*) AS cnt
+    FROM (SELECT unnest({_WORDS}) AS token FROM documents)
+    GROUP BY token)"""
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""p{i} AS (
+    SELECT pair, SUM(cnt) AS c FROM (
+        SELECT unnest([array_to_string(s[j:j+1], ' ') for j in range(1, len(s))])
+                   AS pair,
+               cnt
+        FROM (SELECT string_split(trim(rep), ' ') AS s, cnt FROM w{i})
+        WHERE len(s) >= 2
+    ) GROUP BY pair)"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+    SELECT pair, c,
+           ' ' || pair || ' ' AS pat,
+           ' ' || replace(pair, ' ', '') || ' ' AS rpl
+    FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1)"""
+        )
+        if i < n_merges - 1:
+            ctes.append(
+                f"""w{i + 1} AS (
+    SELECT {rep_chain("w.rep", "b.pat", "b.rpl")} AS rep, w.cnt
+    FROM w{i} w CROSS JOIN b{i} b)"""
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, split_part(pair, ' ', 1) AS left_sym, "
+        f"split_part(pair, ' ', 2) AS right_sym, c AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+QUERIES.update(
+    {
+        "docs_bpe_merges": QuerySpec(docs_bpe_merges, _bpe_sql()),
+    }
+)

@@ -54,6 +54,7 @@ COMPARABLE = [
     "docs_unigram_logprob",
     "docs_dsir_sample",
     "emb_int8_topk",
+    "docs_bpe_merges",
 ]
 
 

@@ -574,3 +574,83 @@ def test_int8_topk_recall_vs_exact(spark):
     recalls = [len(ex[qid] & ap[qid]) / len(ex[qid]) for qid in ex]
     assert min(recalls) >= 0.8, recalls
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def _bpe_python_reference(texts, n_merges, passes=4):
+    """Literal re-implementation of the operator's training loop: word
+    freqs, weighted adjacent-pair counts, (count DESC, pair ASC)
+    argmax, multi-pass space-sentinel replace."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        wf.update(t.split())
+    reps = {" " + " ".join(w) + " ": c for w, c in wf.items()}
+    merges = []
+    for i in range(n_merges):
+        pairs: Counter = Counter()
+        for rep, c in reps.items():
+            s = rep.split()
+            for a, b in zip(s, s[1:]):
+                pairs[f"{a} {b}"] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        left, right = best[0].split(" ")
+        merges.append((i, left, right, best[1]))
+        new_reps: dict = {}
+        for rep, c in reps.items():
+            for _ in range(passes):
+                rep = rep.replace(f" {best[0]} ", f" {left}{right} ")
+            new_reps[rep] = new_reps.get(rep, 0) + c
+        reps = new_reps
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The learned merge table must equal the literal Python training
+    loop on a corpus where merge order matters (later merges build on
+    earlier merged symbols), and must be partitioning-invariant."""
+    from multi_report_etl_pipeline_spark.operators.text import bpe_train_merges
+
+    texts = [
+        "lower lower lower newer newer low new er er",
+        "lowest newest lower low low wide wider widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _bpe_python_reference(texts, n_merges=5)
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=5).collect()]
+    assert got == want, (got, want)
+    # merged symbols must compound: some later merge consumes a merged
+    # symbol (multi-char side), or the test corpus is too easy
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got), got
+    again = [
+        tuple(r)
+        for r in bpe_train_merges(docs.repartition(7), n_merges=5).collect()
+    ]
+    assert got == again
+
+
+def test_bpe_train_exhaustion_and_bad_args(spark):
+    """Single-char words have no pairs: training stops early with an
+    empty merge table rather than looping; n_merges < 1 raises."""
+    import pytest as _pytest
+
+    from multi_report_etl_pipeline_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab cd")], "doc_id long, text string"
+    )
+    # "ab" and "cd" each fully merge after ONE merge; asking for 3
+    # merges must stop at 2 instead of looping on an empty pair table
+    out = bpe_train_merges(docs, n_merges=3)
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(0, "a", "b", 4), (1, "c", "d", 1)]
+    assert out.columns == ["merge_rank", "left_sym", "right_sym", "pair_count"]
+    # all words single-char: pairs are INTRA-word, so no pairs at all
+    empty = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_train_merges(empty, n_merges=2).collect() == []
+    with _pytest.raises(ValueError):
+        bpe_train_merges(docs, n_merges=0)
