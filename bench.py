@@ -141,7 +141,15 @@ def main() -> None:
     # CACHE) after the warm-up builds them, exactly as a deployment
     # persists its index artifact, so their timed runs now measure the
     # query job; dedup_groups' label-propagation loop IS the query.
-    iterative = {"docs_dedup_groups", "emb_ivf_topk", "emb_cosine_topk"}
+    # docs_bpe_merges collects each merge argmax during construction and
+    # returns the merge table as local rows — training IS construction,
+    # so it must be re-run inside the timer.
+    iterative = {
+        "docs_dedup_groups",
+        "emb_ivf_topk",
+        "emb_cosine_topk",
+        "docs_bpe_merges",
+    }
 
     for name in names:
         fn = registry[name].fn
