@@ -529,3 +529,128 @@ def test_bm25_matches_bruteforce_reference(corpora):
     assert [g[0] for g in got] == [e[0] for e in expect], (got, expect)
     for (gi, gs), (ei, es) in zip(got, expect):
         assert abs(gs - es) < 1e-6, (gi, gs, es)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # tiny alphabet forces vocab-cut ties and OOV tokens
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=10),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_unigram_logprob_matches_bruteforce_reference(corpora):
+    """unigram_logprob must reproduce the literal truncated add-one LM
+    definition on EVERY corpus: top-V cut by (count DESC, token ASC),
+    OOV floor, micro-nat integer sums, per-doc mean."""
+    import math
+    from collections import Counter
+
+    from multi_report_etl_pipeline_spark.operators.text import (
+        unigram_lm_stats,
+        unigram_logprob,
+    )
+
+    spark = _shared_spark["spark"]
+    vocab_size = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = unigram_lm_stats(df, vocab_size=vocab_size)
+
+    counts = Counter(t for toks in corpora for t in toks)
+    n_total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    assert stats == {
+        "n_total": n_total,
+        "vocab": [(t, c) for t, c in top],
+        "vocab_size": vocab_size,
+    }
+    denom = n_total + vocab_size + 1.0
+    lp = {t: round(math.log((c + 1) / denom) * 1e6) for t, c in top}
+    oov = round(math.log(1.0 / denom) * 1e6)
+
+    got = {r["doc_id"]: r for r in unigram_logprob(df, stats=stats).collect()}
+    assert set(got) == set(range(len(corpora)))
+    for i, toks in enumerate(corpora):
+        s = sum(lp.get(t, oov) for t in toks)
+        want = -(s / 1e6) / len(toks)
+        assert got[i]["n_tokens"] == len(toks)
+        assert abs(got[i]["cross_entropy"] - want) <= 1e-6, (i, toks)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["good", "bulk"]),
+            st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_dsir_matches_bruteforce_reference(rows):
+    """dsir_sample must reproduce the literal hashed-unigram importance
+    definition (same md5 bucketing, add-one smoothing, integer
+    micro-nat sums) for every corpus — including all-target and
+    no-target splits."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.operators.sampling import dsir_sample
+    from tests.test_sampling import _dsir_python_reference
+
+    spark = _shared_spark["spark"]
+    n_buckets = 32
+    corpus = [(i, src, " ".join(toks)) for i, (src, toks) in enumerate(rows)]
+    df = spark.createDataFrame(corpus, "doc_id long, source string, text string")
+
+    def bucket_of(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % n_buckets
+
+    want = _dsir_python_reference(corpus, {"good"}, n_buckets, bucket_of)
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_sample(
+            df, F.col("source") == "good", k=len(corpus), n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # 2-char alphabet maximizes identical-symbol runs — the
+        # documented run-parity edge must STILL match the reference,
+        # because the reference implements the same multi-pass rule
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=9),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_train_matches_bruteforce_reference(word_lists):
+    """bpe_train_merges must agree with the literal Python training loop
+    on EVERY corpus — including degenerate runs like 'aaaaa' where the
+    multi-pass replace rule (not canonical greedy) defines the result."""
+    from multi_report_etl_pipeline_spark.operators.text import bpe_train_merges
+    from tests.test_llm_ops import _bpe_python_reference
+
+    spark = _shared_spark["spark"]
+    texts = [" ".join("".join(w) for w in word_lists)]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    want = _bpe_python_reference(texts, n_merges=3)
+    got = [tuple(r) for r in bpe_train_merges(df, n_merges=3).collect()]
+    assert got == want, (got, want)
