@@ -58,6 +58,7 @@ HEADLINE = [
     "docs_dsir_sample",
     "emb_int8_topk",
     "docs_bpe_merges",
+    "docs_bpe_tokenize",
 ]
 
 

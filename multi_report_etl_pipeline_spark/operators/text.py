@@ -743,6 +743,49 @@ def bpe_train_merges(
         wf.unpersist()
 
 
+def bpe_apply_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    passes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge table (``bpe_train_merges`` output) and
+    emit per-document token counts — the tokenizer-application half of
+    the train/apply pair, the statistic batch-shape planning reads.
+
+    The merge list is a scale-independent literal artifact, so
+    application is a FULLY NARROW map: each word becomes its symbol
+    string, the merges rewrite it as chained literal ``replace`` calls
+    (same ``passes`` fixpoint rule as training), and the per-doc symbol
+    count is one array fold. No join, no explode, no shuffle, no
+    Python — embarrassingly parallel at 100 TB. NULL-text docs emit a
+    row with NULL counts (no generator to drop them), matching the
+    oracle's list_transform-of-NULL.
+    """
+    def word_rep(w: Column) -> Column:
+        rep = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+        for left, right in merges:
+            for _ in range(passes):
+                rep = F.replace(
+                    rep, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+                )
+        return rep
+
+    # bind the token array first (no CSE inside higher-order lambdas)
+    base = docs.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
+    n_bpe = F.aggregate(
+        F.transform(F.col("__toks"), word_rep),
+        F.lit(0),
+        lambda acc, r: acc + F.size(F.split(F.trim(r), " ")),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+    )
+
+
 def unigram_lm_stats(
     docs: DataFrame,
     vocab_size: int = 16,

@@ -151,6 +151,14 @@ _TAIL = (
     # in-window rows and the batch range-join twins stay
     # pytest-checked).
     "streaming_interval_join",
+    # ...and a fifth, docs_bpe_tokenize (the apply half of the BPE
+    # train/apply pair — narrow-map tokenizer application under the
+    # train-unrolled oracle), takes the slot of
+    # streaming_windowed_counts (r3+r4 hash-green, untouched; the
+    # streaming family keeps 6 in-window rows and the batch twin
+    # events_windowed_counts stays in-window for the scan-agg bench
+    # family).
+    "streaming_windowed_counts",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

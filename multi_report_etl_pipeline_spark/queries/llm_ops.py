@@ -1750,7 +1750,11 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(n_merges: int = _BPE_MERGES, passes: int = _BPE_PASSES) -> str:
+def _bpe_sql(
+    n_merges: int = _BPE_MERGES,
+    passes: int = _BPE_PASSES,
+    tail: str | None = None,
+) -> str:
     def rep_chain(col: str, pat: str, rpl: str) -> str:
         out = col
         for _ in range(passes):
@@ -1787,6 +1791,8 @@ def _bpe_sql(n_merges: int = _BPE_MERGES, passes: int = _BPE_PASSES) -> str:
     SELECT {rep_chain("w.rep", "b.pat", "b.rpl")} AS rep, w.cnt
     FROM w{i} w CROSS JOIN b{i} b)"""
             )
+    if tail is not None:
+        return "WITH " + ",\n".join(ctes) + "\n" + tail
     union = "\nUNION ALL ".join(
         f"SELECT {i} AS merge_rank, split_part(pair, ' ', 1) AS left_sym, "
         f"split_part(pair, ' ', 2) AS right_sym, c AS pair_count FROM b{i}"
@@ -1798,5 +1804,57 @@ def _bpe_sql(n_merges: int = _BPE_MERGES, passes: int = _BPE_PASSES) -> str:
 QUERIES.update(
     {
         "docs_bpe_merges": QuerySpec(docs_bpe_merges, _bpe_sql()),
+    }
+)
+
+
+def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (text.bpe_apply_counts): per-doc word and
+    BPE-token counts under the merges learned by docs_bpe_merges. The
+    merge table is trained once per corpus snapshot and cached; the
+    apply pass is a fully narrow map (chained literal replaces + one
+    array fold — no join/explode/shuffle). The oracle replays training
+    via the unrolled CTEs, then applies the same nested replaces."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    key = ("bpe_merges", sf_dir)
+    if key not in _CONSTRUCT_CACHE:
+        _CONSTRUCT_CACHE[key] = [
+            (r["left_sym"], r["right_sym"])
+            for r in text.bpe_train_merges(
+                docs, n_merges=_BPE_MERGES, passes=_BPE_PASSES
+            ).collect()
+        ]
+    return text.bpe_apply_counts(
+        docs, _CONSTRUCT_CACHE[key], passes=_BPE_PASSES
+    )
+
+
+def _bpe_tokenize_sql(
+    n_merges: int = _BPE_MERGES, passes: int = _BPE_PASSES
+) -> str:
+    # nested replaces over every trained merge, innermost = merge 0 —
+    # the same rank-order application bpe_apply_counts performs. The
+    # CROSS JOINs are all 1-row (each b_i is a LIMIT 1); a corpus that
+    # exhausts merges before n_merges would annihilate them, but the
+    # paired Spark query trains on the same corpus and would have
+    # produced the same shorter merge list — the docs_bpe_merges row
+    # proves the merge tables agree first.
+    expr = "' ' || regexp_replace(t, '(.)', '\\1 ', 'g')"
+    for i in range(n_merges):
+        for _ in range(passes):
+            expr = f"replace({expr}, b{i}.pat, b{i}.rpl)"
+    joins = " ".join(f"CROSS JOIN b{i}" for i in range(n_merges))
+    tail = f"""SELECT doc_id,
+       len(toks) AS n_words,
+       CAST(list_sum(list_transform(toks,
+            t -> len(string_split(trim({expr}), ' ')))) AS INTEGER)
+           AS n_bpe_tokens
+FROM (SELECT doc_id, {_WORDS} AS toks FROM documents) {joins}"""
+    return _bpe_sql(n_merges, passes, tail=tail)
+
+
+QUERIES.update(
+    {
+        "docs_bpe_tokenize": QuerySpec(docs_bpe_tokenize, _bpe_tokenize_sql()),
     }
 )

@@ -55,6 +55,7 @@ COMPARABLE = [
     "docs_dsir_sample",
     "emb_int8_topk",
     "docs_bpe_merges",
+    "docs_bpe_tokenize",
 ]
 
 

@@ -654,3 +654,35 @@ def test_bpe_train_exhaustion_and_bad_args(spark):
     assert bpe_train_merges(empty, n_merges=2).collect() == []
     with _pytest.raises(ValueError):
         bpe_train_merges(docs, n_merges=0)
+
+
+def test_bpe_apply_counts_known_merges(spark):
+    """Hand-computed application: rank-ordered merges compound, an empty
+    merge list degrades to character tokenization, and NULL-text docs
+    emit a row with NULL counts."""
+    from multi_report_etl_pipeline_spark.operators.text import bpe_apply_counts
+
+    docs = spark.createDataFrame(
+        [(1, "lower low er"), (2, "aaaa"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply_counts(docs, [("e", "r"), ("l", "o")]).collect()
+    }
+    # "lower" -> l o w er -> lo w er (3); "low" -> lo w (2); "er" -> er (1)
+    assert got[1] == (3, 6)
+    # run of a's: no (e,r)/(l,o) merges apply -> 4 chars
+    assert got[2] == (1, 4)
+    assert got[3] == (None, None)
+    chars = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_apply_counts(docs, []).collect()
+    }
+    assert chars[1] == 10 and chars[2] == 4  # plain character counts
+    # (a,a) on "aaaa": multi-pass rule -> " aa aa " = 2 symbols
+    run = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_apply_counts(docs, [("a", "a")]).collect()
+    }
+    assert run[2] == 2
