@@ -356,3 +356,35 @@ def test_dsir_sample_broadcasts_estimator_with_takeordered_cut(spark):
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
     assert len(exchanges) == 1, plan[:3000]
+
+
+def test_bpe_tokenize_is_a_pure_narrow_map(spark):
+    """Tokenizer application must stay embarrassingly parallel: no
+    generator, no join, no aggregation node, and the only Exchange is
+    fan_out's repartition — the merges are literals in one chained
+    replace + fold projection, and the tokenizing split appears exactly
+    once (a regression to per-merge re-splitting, a join against a word
+    table, or an explode all fail here)."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_bpe_tokenize"].fn(spark, SF_DIR))
+    assert "Generate" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "Aggregate" not in plan.replace("aggregate(", ""), plan[:3000]
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert plan.count("split(trim(regexp_replace(lower(") == 1, plan[:3000]
+
+
+def test_int8_topk_keeps_the_gemm_prune_shape(spark):
+    """The int8 path must keep brute_topk's scale shape: Arrow-batched
+    GEMM prune (MapInPandas), quantized query side broadcast back as a
+    hash join, per-query top-k as WindowGroupLimit — never a cartesian
+    or nested-loop join of the corpus."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["emb_int8_topk"].fn(spark, SF_DIR))
+    assert "MapInPandas" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "WindowGroupLimit" in plan, plan[:3000]
