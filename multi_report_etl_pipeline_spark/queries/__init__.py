@@ -137,9 +137,10 @@ _TAIL = (
     # bucketing), docs_dsir_sample (hashed-n-gram importance
     # resampling), emb_int8_topk (int8-quantized cosine ANN). In
     # exchange three r3+r4 hash-green entries whose code round 5 does
-    # not touch are demoted (events.py and streaming/__init__.py have
-    # no round-5 diffs; all three stay DuckDB-oracle-checked by pytest
-    # every round): events_multi_resolution_rollup,
+    # not touch are demoted (their builder functions have no round-5
+    # diffs — round 5 only ADDS new functions to these modules; all
+    # three stay DuckDB-oracle-checked by pytest every round):
+    # events_multi_resolution_rollup,
     # events_clicks_before_errors_binned, streaming_dedup.
     "events_multi_resolution_rollup",
     "events_clicks_before_errors_binned",
@@ -159,6 +160,14 @@ _TAIL = (
     # events_windowed_counts stays in-window for the scan-agg bench
     # family).
     "streaming_windowed_counts",
+    # ...and a sixth, streaming_doc_perplexity (online scoring of a
+    # streamed landing zone under the frozen offline-fit LM artifact —
+    # same oracle as the batch docs_unigram_logprob, so stream/batch
+    # parity is driver-enforced), takes the slot of
+    # streaming_snapshot_merge (r3+r4 hash-green; round 5 touched only
+    # its TESTS — the kill-and-resume checkpoint proof — not its code;
+    # the streaming family holds 7 in-window rows).
+    "streaming_snapshot_merge",
     "customers_without_orders",
     "parts_at_max_size",
     "lineitem_rollup",

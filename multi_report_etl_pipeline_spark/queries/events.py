@@ -703,3 +703,50 @@ QUERIES.update(
         ),
     }
 )
+
+
+def streaming_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of docs_unigram_logprob: documents arrive as a
+    file stream and are scored under the FROZEN LM artifact the batch
+    query fit (shared via llm_ops' construction cache) — offline fit,
+    online scoring, the deployment shape of perplexity filtering. The
+    per-doc score aggregation is maintained incrementally and drained
+    with availableNow; hash-checked against the SAME oracle as the
+    batch query, so stream-vs-batch parity is driver-enforced."""
+    from multi_report_etl_pipeline_spark import streaming  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.io import fan_out, read_table  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.operators import text  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    key = ("unigram_lm", sf_dir)
+    if key not in llm_ops._CONSTRUCT_CACHE:  # noqa: SLF001 - shared artifact cache
+        batch_docs = fan_out(
+            read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",)
+        )
+        llm_ops._CONSTRUCT_CACHE[key] = text.unigram_lm_stats(  # noqa: SLF001
+            batch_docs, vocab_size=llm_ops._LM_VOCAB  # noqa: SLF001
+        )
+    docs = streaming.read_documents_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.doc_perplexity_stream(
+            docs, llm_ops._CONSTRUCT_CACHE[key]  # noqa: SLF001
+        ),
+        "q_stream_perplexity",
+        "complete",
+    )
+    return spark.table("q_stream_perplexity")
+
+
+def _stream_perplexity_oracle_sql() -> str:
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    return llm_ops._unigram_logprob_sql()  # noqa: SLF001 - same oracle as batch
+
+
+QUERIES.update(
+    {
+        "streaming_doc_perplexity": QuerySpec(
+            streaming_doc_perplexity, _stream_perplexity_oracle_sql()
+        ),
+    }
+)

@@ -125,6 +125,21 @@ def vocabulary_stream(docs: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def doc_perplexity_stream(docs: DataFrame, stats) -> DataFrame:
+    """Score a streamed document landing zone under a FROZEN pretrained
+    unigram LM artifact — the deployment shape of LM-perplexity
+    filtering: the LM is fit offline on a reference snapshot
+    (text.unigram_lm_stats) and applied to documents as they arrive.
+    The plan IS the batch one (text.unigram_logprob: V-row LM broadcast
+    into the exploded token stream, per-doc micro-nat sum aggregation),
+    run as a streaming aggregation: per-doc state is one slim (count,
+    sum) pair, and because a document's tokens all arrive in its single
+    source row, each doc's score finalizes within its micro-batch."""
+    from multi_report_etl_pipeline_spark.operators import text  # noqa: PLC0415
+
+    return text.unigram_logprob(docs, stats=stats)
+
+
 def read_activities_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form of the activity fact: a file-source stream over the
     lineitem landing zone, stream-static broadcast-joined to orders, with
