@@ -131,13 +131,35 @@ def ngram_jaccard_pairs(
     )
 
 
+# MinHash permutation family: pairwise-independent (a*h + b) mod 2^48
+# over the 48-bit md5 base hash. a is an odd prime < 2^13 so a*h < 2^61
+# stays in int64 under ANSI mode on BOTH engines (Spark longs, DuckDB
+# BIGINT with overflow checking); b is a fixed Knuth-multiplier stride.
+# Module-level so the DuckDB oracle (queries/llm_ops.py) embeds the SAME
+# constants — the signature, bands, and final pair set are value-equal
+# across engines.
+MINHASH_MOD = 1 << 48
+MINHASH_PERMS: tuple[tuple[int, int], ...] = tuple(
+    (a, (t * 2654435761) % MINHASH_MOD)
+    for t, a in enumerate((3079, 2053, 4099, 1031, 6151, 389, 769, 1543))
+)
+
+
+def _md5_48(col) -> F.Column:
+    """First 48 bits of md5 as a non-negative int64 — the engine-portable
+    hash convention (DuckDB: CAST('0x' || substr(md5(x),1,12) AS BIGINT));
+    same construction as text.rolling_fingerprint's token hash."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     n: int = 3,
     jaccard_threshold: float = 0.8,
     num_hash_tables: int = 8,
-    seed: int = 42,
 ) -> DataFrame:
     """Approximate near-dup pairs via banded MinHash — pure DataFrame
     ops, no UDFs anywhere (measured ~4x faster than Spark ML's
@@ -145,9 +167,10 @@ def minhash_near_dup_pairs(
     outside codegen).
 
     Plan shape (the classic MinHash-LSH pipeline, one operator each):
-      1. shingle -> 64-bit hash per (doc, shingle);
+      1. shingle -> 48-bit md5 hash per (doc, shingle);
       2. ``num_hash_tables`` minhash values per doc in ONE partial agg
-         (h_i = xxhash64(h, i), min per doc — map-side combine);
+         (m_t = min over shingles of (a_t*h + b_t) mod 2^48 — the
+         classic universal-hash permutation family, map-side combine);
       3. candidates = docs sharing any (table, minhash) key: explode the
          signature, slim self-join on the band key (OR-amplification,
          r=1, b=num_hash_tables, same scheme Spark ML uses);
@@ -155,17 +178,21 @@ def minhash_near_dup_pairs(
          shingle sets (array_intersect/array_union — JVM set ops).
     At corpus scale only step 3's band keys and step 4's per-doc hash
     sets shuffle; the banding keeps candidate generation sub-quadratic
-    exactly like any LSH. Fixed seed -> deterministic row set; not
-    SQL-expressible, so the correctness gate is a recall test against
-    ngram_jaccard_pairs (tests/test_llm_ops.py)."""
+    exactly like any LSH. Every hash is md5-derived integer arithmetic,
+    so the DuckDB twin reproduces the exact row set (value-level
+    oracle); a recall test vs ngram_jaccard_pairs additionally gates the
+    banding quality (tests/test_llm_ops.py)."""
+    perms = MINHASH_PERMS[:num_hash_tables]
     hs = shingles(df, text_col, n).select(
-        "doc_id", F.xxhash64("shingle", F.lit(seed)).alias("h")
+        "doc_id", _md5_48(F.col("shingle")).alias("h")
     )
     docs = hs.groupBy("doc_id").agg(
         F.collect_set("h").alias("hset"),
         *(
-            F.min(F.xxhash64("h", F.lit(t))).alias(f"m{t}")
-            for t in range(num_hash_tables)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
+                f"m{t}"
+            )
+            for t, (a, b) in enumerate(perms)
         ),
     )
     bands = docs.select(
@@ -206,27 +233,60 @@ def minhash_near_dup_pairs(
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: sign-sum of xxhash64(token) bits.
+    """64-bit SimHash per document: sign-sum of the md5(token) bits.
 
     Pure DataFrame ops: explode tokens -> per-bit +/-1 votes via bitwise
     expressions -> sum -> reassemble signature. One shuffle on doc_id.
+
+    The 64 bit sources are the two 32-bit halves of md5(token)'s first
+    16 hex chars — engine-portable, so the DuckDB oracle reproduces the
+    identical signature. Emits ``sig_lo``/``sig_hi`` (two non-negative
+    32-bit halves; all banding/Hamming math runs on these, no signed
+    shift tricks on either engine) plus the packed signed 64-bit
+    ``simhash`` for compact storage/API use.
     """
     toks = df.select(
         "doc_id", F.explode(F.split(normalized(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("lo"),
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 9, 8), 16, 10)
+        .cast("bigint")
+        .alias("hi"),
+    )
     bit_votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]
     votes = toks.groupBy("doc_id").agg(*bit_votes)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
-        sig = term if sig is None else sig + term
-    return votes.select("doc_id", sig.alias("simhash"))
+
+    def _half(lo_bit: int) -> F.Column:
+        half = None
+        for i in range(32):
+            bit = F.when(F.col(f"b{lo_bit + i}") > 0, F.lit(1 << i).cast("long"))
+            term = bit.otherwise(F.lit(0).cast("long"))
+            half = term if half is None else half + term
+        return half
+
+    out = votes.select("doc_id", _half(0).alias("sig_lo"), _half(32).alias("sig_hi"))
+    # pack: hi's top bit lands on the sign bit -> subtract 2^64 to stay
+    # in int64 (two's-complement reinterpretation, value-preserving)
+    packed = F.col("sig_lo") + (
+        F.col("sig_hi").bitwiseAND(F.lit(0x7FFFFFFF)) * F.lit(1 << 32).cast("long")
+    ) + F.when(
+        F.shiftright(F.col("sig_hi"), 31).bitwiseAND(F.lit(1)) == 1,
+        F.lit(-(1 << 63)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select("doc_id", "sig_lo", "sig_hi", packed.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -239,9 +299,10 @@ def simhash_near_dup_pairs(
     sigs = simhash_signatures(df, text_col)
     bands = sigs.select(
         "doc_id",
-        "simhash",
+        "sig_lo",
+        "sig_hi",
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            F.shiftright(F.col("sig_lo" if b < 2 else "sig_hi"), 16 * (b % 2))
             .bitwiseAND(F.lit(0xFFFF))
             .alias(f"band{b}")
             for b in range(4)
@@ -258,11 +319,15 @@ def simhash_near_dup_pairs(
         ).select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("c.doc_id").alias("doc_id_2"),
-            F.col("a.simhash").alias("sig1"),
-            F.col("c.simhash").alias("sig2"),
+            F.col("a.sig_lo").alias("lo1"),
+            F.col("a.sig_hi").alias("hi1"),
+            F.col("c.sig_lo").alias("lo2"),
+            F.col("c.sig_hi").alias("hi2"),
         )
         candidates = cand if candidates is None else candidates.unionByName(cand)
-    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    hamming = F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2"))) + F.bit_count(
+        F.col("hi1").bitwiseXOR(F.col("hi2"))
+    )
     return (
         candidates.dropDuplicates(["doc_id_1", "doc_id_2"])
         .withColumn("hamming", hamming)

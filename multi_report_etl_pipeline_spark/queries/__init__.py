@@ -77,8 +77,16 @@ _TAIL = (
     "docs_fingerprint",
     "docs_rolling_fingerprint",
     "docs_contamination",
-    "docs_minhash_near_dup",
-    "docs_simhash_near_dup",
+    # round-5 late rotation: docs_minhash_near_dup and
+    # docs_simhash_near_dup changed SEMANTICALLY this round (xxhash64 ->
+    # engine-portable md5-derived hashing, which is what earned each a
+    # full DuckDB value oracle after two rounds of rows-only status), so
+    # both rotate IN for post-change driver rows. In exchange two
+    # r3+r4-hash-green entries whose code round 5 does not touch are
+    # demoted: events_asof_last_click and docs_video_frames (both stay
+    # DuckDB-oracle-checked by pytest every round).
+    "events_asof_last_click",
+    "docs_video_frames",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

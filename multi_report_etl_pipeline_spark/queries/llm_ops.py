@@ -1,9 +1,12 @@
 """LLM training-data pipeline queries: text analysis, dedup families,
 embedding similarity search, approximate aggregates.
 
-Oracle-checked where SQL-expressible; the LSH/SimHash/approx operators are
-declared without oracles (driver records rows-only) and their quality is
-gated by recall tests in tests/test_llm_ops.py instead.
+Oracle-checked where SQL-expressible — including the banded MinHash and
+SimHash near-dup pipelines, whose md5-derived hashes DuckDB reproduces
+bit-for-bit. Only the float-geometry LSH ANN and the engine-internal
+approx aggregates are declared without oracles (driver records
+rows-only); their quality is gated by recall tests in
+tests/test_llm_ops.py instead.
 
 The DuckDB SQL is generated from the same Python constants
 (LANG_MARKERS / STOPWORDS / BPE_TOKEN_PATTERN) the Spark expressions use,
@@ -286,9 +289,85 @@ def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dup_pairs(docs, jaccard_threshold=0.8)
 
 
+# Value-level oracle for the banded-MinHash pipeline: every hash is
+# md5-derived integer arithmetic (48-bit base hash + the (a*h+b) mod 2^48
+# permutation family from dedup.MINHASH_PERMS — a odd => a bijection on
+# Z_2^48, so equal minhash values imply a genuinely shared shingle hash),
+# which DuckDB reproduces bit-for-bit. The twin mirrors all four stages:
+# signature, banding, candidate distinct, exact-Jaccard verification.
+_MINHASH_CONSTS = ", ".join(
+    f"({t}, {a}, {b})" for t, (a, b) in enumerate(dedup.MINHASH_PERMS)
+)
+MINHASH_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+f AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(words) - 2),
+           i -> array_to_string(words[i + 1:i + 3], ' ')))) AS shingle FROM f),
+e AS (SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h FROM sh),
+perms AS (SELECT * FROM (VALUES {_MINHASH_CONSTS}) AS v(t, a, b)),
+sig AS (SELECT doc_id, t, MIN((a * h + b) % {dedup.MINHASH_MOD}) AS m
+        FROM e CROSS JOIN perms GROUP BY 1, 2),
+cand AS (SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+         FROM sig s1 JOIN sig s2
+           ON s1.t = s2.t AND s1.m = s2.m AND s1.doc_id < s2.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+common AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT doc_id_1, doc_id_2,
+       ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS est_jaccard
+FROM cand
+JOIN common USING (doc_id_1, doc_id_2)
+JOIN sizes s1 ON doc_id_1 = s1.doc_id
+JOIN sizes s2 ON doc_id_2 = s2.doc_id
+WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.8
+"""
+
+
 def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# Value-level oracle for SimHash: the 64 bit sources are the two 32-bit
+# halves of md5(token), the per-bit sign votes and the 4x16-bit banding
+# run on those non-negative halves on both engines (no signed-shift
+# semantics in play), and the final Hamming distance is
+# bit_count(xor(lo)) + bit_count(xor(hi)).
+SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+h AS (SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS lo,
+             CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hi
+      FROM toks),
+votes AS (SELECT doc_id, i,
+                 SUM(CASE WHEN ((CASE WHEN i < 32 THEN lo ELSE hi END
+                                 >> (i % 32)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN range(64) AS r(i) GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN i < 32 AND v > 0 THEN CAST(1 AS BIGINT) << i
+                        ELSE 0 END) AS sig_lo,
+               SUM(CASE WHEN i >= 32 AND v > 0 THEN CAST(1 AS BIGINT) << (i - 32)
+                        ELSE 0 END) AS sig_hi
+        FROM votes GROUP BY 1),
+bands AS (SELECT doc_id, sig_lo, sig_hi,
+                 unnest([sig_lo & 65535, sig_lo >> 16,
+                         sig_hi & 65535, sig_hi >> 16]) AS bv,
+                 unnest([0, 1, 2, 3]) AS bt
+          FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+                a.sig_lo AS lo1, a.sig_hi AS hi1,
+                b.sig_lo AS lo2, b.sig_hi AS hi2
+         FROM bands a JOIN bands b
+           ON a.bt = b.bt AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_id_1, doc_id_2,
+       CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS INTEGER)
+           AS hamming
+FROM cand
+WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= 3
+"""
 
 
 # ---------------------------------------------------------- similarity ---
@@ -919,8 +998,8 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_exact_dedup": QuerySpec(docs_exact_dedup, EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
     "docs_contamination": QuerySpec(docs_contamination, CONTAMINATION_SQL),
-    "docs_minhash_near_dup": QuerySpec(docs_minhash_near_dup, None),
-    "docs_simhash_near_dup": QuerySpec(docs_simhash_near_dup, None),
+    "docs_minhash_near_dup": QuerySpec(docs_minhash_near_dup, MINHASH_SQL),
+    "docs_simhash_near_dup": QuerySpec(docs_simhash_near_dup, SIMHASH_SQL),
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, COSINE_TOPK_SQL),
     "emb_near_dup_pairs": QuerySpec(emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
     "emb_lsh_ann": QuerySpec(emb_lsh_ann, None),

@@ -100,12 +100,14 @@ def test_lsh_ann_is_single_gemm_stage(spark):
 
 
 def test_minhash_stays_jvm_side(spark):
-    """docs_minhash_near_dup is pure codegen: signatures via xxhash64 in
-    a partial agg, no Python evaluation node in the plan."""
+    """docs_minhash_near_dup is pure codegen: md5-48 signatures permuted
+    by the universal-hash family in a partial agg (the engine-portable
+    convention its DuckDB value oracle reproduces), no Python evaluation
+    node in the plan."""
     from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
 
     plan = physical_plan(QUERIES["docs_minhash_near_dup"].fn(spark, SF_DIR))
-    assert "xxhash64" in plan, plan[:2000]
+    assert "md5" in plan, plan[:2000]
     assert "partial_min" in plan, plan[:2000]
     for python_node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert python_node not in plan, python_node
