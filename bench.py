@@ -59,6 +59,7 @@ HEADLINE = [
     "emb_int8_topk",
     "docs_bpe_merges",
     "docs_bpe_tokenize",
+    "docs_quality_logreg",
 ]
 
 
@@ -144,12 +145,14 @@ def main() -> None:
     # query job; dedup_groups' label-propagation loop IS the query.
     # docs_bpe_merges collects each merge argmax during construction and
     # returns the merge table as local rows — training IS construction,
-    # so it must be re-run inside the timer.
+    # so it must be re-run inside the timer. docs_quality_logreg likewise
+    # runs its per-iteration gradient collects when the query is built.
     iterative = {
         "docs_dedup_groups",
         "emb_ivf_topk",
         "emb_cosine_topk",
         "docs_bpe_merges",
+        "docs_quality_logreg",
     }
 
     for name in names:

@@ -87,6 +87,13 @@ _TAIL = (
     # DuckDB-oracle-checked by pytest every round).
     "events_asof_last_click",
     "docs_video_frames",
+    # ...and the NEW docs_quality_logreg (distributed logistic-regression
+    # training under the unrolled-GD value oracle) takes the slot of
+    # orders_top_customers (r3+r4 hash-green, untouched in round 5; the
+    # scan-agg bench family keeps tpch_q1 / lineitem_window_rank /
+    # events_windowed_counts in-window and bench.py times it regardless
+    # of window position).
+    "orders_top_customers",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

@@ -1937,3 +1937,123 @@ QUERIES.update(
         "docs_bpe_tokenize": QuerySpec(docs_bpe_tokenize, _bpe_tokenize_sql()),
     }
 )
+
+
+# ------------------------------------------------- quality classifier ---
+
+# Feature spec shared by the Spark query and the SQL twin: each entry is
+# (name, DuckDB expression over the bound token array `wds`). The Spark
+# side builds the same four features over the identically bound array,
+# so the two engines train from bit-identical design matrices.
+_EN_MARKERS = text.LANG_MARKERS["en"]
+_LOGREG_FEATS: tuple[tuple[str, str], ...] = (
+    ("x1", "len(wds) / 100.0"),
+    ("x2", "CAST(length(array_to_string(wds, '')) AS DOUBLE) / len(wds)"),
+    ("x3", "CAST(len(list_distinct(wds)) AS DOUBLE) / len(wds)"),
+    (
+        "x4",
+        "CAST(len(list_filter(wds, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in _EN_MARKERS)
+        + "], t))) AS DOUBLE) / len(wds)",
+    ),
+)
+_LOGREG_ITERS = 3
+
+
+def docs_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier head trained IN the engine: full-batch logistic
+    regression (3 GD steps from w=0) over four cheap text features, with
+    lang='en' as the supervision signal — the FineWeb-Edu / DCLM pattern
+    of gating documents with a learned linear scorer. Every iteration is
+    ONE partially aggregated corpus pass whose driver traffic is d+2
+    floats; the DuckDB twin unrolls the same iterations as single-row
+    weight CTEs (the emb_kmeans_clusters technique), so TRAINING — not
+    just scoring — is value-oracled."""
+    from multi_report_etl_pipeline_spark.operators import (  # noqa: PLC0415
+        classifier,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", F.split(text.normalized("text"), " ").alias("wds")
+    )
+    en = F.array(*[F.lit(m) for m in _EN_MARKERS])
+    n = F.size("wds")
+    feats = base.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        (n / F.lit(100.0)).alias("x1"),
+        (F.length(F.array_join("wds", "")).cast("double") / n).alias("x2"),
+        (F.size(F.array_distinct("wds")).cast("double") / n).alias("x3"),
+        (
+            F.size(F.filter("wds", lambda t: F.array_contains(en, t))).cast(
+                "double"
+            )
+            / n
+        ).alias("x4"),
+    )
+    scored, _ = classifier.logistic_regression_train_score(
+        feats, [name for name, _ in _LOGREG_FEATS], iters=_LOGREG_ITERS
+    )
+    return scored
+
+
+def _logreg_sql(iters: int = _LOGREG_ITERS, lr: float | None = None) -> str:
+    """Unroll ``iters`` GD steps as chained single-row CTEs: p{t} scores
+    the corpus against w{t-1}, g{t} partial-aggregates the gradient,
+    w{t} applies the 6-dp-rounded update — the same rounding the Spark
+    side applies (classifier._round_half_away mimics DuckDB's
+    half-away-from-zero double ROUND), so both engines iterate from
+    identical weight vectors."""
+    from multi_report_etl_pipeline_spark.operators import (  # noqa: PLC0415
+        classifier,
+    )
+
+    lr = classifier.LOGREG_LR if lr is None else lr
+    names = [n for n, _ in _LOGREG_FEATS]
+    d = len(names)
+    feat_sql = ", ".join(f"{expr} AS {n}" for n, expr in _LOGREG_FEATS)
+    parts = [
+        f"base AS (SELECT doc_id, lang, {_WORDS} AS wds FROM documents)",
+        "feats AS (SELECT doc_id,"
+        " CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, "
+        f"{feat_sql} FROM base)",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(d + 1)) + ")",
+    ]
+
+    def z(prev: int) -> str:
+        return " + ".join(
+            ["w.w0"] + [f"w.w{j + 1} * f.{n}" for j, n in enumerate(names)]
+        )
+
+    for t in range(1, iters + 1):
+        cols = ", ".join(f"f.{n}" for n in names)
+        parts.append(
+            f"p{t} AS (SELECT f.y, {cols},"
+            f" 1.0 / (1.0 + exp(-({z(t - 1)}))) AS p"
+            f" FROM feats f CROSS JOIN w{t - 1} w)"
+        )
+        gsel = ", ".join(
+            ["SUM(p - y) AS g0"]
+            + [f"SUM((p - y) * {n}) AS g{j + 1}" for j, n in enumerate(names)]
+        )
+        parts.append(f"g{t} AS (SELECT {gsel}, COUNT(*) AS n FROM p{t})")
+        wsel = ", ".join(
+            f"ROUND(w.w{j} - {lr} * g.g{j} / g.n, 6) AS w{j}"
+            for j in range(d + 1)
+        )
+        parts.append(f"w{t} AS (SELECT {wsel} FROM g{t} g CROSS JOIN w{t - 1} w)")
+    score = f"ROUND(1.0 / (1.0 + exp(-({z(iters)}))), 6)"
+    tail = (
+        f"SELECT f.doc_id, {score} AS score,"
+        f" CASE WHEN {score} >= 0.5 THEN 1 ELSE 0 END AS pred"
+        f" FROM feats f CROSS JOIN w{iters} w"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+QUERIES.update(
+    {
+        "docs_quality_logreg": QuerySpec(docs_quality_logreg, _logreg_sql()),
+    }
+)

@@ -686,3 +686,81 @@ def test_bpe_apply_counts_known_merges(spark):
         for r in bpe_apply_counts(docs, [("a", "a")]).collect()
     }
     assert run[2] == 2
+
+
+def test_logreg_matches_numpy_reference(spark):
+    """The distributed GD must reproduce a plain numpy implementation of
+    the same update rule (including the half-away-from-zero 6-dp weight
+    rounding) exactly: weights bit-equal per iteration, scores equal."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.classifier import (
+        _round_half_away,
+        logistic_regression_train_score,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(200, 3)
+    y = (X[:, 0] + 0.5 * X[:, 1] + 0.2 * rng.randn(200) > 0).astype(float)
+    rows = [
+        (i, float(y[i]), *(float(v) for v in X[i])) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, y double, x1 double, x2 double, x3 double"
+    )
+    scored, w = logistic_regression_train_score(
+        df, ["x1", "x2", "x3"], iters=4, lr=0.5
+    )
+
+    # numpy twin of the exact update rule
+    Xb = np.hstack([np.ones((200, 1)), X])
+    wref = np.zeros(4)
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ wref)))
+        g = Xb.T @ (p - y) / 200
+        wref = np.array([_round_half_away(v) for v in wref - 0.5 * g])
+    assert w == [float(v) for v in wref], (w, wref)
+    got = {r["doc_id"]: (r["score"], r["pred"]) for r in scored.collect()}
+    pfin = 1.0 / (1.0 + np.exp(-(Xb @ wref)))
+    for i in range(200):
+        sref = _round_half_away(float(pfin[i]))
+        assert got[i] == (sref, int(sref >= 0.5)), (i, got[i], sref)
+
+
+def test_logreg_learns_separable_data(spark):
+    """Given linearly separable features, enough GD steps must reach
+    near-perfect training accuracy — the operator actually LEARNS, not
+    just iterates (the fixture corpus's lang label is textual noise by
+    construction, so this is where convergence is proven)."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.classifier import (
+        logistic_regression_train_score,
+    )
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(300)
+    y = (x > 0).astype(float)
+    df = spark.createDataFrame(
+        [(i, float(y[i]), float(x[i])) for i in range(300)],
+        "doc_id long, y double, x1 double",
+    )
+    scored, w = logistic_regression_train_score(df, ["x1"], iters=30, lr=1.0)
+    rows = scored.collect()
+    acc = sum(
+        1 for r in rows if r["pred"] == int(y[r["doc_id"]])
+    ) / len(rows)
+    assert acc >= 0.97, (acc, w)
+    assert w[1] > 0.0, w  # separating direction recovered
+
+
+def test_logreg_empty_corpus(spark):
+    """Empty input: no gradient step, empty scored frame, zero weights."""
+    from multi_report_etl_pipeline_spark.operators.classifier import (
+        logistic_regression_train_score,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, y double, x1 double")
+    scored, w = logistic_regression_train_score(df, ["x1"], iters=3)
+    assert scored.count() == 0
+    assert w == [0.0, 0.0]

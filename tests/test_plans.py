@@ -390,3 +390,16 @@ def test_int8_topk_keeps_the_gemm_prune_shape(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_logreg_scoring_is_narrow_map(spark):
+    """docs_quality_logreg's returned plan is scoring only (training ran
+    as bounded per-iteration gradient aggs of d+2 cells): a pure
+    projection over the scan with the final weights compiled in as
+    literals — no Exchange, no Python evaluation nodes."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_quality_logreg"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:3000]
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, node
