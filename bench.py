@@ -43,6 +43,7 @@ HEADLINE = [
     "docs_tfidf_top_terms",
     "docs_chunks",
     "docs_minhash_near_dup",
+    "docs_simhash_near_dup",
     "docs_text_quality",
     "docs_language_id",
     "emb_cosine_topk",
@@ -60,6 +61,7 @@ HEADLINE = [
     "docs_bpe_merges",
     "docs_bpe_tokenize",
     "docs_quality_logreg",
+    "emb_pca_projection",
 ]
 
 
@@ -153,6 +155,7 @@ def main() -> None:
         "emb_cosine_topk",
         "docs_bpe_merges",
         "docs_quality_logreg",
+        "emb_pca_projection",
     }
 
     for name in names:

@@ -957,3 +957,108 @@ def distributed_kmeans(
         # rather than pinning cache blocks past the operator's lifetime
         vecs = vecs.unpersist()
     return assigned(cids, cents).select("id", "cluster")
+
+
+def pca_power_scores(
+    corpus: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PCA (top principal component) via power iteration:
+    per-document projection scores onto the corpus's dominant direction —
+    the embedding-whitening / outlier-surfacing primitive of curation
+    pipelines (and the 1-D special case of the PCA every
+    SemDeDup-style method runs before clustering).
+
+    The 100 TB shape: the corpus is touched exactly TWICE —
+      1. ONE Arrow kernel pass computes per-batch partial moments
+         (count, per-dim sums, X^T X), emitted as (i, j, val) cells and
+         partially aggregated: the shuffle carries #batches * (dim^2 +
+         dim + 1) rows — bounded by task count, never by corpus size —
+         and the driver collect is dim^2 + dim + 1 cells (the model
+         artifact, documented bounded collect);
+      2. the returned plan scores every row against the dim+1 literal
+         constants (principal direction + centering offset) in a pure
+         JVM fold — no Python, no broadcast, no Exchange.
+    Power iteration itself runs on the collected dim x dim covariance —
+    driver-side numpy on a bounded artifact, the bm25-stats/IVF-quantizer
+    convention.
+
+    Engine-portable by construction (the kmeans/logreg technique): the
+    covariance is ROUNDED to 6 decimals (half away from zero, DuckDB
+    ROUND semantics), v0 = round6(1/sqrt(dim)) uniform, and each
+    iterate is round6(Cv / |Cv|) — so the DuckDB twin
+    (queries/llm_ops.py:_pca_sql) reproduces the identical iteration
+    from its unrolled CTEs and the per-document scores are value-equal.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype("float64")
+            dim = m.shape[1]
+            mm = m.T @ m
+            ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), np.arange(dim), [-1]]),
+                    "j": np.concatenate([jj.ravel(), np.full(dim, -1), [-1]]),
+                    "val": np.concatenate(
+                        [mm.ravel(), m.sum(axis=0), [float(len(m))]]
+                    ),
+                }
+            )
+
+    cells = (
+        vecs.mapInPandas(moments, "i int, j int, val double")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+        .collect()  # bounded: dim^2 + dim + 1 cells (model artifact)
+    )
+    if not cells:  # empty corpus: empty scores, stable schema
+        return vecs.select("id", F.lit(0.0).alias("pc1")).filter(F.lit(False))
+    by_key = {(r["i"], r["j"]): r["val"] for r in cells}
+    n = by_key[(-1, -1)]
+    dim = max(i for i, _ in by_key) + 1
+    s = np.array([by_key[(i, -1)] for i in range(dim)])
+    m2 = np.array([[by_key[(i, j)] for j in range(dim)] for i in range(dim)])
+
+    def round6(x: "np.ndarray") -> "np.ndarray":
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    cov = round6(m2 / n - np.outer(s / n, s / n))
+    mu = round6(s / n)
+    v = np.full(dim, float(round6(np.asarray(1.0 / np.sqrt(dim)))))
+    for _ in range(iters):
+        w = cov @ v
+        nrm = float(np.sqrt((w * w).sum()))
+        if nrm == 0.0:
+            raise ValueError(
+                "zero covariance: power iteration undefined (constant corpus)"
+            )
+        v = round6(w / nrm)
+    offset = float((v * mu).sum())
+
+    # scoring: sequential index-order fold, matching the oracle's
+    # list_dot_product evaluation; direction + offset are plan literals
+    lit_v = F.array(*[F.lit(float(x)) for x in v])
+    score = F.round(
+        F.aggregate(
+            F.zip_with("v", lit_v, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        - F.lit(offset),
+        6,
+    )
+    return vecs.select("id", score.alias("pc1"))

@@ -94,6 +94,12 @@ _TAIL = (
     # events_windowed_counts in-window and bench.py times it regardless
     # of window position).
     "orders_top_customers",
+    # ...and the NEW emb_pca_projection (distributed PCA power iteration
+    # under the unrolled-CTE value oracle) takes the slot of
+    # lineitem_window_rank (r3+r4 hash-green, untouched in round 5; the
+    # scan-agg bench family keeps tpch_q1 and events_windowed_counts
+    # in-window and bench.py times every member regardless).
+    "lineitem_window_rank",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

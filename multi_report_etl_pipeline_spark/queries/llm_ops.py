@@ -2057,3 +2057,77 @@ QUERIES.update(
         "docs_quality_logreg": QuerySpec(docs_quality_logreg, _logreg_sql()),
     }
 )
+
+
+# ------------------------------------------------------ distributed PCA ---
+
+_PCA_ITERS = 3
+
+
+def emb_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA via power iteration: per-document projection onto
+    the corpus's top principal component (embedding whitening / outlier
+    surfacing). Corpus touched twice — one Arrow moment pass whose
+    shuffle is bounded by task count (dim^2+dim+1 cells per batch) and
+    one Exchange-free literal-fold scoring pass; the dim x dim
+    covariance is the bounded driver artifact, and 6-dp rounding of the
+    covariance and every normalized iterate makes the whole iteration
+    engine-portable (value-oracled via unrolled CTEs, the
+    kmeans/logreg technique)."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    return similarity.pca_power_scores(emb, iters=_PCA_ITERS)
+
+
+def _pca_sql(iters: int = _PCA_ITERS) -> str:
+    """Unrolled power iteration: moments from an exploded self-join,
+    covariance via the same moment formula (M/n - outer(S/n, S/n))
+    rounded to 6 dp, v0 = round6(1/sqrt(dim)), each iterate
+    round6(Cv/|Cv|) — then per-row scores via list_dot_product minus
+    the centering offset, exactly the Spark fold's index-order sum."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "u AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x"
+        " FROM e)",
+        "n AS (SELECT COUNT(*) AS c FROM e)",
+        "s AS (SELECT i, SUM(x) AS s FROM u GROUP BY i)",
+        "mu AS (SELECT i, ROUND(s / n.c, 6) AS m FROM s CROSS JOIN n)",
+        "m2 AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS s"
+        " FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2)",
+        "c AS (SELECT m2.i, m2.j,"
+        " ROUND(m2.s / n.c - (sa.s / n.c) * (sb.s / n.c), 6) AS cij"
+        " FROM m2 CROSS JOIN n"
+        " JOIN s sa ON sa.i = m2.i JOIN s sb ON sb.i = m2.j)",
+        "d AS (SELECT len(v) AS dim FROM e LIMIT 1)",
+        "v0 AS (SELECT i, ROUND(1.0 / sqrt(d.dim), 6) AS val"
+        " FROM s CROSS JOIN d)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"w{t} AS (SELECT c.i, SUM(c.cij * v.val) AS w"
+            f" FROM c JOIN v{t - 1} v ON c.j = v.i GROUP BY 1)"
+        )
+        parts.append(f"n{t} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{t})")
+        parts.append(
+            f"v{t} AS (SELECT i, ROUND(w / nrm, 6) AS val"
+            f" FROM w{t} CROSS JOIN n{t})"
+        )
+    parts.append(
+        f"vfin AS (SELECT list(val ORDER BY i) AS vec FROM v{iters})"
+    )
+    parts.append(
+        f"off AS (SELECT SUM(v.val * mu.m) AS o"
+        f" FROM v{iters} v JOIN mu USING (i))"
+    )
+    tail = (
+        "SELECT e.vec_id AS id,"
+        " ROUND(list_dot_product(e.v, vfin.vec) - off.o, 6) AS pc1"
+        " FROM e CROSS JOIN vfin CROSS JOIN off"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+QUERIES.update(
+    {
+        "emb_pca_projection": QuerySpec(emb_pca_projection, _pca_sql()),
+    }
+)

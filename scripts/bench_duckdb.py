@@ -39,6 +39,8 @@ COMPARABLE = [
     "events_sessionization",
     "events_asof_last_click",
     "docs_exact_dedup",
+    "docs_minhash_near_dup",
+    "docs_simhash_near_dup",
     "docs_curation_pipeline",
     "docs_vocabulary",
     "docs_tfidf_top_terms",
@@ -56,6 +58,8 @@ COMPARABLE = [
     "emb_int8_topk",
     "docs_bpe_merges",
     "docs_bpe_tokenize",
+    "docs_quality_logreg",
+    "emb_pca_projection",
 ]
 
 

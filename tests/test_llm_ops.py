@@ -764,3 +764,86 @@ def test_logreg_empty_corpus(spark):
     scored, w = logistic_regression_train_score(df, ["x1"], iters=3)
     assert scored.count() == 0
     assert w == [0.0, 0.0]
+
+
+def test_pca_matches_numpy_reference(spark):
+    """The distributed moment pass + driver power iteration must equal a
+    straight numpy implementation of the same algorithm (same covariance
+    moment formula, same 6-dp roundings) exactly."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.similarity import (
+        pca_power_scores,
+    )
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(120, 6) * np.array([3.0, 1.0, 0.5, 0.2, 0.1, 0.05])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["id"]: r["pc1"] for r in pca_power_scores(df, iters=3).collect()}
+
+    def round6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    n, dim = X.shape
+    s = X.sum(axis=0)
+    cov = round6(X.T @ X / n - np.outer(s / n, s / n))
+    mu = round6(s / n)
+    v = np.full(dim, float(round6(np.asarray(1.0 / np.sqrt(dim)))))
+    for _ in range(3):
+        w = cov @ v
+        v = round6(w / np.sqrt((w * w).sum()))
+    ref = round6(X @ v - (v * mu).sum())
+    for i in range(n):
+        assert got[i] == ref[i], (i, got[i], ref[i])
+
+
+def test_pca_recovers_planted_direction(spark):
+    """With one dominant variance direction, enough iterations must
+    align the learned component with it (|cosine| > 0.99)."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.similarity import (
+        pca_power_scores,
+    )
+
+    rng = np.random.RandomState(9)
+    true_dir = np.array([1.0, 1.0, -1.0, 0.5]) / np.sqrt(3.25)
+    X = np.outer(rng.randn(200) * 10.0, true_dir) + rng.randn(200, 4) * 0.3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    scores = np.array(
+        [
+            r["pc1"]
+            for r in pca_power_scores(df, iters=15).orderBy("id").collect()
+        ]
+    )
+    # projection onto the true direction must explain nearly all of the
+    # learned scores' variance
+    proj = (X - X.mean(axis=0)) @ true_dir
+    corr = np.corrcoef(scores, proj)[0, 1]
+    assert abs(corr) > 0.99, corr
+
+
+def test_pca_empty_and_constant_corpus(spark):
+    """Empty corpus: empty result, stable schema. Constant corpus: zero
+    covariance is a loud error, not NaN scores."""
+    import pytest as _pytest
+
+    from multi_report_etl_pipeline_spark.operators.similarity import (
+        pca_power_scores,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = pca_power_scores(empty)
+    assert out.count() == 0 and out.columns == ["id", "pc1"]
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="zero covariance"):
+        pca_power_scores(const)

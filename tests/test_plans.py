@@ -403,3 +403,17 @@ def test_logreg_scoring_is_narrow_map(spark):
     assert "Exchange" not in plan, plan[:3000]
     for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan, node
+
+
+def test_pca_scoring_is_narrow_fold(spark):
+    """emb_pca_projection's returned plan is the scoring pass only (the
+    moment pass ran as a bounded side job): a JVM zip_with/aggregate
+    fold against dim+1 literals — no Exchange, no Python nodes."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["emb_pca_projection"].fn(spark, SF_DIR))
+    # the only exchange is the fixture fan_out repartition; the scoring
+    # itself must not require one
+    assert "ENSURE_REQUIREMENTS" not in plan, plan[:3000]
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, node
