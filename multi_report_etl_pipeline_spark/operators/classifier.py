@@ -45,45 +45,40 @@ def _round_half_away(x: float, digits: int = LOGREG_ROUND) -> float:
     return math.floor(x * p + 0.5) / p if x >= 0 else math.ceil(x * p - 0.5) / p
 
 
-def logistic_regression_train_score(
+def _margin(w: list[float], feature_cols: list[str]) -> F.Column:
+    z = F.lit(w[0])
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(w[j + 1]) * F.col(c)
+    return z
+
+
+def logistic_regression_fit(
     df: DataFrame,
     feature_cols: list[str],
     label_col: str = "y",
-    id_col: str = "doc_id",
     iters: int = 3,
     lr: float = LOGREG_LR,
     persist_features: bool | None = None,
-) -> tuple[DataFrame, list[float]]:
-    """Full-batch logistic regression: ``iters`` GD steps from w = 0,
-    then score every row with the final weights.
+) -> list[float]:
+    """Full-batch logistic regression: ``iters`` GD steps from w = 0.
 
     Update rule (bias first): w <- round(w - lr/n * X^T (sigmoid(Xw) - y), 6).
 
-    Returns (scored DataFrame: id, score, pred; final weights). ``score``
-    is the 6-dp-rounded sigmoid; ``pred`` thresholds the ROUNDED score at
-    0.5 so both engines branch on the identical value.
-
     ``persist_features`` mirrors distributed_kmeans: default auto-persists
-    the projected feature frame when there are >= 4 corpus passes
-    (iters + the final scoring pass), released before return.
+    the projected feature frame when there are >= 4 corpus passes,
+    released before return. Returns the trained weights — the frozen
+    artifact a deployment persists and streams new data against.
     """
     d = len(feature_cols)
-    feats = df.select(id_col, label_col, *feature_cols)
-    do_persist = (iters + 1) >= 4 if persist_features is None else persist_features
+    feats = df.select(label_col, *feature_cols)
+    do_persist = iters >= 4 if persist_features is None else persist_features
     if do_persist:
         from pyspark import StorageLevel  # noqa: PLC0415
 
         feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
-
-    def margin(w: list[float]) -> F.Column:
-        z = F.lit(w[0])
-        for j, c in enumerate(feature_cols):
-            z = z + F.lit(w[j + 1]) * F.col(c)
-        return z
-
     w = [0.0] * (d + 1)
     for _ in range(iters):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(w)))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, feature_cols)))
         resid = p - F.col(label_col)
         # ONE partial agg: d+2 cells cross the exchange, one row reaches
         # the driver (bounded by contract — model state, not data).
@@ -99,13 +94,53 @@ def logistic_regression_train_score(
             break
         n = row["n"]
         w = [_round_half_away(w[j] - lr * row[f"g{j}"] / n) for j in range(d + 1)]
+    if do_persist:
+        feats.unpersist(blocking=False)
+    return w
 
+
+def logistic_regression_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: list[float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score rows against frozen weights: a pure narrow map (the weights
+    are plan literals — no broadcast, no shuffle), so it runs unchanged
+    over a batch frame OR a structured stream (streaming twin:
+    streaming.quality_score_stream). ``score`` is the 6-dp-rounded
+    sigmoid; ``pred`` thresholds the ROUNDED score at 0.5 so both
+    engines branch on the identical value."""
     score = F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(w))), LOGREG_ROUND
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(weights, feature_cols))),
+        LOGREG_ROUND,
     ).alias("score")
-    out = feats.select(id_col, score).withColumn(
+    return df.select(id_col, score).withColumn(
         "pred", (F.col("score") >= 0.5).cast("int")
     )
+
+
+def logistic_regression_train_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    id_col: str = "doc_id",
+    iters: int = 3,
+    lr: float = LOGREG_LR,
+    persist_features: bool | None = None,
+) -> tuple[DataFrame, list[float]]:
+    """Fit + score in one call (the batch query shape). Returns
+    (scored DataFrame: id, score, pred; final weights)."""
+    feats = df.select(id_col, label_col, *feature_cols)
+    do_persist = (iters + 1) >= 4 if persist_features is None else persist_features
+    if do_persist:
+        from pyspark import StorageLevel  # noqa: PLC0415
+
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    w = logistic_regression_fit(
+        feats, feature_cols, label_col, iters=iters, lr=lr, persist_features=False
+    )
+    out = logistic_regression_score(feats, feature_cols, w, id_col=id_col)
     if do_persist:
         # lazy unpersist: blocks drop once the returned plan is consumed
         feats.unpersist(blocking=False)

@@ -100,6 +100,14 @@ _TAIL = (
     # scan-agg bench family keeps tpch_q1 and events_windowed_counts
     # in-window and bench.py times every member regardless).
     "lineitem_window_rank",
+    # ...and the NEW streaming_quality_logreg (offline-fit / online-score
+    # twin of docs_quality_logreg — stateless narrow-map scoring under
+    # the frozen weight artifact, SAME unrolled-GD oracle, so
+    # stream-vs-batch parity of learned scores is driver-enforced) takes
+    # the slot of streaming_sessionization (r3+r4 hash-green, untouched
+    # in round 5; the streaming family holds 7 in-window rows and the
+    # batch sessionization twin stays pytest-checked).
+    "streaming_sessionization",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

@@ -750,3 +750,50 @@ QUERIES.update(
         ),
     }
 )
+
+
+def streaming_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of docs_quality_logreg's scoring half: the linear
+    quality head is fit OFFLINE on the batch snapshot (weights cached as
+    the frozen model artifact, llm_ops._CONSTRUCT_CACHE) and each
+    arriving document micro-batch is scored by a stateless narrow map —
+    no state store, no watermark, append mode. Hash-checked against the
+    SAME unrolled-GD oracle as the batch query, so stream-vs-batch
+    parity of the learned scores is driver-enforced."""
+    from multi_report_etl_pipeline_spark import streaming  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.io import read_table  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.operators import classifier  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    key = ("logreg_weights", sf_dir)
+    if key not in llm_ops._CONSTRUCT_CACHE:  # noqa: SLF001 - shared artifact cache
+        feats = llm_ops.logreg_features(read_table(spark, sf_dir, "documents"))
+        llm_ops._CONSTRUCT_CACHE[key] = classifier.logistic_regression_fit(  # noqa: SLF001
+            feats,
+            [name for name, _ in llm_ops._LOGREG_FEATS],  # noqa: SLF001
+            iters=llm_ops._LOGREG_ITERS,  # noqa: SLF001
+        )
+    docs = streaming.read_documents_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.quality_score_stream(
+            docs, llm_ops._CONSTRUCT_CACHE[key]  # noqa: SLF001
+        ),
+        "q_stream_quality_logreg",
+        "append",
+    )
+    return spark.table("q_stream_quality_logreg")
+
+
+def _stream_logreg_oracle_sql() -> str:
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    return llm_ops._logreg_sql()  # noqa: SLF001 - same oracle as batch
+
+
+QUERIES.update(
+    {
+        "streaming_quality_logreg": QuerySpec(
+            streaming_quality_logreg, _stream_logreg_oracle_sql()
+        ),
+    }
+)

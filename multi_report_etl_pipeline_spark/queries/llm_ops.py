@@ -1960,6 +1960,31 @@ _LOGREG_FEATS: tuple[tuple[str, str], ...] = (
 _LOGREG_ITERS = 3
 
 
+def logreg_features(docs: DataFrame) -> DataFrame:
+    """The classifier's design matrix: (doc_id, y, x1..x4) — shared by
+    the batch query and the streaming scoring twin, and the Spark mirror
+    of the _LOGREG_FEATS SQL expressions (identically bound token
+    array)."""
+    base = docs.select(
+        "doc_id", "lang", F.split(text.normalized("text"), " ").alias("wds")
+    )
+    en = F.array(*[F.lit(m) for m in _EN_MARKERS])
+    n = F.size("wds")
+    return base.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        (n / F.lit(100.0)).alias("x1"),
+        (F.length(F.array_join("wds", "")).cast("double") / n).alias("x2"),
+        (F.size(F.array_distinct("wds")).cast("double") / n).alias("x3"),
+        (
+            F.size(F.filter("wds", lambda t: F.array_contains(en, t))).cast(
+                "double"
+            )
+            / n
+        ).alias("x4"),
+    )
+
+
 def docs_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier head trained IN the engine: full-batch logistic
     regression (3 GD steps from w=0) over four cheap text features, with
@@ -1973,25 +1998,7 @@ def docs_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         classifier,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "lang", F.split(text.normalized("text"), " ").alias("wds")
-    )
-    en = F.array(*[F.lit(m) for m in _EN_MARKERS])
-    n = F.size("wds")
-    feats = base.select(
-        "doc_id",
-        (F.col("lang") == "en").cast("double").alias("y"),
-        (n / F.lit(100.0)).alias("x1"),
-        (F.length(F.array_join("wds", "")).cast("double") / n).alias("x2"),
-        (F.size(F.array_distinct("wds")).cast("double") / n).alias("x3"),
-        (
-            F.size(F.filter("wds", lambda t: F.array_contains(en, t))).cast(
-                "double"
-            )
-            / n
-        ).alias("x4"),
-    )
+    feats = logreg_features(read_table(spark, sf_dir, "documents"))
     scored, _ = classifier.logistic_regression_train_score(
         feats, [name for name, _ in _LOGREG_FEATS], iters=_LOGREG_ITERS
     )

@@ -140,6 +140,25 @@ def doc_perplexity_stream(docs: DataFrame, stats) -> DataFrame:
     return text.unigram_logprob(docs, stats=stats)
 
 
+def quality_score_stream(docs: DataFrame, weights: list[float]) -> DataFrame:
+    """Score a streamed document landing zone under FROZEN pretrained
+    quality-classifier weights — the deployment shape of learned quality
+    gating: the linear head is fit offline on a labeled snapshot
+    (classifier.logistic_regression_fit) and applied to documents as
+    they arrive. Scoring is a STATELESS narrow map (weights are plan
+    literals), so the stream needs no state store, no watermark, and no
+    aggregation — every micro-batch emits its scores in append mode."""
+    from multi_report_etl_pipeline_spark.operators import (  # noqa: PLC0415
+        classifier,
+    )
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    feats = llm_ops.logreg_features(docs)
+    return classifier.logistic_regression_score(
+        feats, [name for name, _ in llm_ops._LOGREG_FEATS], weights  # noqa: SLF001
+    )
+
+
 def read_activities_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form of the activity fact: a file-source stream over the
     lineitem landing zone, stream-static broadcast-joined to orders, with
