@@ -62,6 +62,7 @@ HEADLINE = [
     "docs_bpe_tokenize",
     "docs_quality_logreg",
     "emb_pca_projection",
+    "docs_bloom_decontaminate",
 ]
 
 

@@ -463,3 +463,95 @@ def span_dedup(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("n_spans").alias("n_spans"),
     )
+
+
+# Bloom filter parameters: 16384 bits packed as 512 x 32-bit words (a
+# 2 KB artifact), k=3 positions per shingle from the same universal-hash
+# family shape as MINHASH_PERMS (odd multiplier => bijection on Z_2^48
+# before the bit-space fold). Module-level so the DuckDB oracle embeds
+# the SAME constants.
+BLOOM_BITS = 1 << 14
+BLOOM_WORD = 32
+BLOOM_PERMS: tuple[tuple[int, int], ...] = (
+    (2069, 40503),
+    (4513, 2654435761 % MINHASH_MOD),
+    (7919, (3 * 2654435761 + 97) % MINHASH_MOD),
+)
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom-filter pre-screen — the
+    100 TB shape of the eval-leakage guard: instead of semi-joining the
+    ENTIRE corpus shingle stream against the benchmark set
+    (``contamination_flags``), the benchmark reduces to a 2 KB bitmask
+    artifact that ships to every task as plan literals, the corpus side
+    becomes a NARROW map (3 integer hashes + a bit test per shingle —
+    no shuffle, no join), and only the bloom-candidate shingles reach
+    the exact verification join. At web scale the candidate stream is
+    orders of magnitude smaller than the corpus stream; the exact join
+    then removes the filter's false positives.
+
+    Emits (doc_id, n_candidate_ngrams, n_shared_ngrams) for docs with
+    >=1 candidate shingle: n_candidate counts bloom hits (including
+    false positives — the filter's measurable FP behavior), n_shared
+    the exactly-verified overlap. Verification joins on the 48-bit md5
+    shingle hash (the minhash-verify convention; a 48-bit collision
+    against ~1e4 benchmark shingles is ~1e-10 per probe and identical
+    on both engines). Every hash is md5-derived integer arithmetic, so
+    the DuckDB twin — which models the bitmask as the equivalent
+    distinct-position set — reproduces candidates AND verified counts
+    value-for-value."""
+    bench_h = (
+        shingles(benchmark, text_col, n)
+        .select(_md5_48(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    pos_rows = (
+        bench_h.select(
+            F.explode(
+                F.array(
+                    *(
+                        ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD))
+                        % F.lit(BLOOM_BITS)
+                        for a, b in BLOOM_PERMS
+                    )
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()  # bounded: <= BLOOM_BITS distinct positions (2 KB artifact)
+    )
+    mask = [0] * (BLOOM_BITS // BLOOM_WORD)
+    for r in pos_rows:
+        mask[r["p"] // BLOOM_WORD] |= 1 << (r["p"] % BLOOM_WORD)
+
+    ch = shingles(corpus, text_col, n).select(
+        "doc_id", _md5_48(F.col("shingle")).alias("h")
+    )
+    for idx, (a, b) in enumerate(BLOOM_PERMS):
+        ch = ch.withColumn(
+            f"p{idx}",
+            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD))
+            % F.lit(BLOOM_BITS),
+        )
+    ch = ch.withColumn("mask", F.array(*[F.lit(w) for w in mask]))
+    test = " AND ".join(
+        f"(shiftright(element_at(mask, CAST(p{i} DIV {BLOOM_WORD} AS INT) + 1),"
+        f" CAST(p{i} % {BLOOM_WORD} AS INT)) & 1) = 1"
+        for i in range(len(BLOOM_PERMS))
+    )
+    cand = ch.filter(F.expr(test)).select("doc_id", "h")
+    verified = cand.join(
+        F.broadcast(bench_h.withColumn("in_bench", F.lit(1))), "h", "left"
+    )
+    return verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidate_ngrams"),
+        F.sum(F.coalesce(F.col("in_bench"), F.lit(0)))
+        .cast("long")
+        .alias("n_shared_ngrams"),
+    )

@@ -108,6 +108,14 @@ _TAIL = (
     # in round 5; the streaming family holds 7 in-window rows and the
     # batch sessionization twin stays pytest-checked).
     "streaming_sessionization",
+    # ...and the NEW docs_bloom_decontaminate (Bloom-filter eval-leakage
+    # pre-screen: 2 KB literal bitmask artifact, narrow corpus-side bit
+    # test, exact verification join over candidates only — candidates
+    # AND verified counts value-oracled) takes the slot of
+    # streaming_contact_survivors (r3+r4 hash-green, its stream builder
+    # untouched in round 5; the streaming family holds 6 in-window rows
+    # and the batch staging twin stays in-window).
+    "streaming_contact_survivors",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

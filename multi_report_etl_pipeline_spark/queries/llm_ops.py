@@ -2138,3 +2138,65 @@ QUERIES.update(
         "emb_pca_projection": QuerySpec(emb_pca_projection, _pca_sql()),
     }
 )
+
+
+# ------------------------------------------- bloom decontamination ---
+
+
+def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a Bloom pre-screen — the 100 TB shape of
+    the eval-leakage guard: the benchmark slice reduces to a 2 KB
+    bitmask shipped as plan literals, the corpus side is a NARROW map
+    (3 integer hashes + a bit test per shingle, no shuffle/join), and
+    only bloom candidates reach the exact verification join. Same
+    corpus/benchmark split as docs_contamination; emits candidate AND
+    exactly-verified counts so the filter's false-positive behavior is
+    itself value-checked."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.bloom_decontaminate(corpus, bench, n=4)
+
+
+def _bloom_sql() -> str:
+    """The bitmask modeled as its equivalent distinct-position set: a
+    shingle is a candidate iff all three hash positions are present —
+    identical semantics to the packed-word bit test."""
+    mod, bits = dedup.MINHASH_MOD, dedup.BLOOM_BITS
+    pos_exprs = [
+        f"(({a} * h + {b}) % {mod}) % {bits}" for a, b in dedup.BLOOM_PERMS
+    ]
+    pos_list = ", ".join(pos_exprs)
+    cand_cols = ", ".join(
+        f"{e} AS p{i}" for i, e in enumerate(pos_exprs)
+    )
+    cand_test = " AND ".join(
+        f"p{i} IN (SELECT p FROM pos)" for i in range(len(dedup.BLOOM_PERMS))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([array_to_string(w[i:i+3], ' ')
+                                 for i in range(1, len(w) - 2)])) AS shingle
+    FROM toks WHERE len(w) >= 4
+),
+hashed AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+           FROM sh),
+bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 50 = 0),
+pos AS (SELECT DISTINCT unnest([{pos_list}]) AS p FROM bench),
+corp AS (SELECT doc_id, h, {cand_cols} FROM hashed WHERE doc_id % 50 <> 0),
+cand AS (SELECT doc_id, h FROM corp WHERE {cand_test})
+SELECT doc_id, COUNT(*) AS n_candidate_ngrams,
+       CAST(SUM(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared_ngrams
+FROM cand GROUP BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "docs_bloom_decontaminate": QuerySpec(docs_bloom_decontaminate, _bloom_sql()),
+    }
+)

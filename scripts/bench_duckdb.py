@@ -60,6 +60,7 @@ COMPARABLE = [
     "docs_bpe_tokenize",
     "docs_quality_logreg",
     "emb_pca_projection",
+    "docs_bloom_decontaminate",
 ]
 
 

@@ -847,3 +847,27 @@ def test_pca_empty_and_constant_corpus(spark):
     )
     with _pytest.raises(ValueError, match="zero covariance"):
         pca_power_scores(const)
+
+
+def test_bloom_decontaminate_consistent_with_exact(spark):
+    """The bloom pre-screen must lose NOTHING versus the exact
+    semi-join: restricted to verified hits (n_shared_ngrams > 0), its
+    output must equal docs_contamination's (same n=4, same split) —
+    Bloom filters have no false negatives, and the verification join
+    removes every false positive from the shared count."""
+    exact = {
+        (r["doc_id"], r["n_shared_ngrams"])
+        for r in QUERIES["docs_contamination"].fn(spark, SF_DIR).collect()
+    }
+    bloom_rows = QUERIES["docs_bloom_decontaminate"].fn(spark, SF_DIR).collect()
+    verified = {
+        (r["doc_id"], r["n_shared_ngrams"])
+        for r in bloom_rows
+        if r["n_shared_ngrams"] > 0
+    }
+    assert verified == exact, (
+        f"missing {len(exact - verified)}, spurious {len(verified - exact)}"
+    )
+    # candidates bound shared counts from above (the FP margin)
+    for r in bloom_rows:
+        assert r["n_candidate_ngrams"] >= r["n_shared_ngrams"]

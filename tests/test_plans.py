@@ -417,3 +417,18 @@ def test_pca_scoring_is_narrow_fold(spark):
     assert "ENSURE_REQUIREMENTS" not in plan, plan[:3000]
     for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_bloom_corpus_side_is_narrow_prescreen(spark):
+    """docs_bloom_decontaminate: the corpus shingle stream is filtered
+    by the literal bitmask BEFORE any join — the only join in the plan
+    is the broadcast verification of the (much smaller) candidate
+    stream; no shuffle join, no Python nodes."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_bloom_decontaminate"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "ShuffledHashJoin" not in plan, plan[:3000]
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, node
