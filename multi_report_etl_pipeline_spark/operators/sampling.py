@@ -229,6 +229,18 @@ def pack_by_token_budget(
     )
 
 
+def es_priority(key_col: str, weight_col: str) -> Column:
+    """The Efraimidis-Spirakis sampling priority round(u^(1/w), 9) with
+    u = (md5bucket16(key) + 0.5)/65536 — shared by the batch
+    ``weighted_sample`` and the streaming per-shard top-k twin
+    (streaming.weighted_topk_stream), so stream and batch rank by the
+    IDENTICAL deterministic value."""
+    u = (_hash_bucket(F.col(key_col), 65536).cast("double") + F.lit(0.5)) / F.lit(
+        65536.0
+    )
+    return F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9)
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,
@@ -269,13 +281,8 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    u = (_hash_bucket(F.col(key_col), 65536).cast("double") + F.lit(0.5)) / F.lit(
-        65536.0
-    )
     w = F.col(weight_col).cast("double")
-    pri = F.round(
-        F.pow(u, F.lit(1.0) / w), 9
-    )
+    pri = es_priority(key_col, weight_col)
     ranked = (
         df.filter((w > 0.0) & ~F.isnan(w))
         .withColumn("priority", pri)

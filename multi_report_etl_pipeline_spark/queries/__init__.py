@@ -116,6 +116,14 @@ _TAIL = (
     # untouched in round 5; the streaming family holds 6 in-window rows
     # and the batch staging twin stays in-window).
     "streaming_contact_survivors",
+    # ...and the NEW streaming_weighted_sample (Efraimidis-Spirakis
+    # selection as distributed per-shard top-k STATE — bounded at
+    # n_shards*k rows — with monotone-seq final-state recovery and a
+    # global merge; deterministic md5 priorities make the drained
+    # result equal the batch operator under the SAME oracle) takes the
+    # slot of events_windowed_counts (r3+r4 hash-green, untouched in
+    # round 5; bench.py keeps timing it in the scan-agg family).
+    "events_windowed_counts",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

@@ -797,3 +797,60 @@ QUERIES.update(
         ),
     }
 )
+
+
+def streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of docs_weighted_sample: Efraimidis-Spirakis
+    selection maintained incrementally as distributed per-shard top-k
+    state (bounded at n_shards * k rows), final state recovered via the
+    monotone seq counter and merged into the global top-k. The
+    priorities are deterministic md5 arithmetic, so the drained stream
+    result must EQUAL the batch operator's — the SAME DuckDB oracle
+    checks both, making stream-vs-batch sampling parity
+    driver-enforced."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from multi_report_etl_pipeline_spark import streaming  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    k = llm_ops._WSAMPLE_K  # noqa: SLF001 - shared with the batch twin
+    docs = streaming.read_documents_stream(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / F.lit(100.0)).alias("weight"),
+    )
+    streaming.run_available_now(
+        streaming.weighted_topk_stream(docs, k=k),
+        "q_stream_weighted_sample",
+        "update",
+    )
+    t = spark.table("q_stream_weighted_sample")
+    # final state = each shard's rows at its max seq (a self-join on the
+    # memory view trips conflicting-reference resolution; the window
+    # form reads the drained table once)
+    latest = t.withColumn(
+        "max_seq", F.max("seq").over(Window.partitionBy("shard"))
+    ).filter(F.col("seq") == F.col("max_seq"))
+    merged = latest.orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    rank_w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    return merged.select(
+        "doc_id", "lang", "source", "weight", "priority"
+    ).withColumn("sample_rank", F.row_number().over(rank_w))
+
+
+def _stream_weighted_oracle_sql() -> str:
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    return llm_ops.WEIGHTED_SAMPLE_SQL  # same oracle as the batch twin
+
+
+QUERIES.update(
+    {
+        "streaming_weighted_sample": QuerySpec(
+            streaming_weighted_sample, _stream_weighted_oracle_sql()
+        ),
+    }
+)

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -410,6 +411,112 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf="NoTimeout",
         )
+    )
+
+
+WEIGHTED_TOPK_OUTPUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("seq", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("weight", DoubleType()),
+        StructField("priority", DoubleType()),
+    ]
+)
+
+WEIGHTED_TOPK_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("doc_ids", ArrayType(LongType())),
+        StructField("langs", ArrayType(StringType())),
+        StructField("sources", ArrayType(StringType())),
+        StructField("weights", ArrayType(DoubleType())),
+        StructField("priorities", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _make_weighted_topk_updater(k: int):
+    cols = ["doc_id", "lang", "source", "weight", "priority"]
+
+    def update(key, pdf_iter, state):
+        (shard,) = key
+        seq, chunks = 0, []
+        if state.exists:
+            seq, ids, langs, sources, weights, pris = state.get
+            chunks.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": list(ids),
+                        "lang": list(langs),
+                        "source": list(sources),
+                        "weight": list(weights),
+                        "priority": list(pris),
+                    }
+                )
+            )
+        for pdf in pdf_iter:
+            if len(pdf):
+                chunks.append(pdf[cols])
+        if not chunks:  # empty batch for an unseen shard: nothing to emit
+            return
+        # the batch operator's exact order: priority DESC, doc_id ASC
+        # (doc_id unique => total order, so head(k) is deterministic)
+        rows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["priority", "doc_id"], ascending=[False, True]
+        ).head(k)
+        seq += 1
+        state.update(
+            (
+                seq,
+                [int(x) for x in rows["doc_id"]],
+                list(rows["lang"]),
+                list(rows["source"]),
+                [float(x) for x in rows["weight"]],
+                [float(x) for x in rows["priority"]],
+            )
+        )
+        out = rows.copy()
+        out.insert(0, "seq", seq)
+        out.insert(0, "shard", shard)
+        yield out
+
+    return update
+
+
+def weighted_topk_stream(
+    docs: DataFrame, k: int, n_shards: int = 8
+) -> DataFrame:
+    """Streaming weighted sampling (Efraimidis-Spirakis) as distributed
+    top-k maintenance: every arriving document draws its DETERMINISTIC
+    keyed priority (sampling.es_priority — the same value the batch
+    operator ranks by), and each of ``n_shards`` state groups keeps only
+    its current top-k rows via applyInPandasWithState. State is bounded
+    at n_shards * k rows regardless of stream length; each micro-batch
+    re-emits the updated shard top-k stamped with a monotone ``seq``, so
+    the reader recovers the final state (max seq per shard) and merges
+    the global top-k from n_shards * k candidates — the canonical
+    scalable streaming-top-k topology (per-shard maintenance + tiny
+    final merge). Because priorities are engine-portable md5 arithmetic,
+    the drained result must EQUAL the batch weighted_sample — the same
+    DuckDB oracle checks both."""
+    from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
+
+    w = F.col("weight").cast("double")
+    scored = (
+        docs.filter((w > 0.0) & ~F.isnan(w))
+        .withColumn("priority", sampling.es_priority("doc_id", "weight"))
+        .withColumn("shard", F.col("doc_id") % n_shards)
+        .select("shard", "doc_id", "lang", "source", "weight", "priority")
+    )
+    return scored.groupBy("shard").applyInPandasWithState(
+        _make_weighted_topk_updater(k),
+        outputStructType=WEIGHTED_TOPK_OUTPUT,
+        stateStructType=WEIGHTED_TOPK_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
     )
 
 

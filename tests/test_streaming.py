@@ -252,3 +252,45 @@ def test_snapshot_merge_resumes_from_checkpoint(spark, tmp_path):
     assert got2[91] == ("20.00", 2, True)
     assert got2[3] == ("20.00", 1, False)
     assert len(got2) == 5
+
+
+def test_streaming_weighted_sample_equals_batch(spark):
+    """The per-shard top-k state machine must reproduce the batch
+    Efraimidis-Spirakis selection EXACTLY (deterministic md5
+    priorities): same rows, same priorities, same ranks."""
+    from multi_report_etl_pipeline_spark.queries.events import (
+        QUERIES as EV_QUERIES,
+    )
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        QUERIES as LLM_QUERIES,
+    )
+
+    got = EV_QUERIES["streaming_weighted_sample"].fn(spark, SF_DIR)
+    want = LLM_QUERIES["docs_weighted_sample"].fn(spark, SF_DIR)
+    cols = ["doc_id", "lang", "source", "weight", "priority", "sample_rank"]
+    assert got.columns == want.columns == cols
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_weighted_topk_state_is_bounded(spark):
+    """Each shard's emitted rows per batch never exceed k, and the
+    drained table's final state holds at most n_shards * k rows — the
+    state-boundedness contract that makes the operator scale."""
+    docs = streaming.read_documents_stream(spark, SF_DIR).select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / F.lit(100.0)).alias("weight"),
+    )
+    streaming.run_available_now(
+        streaming.weighted_topk_stream(docs, k=5, n_shards=4),
+        "wtopk_bound_stream",
+        "update",
+    )
+    t = spark.table("wtopk_bound_stream")
+    per = {
+        (r["shard"], r["seq"]): r["n"]
+        for r in t.groupBy("shard", "seq").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per and all(n <= 5 for n in per.values()), per
+    assert len({s for s, _ in per}) <= 4
