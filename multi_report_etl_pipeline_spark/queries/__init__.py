@@ -124,6 +124,12 @@ _TAIL = (
     # slot of events_windowed_counts (r3+r4 hash-green, untouched in
     # round 5; bench.py keeps timing it in the scan-agg family).
     "events_windowed_counts",
+    # ...and the NEW customer_fuzzy_matches (entity resolution: chunked-
+    # suffix blocking + levenshtein verification, value-oracled) takes
+    # the slot of quality_date_parse_failures (hash-green in r1, r2 and
+    # r4 — three lifetime driver rounds — untouched in round 5, a
+    # 10-row LIMIT probe still DuckDB-checked by pytest every round).
+    "quality_date_parse_failures",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

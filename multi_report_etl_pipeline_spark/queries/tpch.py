@@ -897,3 +897,46 @@ FROM keyed GROUP BY 1
 QUERIES["orders_lifecycle_zorder"] = QuerySpec(
     orders_lifecycle_zorder, SNAPSHOT_LIFECYCLE_SQL
 )
+
+
+# ------------------------------------------------ entity resolution ---
+
+
+def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the customer master: pairs of customer
+    names within 1 levenshtein edit, found by chunked-suffix blocking
+    (operators/linkage.py) — narrow self-joins on (prefix, 2-char
+    chunk) keys generate candidates, JVM levenshtein verifies. The
+    blocking is pigeonhole-complete for substitution-style noise (the
+    dominant error mode in structured identifiers); every step is
+    deterministic string/int arithmetic, so the whole pipeline is
+    value-oracled."""
+    from multi_report_etl_pipeline_spark.operators import linkage  # noqa: PLC0415
+
+    cust = read_table(spark, sf_dir, "customer")
+    return linkage.fuzzy_self_matches(cust, "c_name", "c_custkey", max_dist=1)
+
+
+FUZZY_MATCH_SQL = """
+WITH base AS (
+    SELECT c_custkey AS rid, c_name AS name,
+           substr(c_name, 1, length(c_name) - 6) AS prefix,
+           substr(c_name, length(c_name) - 6 + 1, 2) AS c0,
+           substr(c_name, length(c_name) - 6 + 3, 2) AS c1,
+           substr(c_name, length(c_name) - 6 + 5, 2) AS c2
+    FROM customer
+),
+cand AS (
+    SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,
+           a.name AS name_a, b.name AS name_b
+    FROM base a JOIN base b
+      ON a.prefix = b.prefix AND a.rid < b.rid
+     AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2)
+)
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
+QUERIES["customer_fuzzy_matches"] = QuerySpec(customer_fuzzy_matches, FUZZY_MATCH_SQL)

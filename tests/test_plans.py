@@ -432,3 +432,16 @@ def test_bloom_corpus_side_is_narrow_prescreen(spark):
     assert "ShuffledHashJoin" not in plan, plan[:3000]
     for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan, node
+
+
+def test_fuzzy_matches_has_no_cartesian(spark):
+    """customer_fuzzy_matches: candidates come from equi-joins on the
+    blocking keys — no cartesian/nested-loop pair generation, and the
+    levenshtein verification runs JVM-side (no Python nodes)."""
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    plan = physical_plan(QUERIES["customer_fuzzy_matches"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, node

@@ -14,3 +14,49 @@ def test_matches_oracle(spark, duck, name):
     assert spec.oracle is not None
     df = spec.fn(spark, SF_DIR)
     assert_matches_oracle(df, duck, spec.oracle)
+
+
+def test_fuzzy_matches_complete_vs_quadratic(spark):
+    """For equal-length names, every levenshtein<=1 pair is a single
+    substitution, so chunked-suffix blocking is pigeonhole-COMPLETE:
+    the blocked operator must equal the full quadratic baseline."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.linkage import (
+        fuzzy_self_matches,
+    )
+    from tests.conftest import SF_DIR
+
+    cust = read_table(spark, SF_DIR, "customer")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_self_matches(cust, "c_name", "c_custkey", max_dist=1).collect()
+    }
+    names = {r["c_custkey"]: r["c_name"] for r in cust.collect()}
+    ids = sorted(names)
+    exact = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            na, nb = names[a], names[b]
+            if len(na) == len(nb):
+                d = sum(1 for x, y in zip(na, nb) if x != y)
+                if d <= 1:
+                    exact.add((a, b, d))
+    assert got == exact, (
+        f"missing {len(exact - got)}, spurious {len(got - exact)}"
+    )
+
+
+def test_fuzzy_matches_rejects_unguaranteed_distance(spark):
+    """max_dist beyond the pigeonhole bound (n_chunks-1) is a loud
+    error, not a silent recall loss."""
+    import pytest as _pytest
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.linkage import (
+        fuzzy_self_matches,
+    )
+    from tests.conftest import SF_DIR
+
+    cust = read_table(spark, SF_DIR, "customer")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        fuzzy_self_matches(cust, "c_name", "c_custkey", max_dist=3, n_chunks=3)
