@@ -63,6 +63,7 @@ HEADLINE = [
     "docs_quality_logreg",
     "emb_pca_projection",
     "docs_bloom_decontaminate",
+    "events_gap_filled_hourly",
 ]
 
 

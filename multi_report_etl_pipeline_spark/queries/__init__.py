@@ -130,6 +130,12 @@ _TAIL = (
     # r4 — three lifetime driver rounds — untouched in round 5, a
     # 10-row LIMIT probe still DuckDB-checked by pytest every round).
     "quality_date_parse_failures",
+    # ...and the NEW events_gap_filled_hourly (dense-spine gap-fill +
+    # LOCF carry-forward, value-oracled) takes the slot of
+    # quality_null_keys (hash-green in r1, r2 and r4 — three lifetime
+    # driver rounds — untouched in round 5, a 2-row probe still
+    # DuckDB-checked by pytest every round).
+    "quality_null_keys",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

@@ -854,3 +854,76 @@ QUERIES.update(
         ),
     }
 )
+
+
+def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF carry-forward — the continuous-
+    aggregate completion every monitoring/feature pipeline needs: the
+    hourly (type, bucket) aggregate is LEFT-joined onto a generated
+    dense hour spine per type (sequence + explode — the spine is
+    |types| x hours, produced not shuffled), missing buckets get
+    cnt = 0 and carry the last observed hourly average forward
+    (last_value IGNORE NULLS — a per-key ordered window whose state is
+    one value, parallel across keys at scale). First bucket is always
+    observed (the spine starts at each key's MIN), so LOCF never
+    reads ahead of data."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 6).alias("av"),
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = spine.join(agg, ["event_type", "h"], "left")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    locf = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "event_type",
+        F.date_format("h", TS_FMT_SPARK).alias("hour_ts"),
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        F.last("av", ignorenulls=True).over(locf).alias("avg_value"),
+        F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+GAP_FILL_SQL = """
+WITH agg AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           COUNT(*) AS cnt, ROUND(AVG(value), 6) AS av
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM agg GROUP BY 1),
+spine AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+          FROM bounds),
+j AS (SELECT s.event_type, s.h, a.cnt, a.av
+      FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.h = a.h)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+       last_value(av IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+       CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM j
+"""
+
+
+QUERIES.update(
+    {
+        "events_gap_filled_hourly": QuerySpec(
+            events_gap_filled_hourly, GAP_FILL_SQL
+        ),
+    }
+)

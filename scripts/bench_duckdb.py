@@ -61,6 +61,7 @@ COMPARABLE = [
     "docs_quality_logreg",
     "emb_pca_projection",
     "docs_bloom_decontaminate",
+    "events_gap_filled_hourly",
 ]
 
 

@@ -140,3 +140,41 @@ def test_binned_range_join_ntz_is_dst_invariant(spark):
             assert pairs(binned) == plain, f"bin_width={bin_width}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Constructed series with a known hole: the spine is dense between
+    each key's min and max hour, gap rows carry cnt=0/is_gap=1 and the
+    LAST observed average (not null, not the next one)."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.queries.events import QUERIES
+
+    rows = [
+        (1, "2024-01-01 00:10:00", "a", 10.0),
+        (2, "2024-01-01 00:20:00", "a", 20.0),
+        # 01:00 hole
+        (3, "2024-01-01 02:05:00", "a", 7.0),
+        (4, "2024-01-01 05:00:00", "b", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.createOrReplaceTempView("__gap_probe")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {
+            (r["event_type"], r["hour_ts"]): (
+                r["cnt"],
+                r["avg_value"],
+                r["is_gap"],
+            )
+            for r in QUERIES["events_gap_filled_hourly"].fn(spark, d).collect()
+        }
+    assert out[("a", "2024-01-01 00:00:00")] == (2, 15.0, 0)
+    assert out[("a", "2024-01-01 01:00:00")] == (0, 15.0, 1)  # LOCF
+    assert out[("a", "2024-01-01 02:00:00")] == (1, 7.0, 0)
+    assert out[("b", "2024-01-01 05:00:00")] == (1, 1.0, 0)
+    assert len(out) == 4  # spine spans per key, no cross-key bleed
