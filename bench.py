@@ -64,6 +64,7 @@ HEADLINE = [
     "emb_pca_projection",
     "docs_bloom_decontaminate",
     "events_gap_filled_hourly",
+    "docs_pagerank",
 ]
 
 
@@ -158,6 +159,7 @@ def main() -> None:
         "docs_bpe_merges",
         "docs_quality_logreg",
         "emb_pca_projection",
+        "docs_pagerank",
     }
 
     for name in names:

@@ -1,0 +1,72 @@
+"""Graph analytics over pair/edge frames: PageRank centrality.
+
+Curation use: near-dup detection produces a pair graph; connected
+components (dedup.near_dup_components) pick survivor GROUPS, and
+PageRank-style centrality ranks nodes WITHIN the graph — the "choose
+the canonical document" signal (most-connected variant wins) and the
+general link-analysis primitive.
+
+Scale shape: the rank vector stays DISTRIBUTED (unlike the
+kmeans/logreg model artifacts — here the model IS node-sized); each
+iteration is one edge⋈rank equi-join plus one destination-keyed partial
+agg, the textbook edge-partitioned PageRank step. Nothing is collected;
+iterations chain lazily (use localCheckpoint upstream for deep runs).
+
+Engine-portable by the kmeans/logreg technique: ranks are ROUNDED to 6
+decimals each iteration (F.round and DuckDB ROUND agree half-up on
+doubles), so the DuckDB twin unrolls the same iterations as CTEs and
+the final per-node ranks are value-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = 3,
+    damping: float = PAGERANK_DAMPING,
+    src_col: str = "doc_id_1",
+    dst_col: str = "doc_id_2",
+) -> DataFrame:
+    """PageRank over an undirected pair frame (symmetrized internally).
+
+    Every node of the symmetric graph has in- and out-edges, so there is
+    no dangling mass and the classic update applies unmodified:
+    r_{t+1}(v) = round6((1-d)/N + d * sum_{u->v} r_t(u)/outdeg(u)),
+    r_0 = round6(1/N). N is the node count — ONE bounded 1-value collect
+    (the only driver traffic).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()  # bounded: one value (graph size), the only collect
+    if n == 0:
+        return edges.select(
+            F.col("a").alias("doc_id"), F.lit(0.0).alias("rank")
+        ).filter(F.lit(False))
+    ranks = deg.select("a", F.round(F.lit(1.0 / n), 6).alias("r"))
+    contrib_base = edges.join(deg, "a")
+    for _ in range(iters):
+        ranks = (
+            contrib_base.join(ranks, "a")
+            .groupBy("b")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("mass"))
+            .select(
+                F.col("b").alias("a"),
+                F.round(
+                    F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("mass"),
+                    6,
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("a").alias("doc_id"), F.col("r").alias("rank"))

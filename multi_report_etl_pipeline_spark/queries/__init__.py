@@ -136,6 +136,13 @@ _TAIL = (
     # driver rounds — untouched in round 5, a 2-row probe still
     # DuckDB-checked by pytest every round).
     "quality_null_keys",
+    # ...and the NEW docs_pagerank (graph centrality over the near-dup
+    # pair graph under the unrolled-CTE value oracle — the iterative
+    # technique applied to a node-sized distributed model) takes the
+    # slot of quality_view_counts (hash-green in r1, r2 and r4 — three
+    # lifetime driver rounds — untouched in round 5, a 5-row COUNT
+    # probe still DuckDB-checked by pytest every round).
+    "quality_view_counts",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

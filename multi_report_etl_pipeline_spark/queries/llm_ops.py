@@ -2200,3 +2200,54 @@ QUERIES.update(
         "docs_bloom_decontaminate": QuerySpec(docs_bloom_decontaminate, _bloom_sql()),
     }
 )
+
+
+# ------------------------------------------------------ graph analytics ---
+
+_PAGERANK_ITERS = 3
+
+
+def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph — the
+    "canonical document" signal within duplicate neighborhoods
+    (operators/graph.py). The rank vector stays distributed; each
+    iteration is one edge⋈rank join + one destination-keyed partial
+    agg, and 6-dp per-iteration rounding puts the whole iterative
+    algorithm under the unrolled-CTE value oracle (the
+    kmeans/logreg/PCA technique applied to a node-sized model)."""
+    from multi_report_etl_pipeline_spark.operators import graph  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return graph.pagerank(pairs, iters=_PAGERANK_ITERS)
+
+
+def _pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
+    from multi_report_etl_pipeline_spark.operators import graph  # noqa: PLC0415
+
+    d = graph.PAGERANK_DAMPING
+    parts = [
+        "pairs AS (\n" + NGRAM_JACCARD_SQL.strip() + "\n)",
+        "edges AS (SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs"
+        " UNION SELECT doc_id_2, doc_id_1 FROM pairs)",
+        "deg AS (SELECT a, COUNT(*) AS d FROM edges GROUP BY 1)",
+        "n AS (SELECT COUNT(*) AS c FROM deg)",
+        "r0 AS (SELECT a, ROUND(1.0 / n.c, 6) AS r FROM deg CROSS JOIN n)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"r{t} AS (SELECT e.b AS a,"
+            f" ROUND((1.0 - {d}) / (SELECT c FROM n)"
+            f" + {d} * SUM(r.r / dg.d), 6) AS r"
+            f" FROM edges e JOIN r{t - 1} r ON e.a = r.a"
+            f" JOIN deg dg ON e.a = dg.a GROUP BY e.b)"
+        )
+    tail = f"SELECT a AS doc_id, r AS rank FROM r{iters}"
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+QUERIES.update(
+    {
+        "docs_pagerank": QuerySpec(docs_pagerank, _pagerank_sql()),
+    }
+)

@@ -62,6 +62,7 @@ COMPARABLE = [
     "emb_pca_projection",
     "docs_bloom_decontaminate",
     "events_gap_filled_hourly",
+    "docs_pagerank",
 ]
 
 

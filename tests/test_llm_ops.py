@@ -871,3 +871,47 @@ def test_bloom_decontaminate_consistent_with_exact(spark):
     # candidates bound shared counts from above (the FP margin)
     for r in bloom_rows:
         assert r["n_candidate_ngrams"] >= r["n_shared_ngrams"]
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Star + path graph: the distributed iteration must equal a plain
+    numpy implementation of the same rounded update exactly, and the
+    star hub must out-rank every leaf."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.graph import (
+        PAGERANK_DAMPING,
+        pagerank,
+    )
+
+    # hub 0 connected to 1..5; path 10-11-12
+    pairs = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12)]
+    df = spark.createDataFrame(pairs, "doc_id_1 long, doc_id_2 long")
+    got = {r["doc_id"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+
+    nodes = sorted({a for p in pairs for a in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+
+    def round6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    r = np.full(n, float(round6(np.asarray(1.0 / n))))
+    d = PAGERANK_DAMPING
+    for _ in range(3):
+        r = round6((1.0 - d) / n + d * (adj.T @ (r / deg)))
+    for v in nodes:
+        assert got[v] == r[idx[v]], (v, got[v], r[idx[v]])
+    assert all(got[0] > got[i] for i in range(1, 6)), got
+
+
+def test_pagerank_empty_graph(spark):
+    from multi_report_etl_pipeline_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "doc_id_1 long, doc_id_2 long")
+    out = pagerank(empty)
+    assert out.count() == 0 and out.columns == ["doc_id", "rank"]
