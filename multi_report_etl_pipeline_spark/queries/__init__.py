@@ -143,6 +143,14 @@ _TAIL = (
     # lifetime driver rounds — untouched in round 5, a 5-row COUNT
     # probe still DuckDB-checked by pytest every round).
     "quality_view_counts",
+    # ...and the NEW lineitem_hll_distinct (engine-portable HyperLogLog
+    # built from md5-derived randomness, so the approximate-distinct
+    # family finally has a FULL value oracle — approx_count_distinct's
+    # engine-internal sketch never could) takes the slot of
+    # quality_duplicate_operations (hash-green in r1, r2 and r4 — three
+    # lifetime driver rounds — untouched in round 5, still
+    # DuckDB-checked by pytest every round).
+    "quality_duplicate_operations",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

@@ -2251,3 +2251,101 @@ QUERIES.update(
         "docs_pagerank": QuerySpec(docs_pagerank, _pagerank_sql()),
     }
 )
+
+
+# ------------------------------------------- portable HLL sketch ---
+
+_HLL_REGS = 256  # m: 2^8 registers, ~6.5% standard error
+_HLL_SUFFIX_BITS = 40  # md5-48 = 8 register bits + 40 rank bits
+# alpha_m * m^2 computed ONCE in Python and embedded as the same literal
+# in both engines, so no float expression drift
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_REGS)) * _HLL_REGS * _HLL_REGS
+
+
+def lineitem_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog: the mergeable distinct-count sketch,
+    built from scratch so it sits under a FULL value oracle (unlike
+    approx_count_distinct, whose engine-internal sketch can never
+    hash-match another engine). Flajolet et al. 2007 with md5-derived
+    randomness: register = top 8 bits of the 48-bit md5 hash, rank =
+    leading-zero count of the 40-bit suffix + 1.
+
+    Scale shape — this IS the distributed sketch: the per-register MAX
+    is a partial agg (map-side combine gives each task a 256-row
+    sketch; merging sketches = elementwise max, exactly what the
+    exchange does), then one single-row agg computes the harmonic-mean
+    estimate IN-PLAN — no driver collect at all. The 2^-rank terms are
+    exact dyadic rationals, so the harmonic sum is order-independent
+    and bit-identical at any parallelism; the only float-library call
+    is the small-range ln() correction, absorbed by 4-dp rounding."""
+    li = read_table(spark, sf_dir, "lineitem")
+    m, w = _HLL_REGS, _HLL_SUFFIX_BITS
+    h = dedup._md5_48(F.col("l_orderkey").cast("string"))  # noqa: SLF001
+    regs = (
+        li.select(
+            F.shiftright(h, w).alias("reg"),
+            (h.bitwiseAND(F.lit((1 << w) - 1))).alias("low"),
+        )
+        .withColumn(
+            "rank",
+            F.when(F.col("low") == 0, F.lit(w + 1)).otherwise(
+                F.lit(w + 1) - F.length(F.conv(F.col("low"), 10, 2))
+            ),
+        )
+        .groupBy("reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    est_raw = F.lit(_HLL_ALPHA_M2) / F.col("s")
+    small = (F.col("v") > 0) & (est_raw <= 2.5 * m)
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v"))
+    return (
+        regs.agg(
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("mr")))
+                + (F.lit(m) - F.count(F.lit(1))).cast("double")
+            ).alias("s"),
+            (F.lit(m) - F.count(F.lit(1))).cast("double").alias("v"),
+        )
+        .select(
+            F.round(F.when(small, linear).otherwise(est_raw), 4).alias(
+                "hll_estimate"
+            ),
+            F.col("v").cast("long").alias("zero_registers"),
+        )
+    )
+
+
+HLL_SQL = f"""
+WITH h AS (
+    SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)
+                AS BIGINT) AS hv
+    FROM lineitem
+),
+regs AS (
+    SELECT hv >> {_HLL_SUFFIX_BITS} AS reg,
+           MAX(CASE WHEN (hv & {(1 << _HLL_SUFFIX_BITS) - 1}) = 0
+                    THEN {_HLL_SUFFIX_BITS + 1}
+                    ELSE {_HLL_SUFFIX_BITS + 1}
+                         - length(bin(hv & {(1 << _HLL_SUFFIX_BITS) - 1}))
+               END) AS mr
+    FROM h GROUP BY 1
+),
+agg AS (
+    SELECT SUM(POWER(2.0, -mr))
+               + CAST({_HLL_REGS} - COUNT(*) AS DOUBLE) AS s,
+           CAST({_HLL_REGS} - COUNT(*) AS DOUBLE) AS v
+    FROM regs
+)
+SELECT ROUND(CASE WHEN v > 0 AND {_HLL_ALPHA_M2!r} / s <= 2.5 * {_HLL_REGS}
+                  THEN {_HLL_REGS}.0 * ln({_HLL_REGS}.0 / v)
+                  ELSE {_HLL_ALPHA_M2!r} / s END, 4) AS hll_estimate,
+       CAST(v AS BIGINT) AS zero_registers
+FROM agg
+"""
+
+
+QUERIES.update(
+    {
+        "lineitem_hll_distinct": QuerySpec(lineitem_hll_distinct, HLL_SQL),
+    }
+)

@@ -915,3 +915,31 @@ def test_pagerank_empty_graph(spark):
     empty = spark.createDataFrame([], "doc_id_1 long, doc_id_2 long")
     out = pagerank(empty)
     assert out.count() == 0 and out.columns == ["doc_id", "rank"]
+
+
+def test_hll_accuracy_and_partition_invariance(spark):
+    """The portable HLL estimate must land within 10% of the exact
+    distinct count (m=256 -> ~6.5% standard error), and — because the
+    register max is a mergeable partial agg and the harmonic sum is
+    over exact dyadic rationals — the estimate must be BIT-identical
+    under different parallelism."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.io import read_table
+
+    est = QUERIES["lineitem_hll_distinct"].fn(spark, SF_DIR).collect()[0]
+    li = read_table(spark, SF_DIR, "lineitem")
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    assert abs(est["hll_estimate"] - exact) / exact < 0.10, (
+        est["hll_estimate"],
+        exact,
+    )
+    # partition invariance: rerun over a repartitioned temp copy
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        li.repartition(13).write.mode("overwrite").parquet(
+            f"{d}/lineitem.parquet"
+        )
+        est2 = QUERIES["lineitem_hll_distinct"].fn(spark, d).collect()[0]
+    assert est2["hll_estimate"] == est["hll_estimate"]
