@@ -151,6 +151,15 @@ _TAIL = (
     # lifetime driver rounds — untouched in round 5, still
     # DuckDB-checked by pytest every round).
     "quality_duplicate_operations",
+    # ...and the NEW events_binned_percentiles (engine-portable
+    # fixed-width-histogram quantile sketch — the percentile analog of
+    # lineitem_hll_distinct, giving the approx-aggregate family its
+    # second full value oracle) takes the slot of emb_cosine_topk
+    # (hash-green r4 with its current cached-construction code,
+    # untouched in round 5; the embedding-retrieval family keeps
+    # emb_int8_topk and emb_ivf_topk in-window, and the brute-topk
+    # plan/recall pins run in pytest every round).
+    "emb_cosine_topk",
     "emb_near_dup_pairs",
     "emb_lsh_ann",
     "docs_media_features",

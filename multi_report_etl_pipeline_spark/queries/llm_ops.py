@@ -2349,3 +2349,128 @@ QUERIES.update(
         "lineitem_hll_distinct": QuerySpec(lineitem_hll_distinct, HLL_SQL),
     }
 )
+
+
+# ------------------------------------- portable quantile sketch ---
+
+_QBINS = 1000
+_QUANTS = (0.5, 0.9, 0.99)
+_QLABELS = {0.5: "p50", 0.9: "p90", 0.99: "p99"}
+
+
+def events_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable quantile sketch: a fixed-width histogram (the
+    mergeable quantile summary — per-bin counts partial-agg and merge
+    by addition, exactly like the HLL registers) with linear
+    interpolation inside the hit bin. Companion to
+    events_value_percentiles (approx_percentile), whose engine-internal
+    sketch can never hash-match another engine; this one is
+    deterministic double arithmetic end-to-end and sits under a FULL
+    value oracle. Error is bounded by one bin width of the value range.
+
+    Plan shape, all in-plan (no driver collect): 1-row min/max bounds
+    broadcast-joined into the scan, one <=nbins-group partial agg, a
+    bounded cumulative window over <=nbins rows, and one final 1-row
+    aggregation that picks each quantile's first bin with
+    cum >= ceil(q*n) and interpolates."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = read_table(spark, sf_dir, "events").select("value")
+    bounds = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    nb = _QBINS
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(nb))
+    binned = ev.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / width).cast("long"),
+            F.lit(nb - 1),
+        ).alias("bin"),
+        "mn",
+        "mx",
+    )
+    hist = binned.groupBy("bin", "mn", "mx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    outs = []
+    for q in _QUANTS:
+        target = F.ceil(F.lit(q) * F.col("n"))
+        hit = F.min(
+            F.when(
+                F.col("cum") >= target,
+                F.struct("bin", "cum", "cnt", "mn", "mx", "n"),
+            )
+        ).alias("h")
+        est = (
+            F.col("h.mn")
+            + ((F.col("h.mx") - F.col("h.mn")) / F.lit(float(nb)))
+            * (
+                F.col("h.bin").cast("double")
+                + (
+                    F.ceil(F.lit(q) * F.col("h.n")) - (F.col("h.cum") - F.col("h.cnt"))
+                ).cast("double")
+                / F.col("h.cnt").cast("double")
+            )
+        )
+        outs.append((q, hit, est))
+    agged = cum.agg(*[o[1].alias(f"h{i}") for i, o in enumerate(outs)])
+    sel = []
+    for i, (q, _, _) in enumerate(outs):
+        h = f"h{i}"
+        est = (
+            F.col(f"{h}.mn")
+            + ((F.col(f"{h}.mx") - F.col(f"{h}.mn")) / F.lit(float(nb)))
+            * (
+                F.col(f"{h}.bin").cast("double")
+                + (
+                    F.ceil(F.lit(q) * F.col(f"{h}.n"))
+                    - (F.col(f"{h}.cum") - F.col(f"{h}.cnt"))
+                ).cast("double")
+                / F.col(f"{h}.cnt").cast("double")
+            )
+        )
+        sel.append(F.round(est, 6).alias(_QLABELS[q]))
+    return agged.select(*sel)
+
+
+BINNED_PCTL_SQL = f"""
+WITH bounds AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+binned AS (
+    SELECT LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / {float(_QBINS)})) AS BIGINT),
+                 {_QBINS - 1}) AS bin, mn, mx
+    FROM events CROSS JOIN bounds
+),
+hist AS (SELECT bin, mn, mx, COUNT(*) AS cnt FROM binned GROUP BY 1, 2, 3),
+cum AS (
+    SELECT bin, mn, mx, cnt,
+           SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER () AS n
+    FROM hist
+)
+SELECT
+{",".join(
+    f'''    ROUND(arg_min(
+        mn + ((mx - mn) / {float(_QBINS)})
+           * (CAST(bin AS DOUBLE)
+              + CAST(CEIL({q} * n) - (cum - cnt) AS DOUBLE)
+                / CAST(cnt AS DOUBLE)), bin)
+        FILTER (WHERE cum >= CEIL({q} * n)), 6) AS {_QLABELS[q]}'''
+    for q in _QUANTS
+)}
+FROM cum
+"""
+
+
+QUERIES.update(
+    {
+        "events_binned_percentiles": QuerySpec(
+            events_binned_percentiles, BINNED_PCTL_SQL
+        ),
+    }
+)

@@ -943,3 +943,22 @@ def test_hll_accuracy_and_partition_invariance(spark):
         )
         est2 = QUERIES["lineitem_hll_distinct"].fn(spark, d).collect()[0]
     assert est2["hll_estimate"] == est["hll_estimate"]
+
+
+def test_binned_percentiles_within_one_bin(spark):
+    """The histogram quantile estimate is within one bin width of the
+    exact interpolated percentile by construction."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.io import read_table
+
+    est = QUERIES["events_binned_percentiles"].fn(spark, SF_DIR).collect()[0]
+    ev = read_table(spark, SF_DIR, "events")
+    row = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p9"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        ((F.max("value") - F.min("value")) / 1000.0).alias("w"),
+    ).collect()[0]
+    for got, exact in ((est["p50"], row["p50"]), (est["p90"], row["p9"]), (est["p99"], row["p99"])):
+        assert abs(got - exact) <= row["w"] + 1e-9, (got, exact, row["w"])
