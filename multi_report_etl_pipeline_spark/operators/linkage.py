@@ -55,6 +55,10 @@ def fuzzy_self_matches(
             f"n_chunks-1={n_chunks - 1}: raise n_chunks or lower max_dist"
         )
     tail = n_chunks * chunk_len
+    # names shorter than the chunked suffix have no well-defined blocking
+    # key (and negative substring starts diverge between engines) — they
+    # are excluded on BOTH sides of the oracle
+    df = df.filter(F.length(F.col(name_col)) > tail)
     base = df.select(
         F.col(id_col).alias("rid"),
         F.col(name_col).alias("name"),

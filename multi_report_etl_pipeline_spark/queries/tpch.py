@@ -924,7 +924,7 @@ WITH base AS (
            substr(c_name, length(c_name) - 6 + 1, 2) AS c0,
            substr(c_name, length(c_name) - 6 + 3, 2) AS c1,
            substr(c_name, length(c_name) - 6 + 5, 2) AS c2
-    FROM customer
+    FROM customer WHERE length(c_name) > 6
 ),
 cand AS (
     SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,

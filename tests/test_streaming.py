@@ -294,3 +294,81 @@ def test_weighted_topk_state_is_bounded(spark):
     }
     assert per and all(n <= 5 for n in per.values()), per
     assert len({s for s, _ in per}) <= 4
+
+
+def test_weighted_topk_resumes_from_checkpoint(spark, tmp_path):
+    """Restart contract for the streaming top-k sampler: kill after
+    phase 1, land new files, resume from the checkpoint with a rebuilt
+    query. The resumed run must (a) restore per-shard top-k state (its
+    final top-k retains phase-1 docs it never read), (b) not reprocess
+    committed files (a shard with no phase-2 arrivals is not
+    re-emitted), and (c) finish with each touched shard's top-k equal
+    to the batch computation over the FULL input."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.operators import sampling
+
+    in_dir, ck = str(tmp_path / "docs_landing"), str(tmp_path / "docs_ckpt")
+    schema = "doc_id long, lang string, source string, n_chars long"
+    K, SHARDS = 3, 2
+
+    def docs(ids):
+        return [(i, "en", "src", 100 + 7 * i) for i in ids]
+
+    spark.createDataFrame(docs(range(10)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def drain():
+        emitted = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                emitted.setdefault(r.shard, {})[r.seq] = emitted.get(
+                    r.shard, {}
+                ).get(r.seq, [])
+                emitted[r.shard][r.seq].append((r.doc_id, r.priority))
+
+        stream = spark.readStream.schema(schema).parquet(in_dir).select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.col("n_chars") / F.lit(100.0)).alias("weight"),
+        )
+        q = (
+            streaming.weighted_topk_stream(stream, k=K, n_shards=SHARDS)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    got1 = drain()
+    assert set(got1) == {0, 1}
+
+    # only even doc_ids land in phase 2 -> shard 1 gets no arrivals
+    spark.createDataFrame(docs([10, 12, 14]), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    got2 = drain()
+    assert 1 not in got2  # (b) shard 1 untouched, not re-emitted
+
+    # (a)+(c): shard 0's final emission equals the batch top-k over ALL
+    # its docs, including phase-1 rows this run never read
+    full = spark.createDataFrame(
+        docs(list(range(10)) + [10, 12, 14]), schema
+    ).select(
+        "doc_id", (F.col("n_chars") / F.lit(100.0)).alias("weight")
+    ).withColumn("priority", sampling.es_priority("doc_id", "weight"))
+    want0 = [
+        (r["doc_id"], r["priority"])
+        for r in full.filter(F.col("doc_id") % SHARDS == 0)
+        .orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+        .limit(K)
+        .collect()
+    ]
+    final0 = got2[0][max(got2[0])]
+    assert sorted(final0) == sorted(want0), (final0, want0)
