@@ -226,6 +226,14 @@ _TAIL = (
     "events_multi_resolution_rollup",
     "events_clicks_before_errors_binned",
     "streaming_dedup",
+    # ...and a seventh new operator, docs_cms_frequencies (engine-portable
+    # count-min sketch — the frequency member of the mergeable-sketch
+    # family next to lineitem_hll_distinct and events_binned_percentiles),
+    # takes the slot of stg_activities (hash-green r1, r2 and r4 — three
+    # lifetime driver rounds — untouched in round 5; stg_accounts keeps
+    # the raw-staging family in-window and the view stays DuckDB-checked
+    # by pytest every round).
+    "stg_activities",
     # ...and a fourth new operator, docs_bpe_merges (distributed BPE
     # tokenizer training under an unrolled-iteration value oracle),
     # takes the slot of streaming_interval_join (r3+r4 hash-green,

@@ -1874,7 +1874,11 @@ def _bpe_sql(
         return "WITH " + ",\n".join(ctes) + "\n" + tail
     union = "\nUNION ALL ".join(
         f"SELECT {i} AS merge_rank, split_part(pair, ' ', 1) AS left_sym, "
-        f"split_part(pair, ' ', 2) AS right_sym, c AS pair_count FROM b{i}"
+        # CAST: SUM(cnt) is HUGEINT in DuckDB, which pandas materializes
+        # as float64 ('4568.0' vs the Spark long's '4568') — the driver's
+        # .df() comparison path would hash-mismatch on the text form.
+        f"split_part(pair, ' ', 2) AS right_sym, CAST(c AS BIGINT) AS pair_count "
+        f"FROM b{i}"
         for i in range(n_merges)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + union
@@ -2472,5 +2476,136 @@ QUERIES.update(
         "events_binned_percentiles": QuerySpec(
             events_binned_percentiles, BINNED_PCTL_SQL
         ),
+    }
+)
+
+
+# ------------------------------------ portable count-min sketch ---
+
+# Cormode & Muthukrishnan 2005: depth x width counter matrix, point
+# query = min over depth rows. 4x1024 bounds overestimate error by
+# ~2n/1024 with probability 1 - 2^-4 per probe.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+# A probe set fixed as literals in BOTH plans: frequent fixture tokens,
+# a mid-frequency tail, and one absent token so the pure-collision
+# estimate (>= 0, never negative) is itself value-checked.
+_CMS_PROBES = (
+    "table", "value", "fast", "scan", "row", "data",
+    "window", "agg", "key", "spark", "query", "zzz_absent",
+)
+
+
+def _cms_pos(token, j: int):
+    """Row-j counter position: first 48 md5 bits of 'j:token' mod width —
+    the same engine-portable hash convention as MinHash/HLL (DuckDB:
+    CAST('0x' || substr(md5(j || ':' || token), 1, 12) AS BIGINT))."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), token).cast("binary")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % _CMS_WIDTH
+
+
+def docs_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable count-min sketch over the corpus token stream,
+    completing the mergeable-sketch family (HLL = distinct, binned
+    histogram = quantiles, CMS = frequency). The sketch IS a partial
+    aggregation: each task builds its own <= depth*width counter matrix
+    and the exchange merges sketches by addition — the exact merge
+    operator the CMS paper defines — so the full corpus costs one
+    vocab-keyed agg (Heaps'-bounded, shared with the exact counts the
+    output exposes for the overestimate guarantee) plus one
+    <= 4096-cell agg. Probes resolve via a broadcast join against the
+    bounded sketch; est = MIN over depth rows, NULL cells count 0.
+    Emits (token, exact_count, cms_estimate) so the one-sided
+    est >= exact guarantee is value-checked in BOTH engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(text.words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = counts.select(
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"),
+                        _cms_pos(F.col("token"), j).alias("p"),
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    )
+    sketch = cells.groupBy(
+        F.col("cell.r").alias("r"), F.col("cell.p").alias("p")
+    ).agg(F.sum("c").alias("cnt"))
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CMS_PROBES])).alias("token")
+    )
+    pcells = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"),
+                        _cms_pos(F.col("token"), j).alias("p"),
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", F.col("cell.r").alias("r"), F.col("cell.p").alias("p"))
+    est = (
+        pcells.join(F.broadcast(sketch), ["r", "p"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = probes.join(F.broadcast(counts), "token", "left").select(
+        "token", F.coalesce(F.col("c"), F.lit(0)).alias("exact_count")
+    )
+    return (
+        est.join(exact, "token")
+        .select("token", "exact_count", "cms_estimate")
+        .orderBy("token")
+    )
+
+
+def _cms_sql() -> str:
+    probes = ", ".join(f"'{t}'" for t in _CMS_PROBES)
+    js = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    pos = (
+        "CAST('0x' || substr(md5(j || ':' || token), 1, 12) AS BIGINT) "
+        f"% {_CMS_WIDTH}"
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_WORDS}) AS token FROM documents),
+counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+js AS (SELECT unnest([{js}]) AS j),
+cells AS (SELECT j, {pos} AS p, c FROM counts CROSS JOIN js),
+sketch AS (SELECT j AS r, p, CAST(SUM(c) AS BIGINT) AS cnt
+           FROM cells GROUP BY 1, 2),
+probes AS (SELECT unnest([{probes}]) AS token),
+pcells AS (SELECT token, j AS r, {pos} AS p FROM probes CROSS JOIN js),
+est AS (SELECT token, MIN(COALESCE(cnt, 0)) AS cms_estimate
+        FROM pcells LEFT JOIN sketch USING (r, p) GROUP BY 1),
+exact AS (SELECT p.token, COALESCE(c, 0) AS exact_count
+          FROM probes p LEFT JOIN counts USING (token))
+SELECT token, exact_count, cms_estimate
+FROM est JOIN exact USING (token)
+ORDER BY token
+"""
+
+
+QUERIES.update(
+    {
+        "docs_cms_frequencies": QuerySpec(docs_cms_frequencies, _cms_sql()),
     }
 )

@@ -962,3 +962,41 @@ def test_binned_percentiles_within_one_bin(spark):
     ).collect()[0]
     for got, exact in ((est["p50"], row["p50"]), (est["p90"], row["p9"]), (est["p99"], row["p99"])):
         assert abs(got - exact) <= row["w"] + 1e-9, (got, exact, row["w"])
+
+
+def test_cms_overestimate_guarantee_and_partition_invariance(spark):
+    """Count-min is ONE-SIDED: est >= exact for every probe (Cormode &
+    Muthukrishnan 2005, Thm 1), with expected overestimate ~2n/width.
+    The counter matrix is a partial agg merged by addition, so the
+    sketch — and therefore every estimate — must be identical under
+    different parallelism. The absent probe's estimate is pure
+    collision mass: >= 0 and bounded by the same error budget."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import text
+
+    rows = {
+        r["token"]: r
+        for r in QUERIES["docs_cms_frequencies"].fn(spark, SF_DIR).collect()
+    }
+    assert "zzz_absent" in rows and rows["zzz_absent"]["exact_count"] == 0
+    docs = read_table(spark, SF_DIR, "documents")
+    n_tokens = docs.select(
+        F.sum(F.size(text.words("text")))
+    ).collect()[0][0]
+    budget = 2.0 * n_tokens / 1024  # eps*n with eps = 2/width
+    for r in rows.values():
+        assert r["cms_estimate"] >= r["exact_count"], r
+        assert r["cms_estimate"] - r["exact_count"] <= budget, (r, budget)
+    with tempfile.TemporaryDirectory() as d:
+        docs.repartition(13).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        rerun = {
+            r["token"]: r["cms_estimate"]
+            for r in QUERIES["docs_cms_frequencies"].fn(spark, d).collect()
+        }
+    assert rerun == {t: r["cms_estimate"] for t, r in rows.items()}
