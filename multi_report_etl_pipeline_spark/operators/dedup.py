@@ -465,6 +465,88 @@ def span_dedup(
     )
 
 
+def duplicate_runs(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every MAXIMAL run of token positions whose ``k``-gram also occurs
+    elsewhere in the corpus, keeping the globally first occurrence.
+    Emits (id, run_start, run_end, n_dup_grams) — the token spans a
+    cleaner would cut from every holder but the first. Two overlapping
+    duplicated grams merge into one span, so unlike ``span_dedup``'s
+    fixed non-overlapping 3-token segments this reports the Lee et al.
+    semantic: contiguous duplicated substrings of ANY length >= k,
+    maximally extended (suffix-array ESA semantics realized with
+    k-gram anchors instead of a suffix array — the distributed-friendly
+    formulation).
+
+    Scale: (1) the first-occurrence election is the span_dedup partial
+    agg keyed by gram text — map-side combine absorbs Zipf-hot
+    boilerplate grams before the exchange; (2) the join-back of
+    positions to their gram's election is a narrow equi-join over
+    (gram, id, pos) rows — hot grams route to one task under SMJ, which
+    AQE's skew split handles at scale (the election row they join is
+    1 row, so the skewed side splits cleanly); (3) run assembly is a
+    per-doc ordered window — O(1) state per row, parallel across docs.
+    Gram TEXT is the key (no hash parity needed for the oracle); a
+    production variant can key on _md5_48(gram) to shrink the exchange
+    at 2^-48 collision risk."""
+    toks = F.col("__toks")
+    grams = (
+        docs.select(F.col(id_col), words(F.col(text_col)).alias("__toks"))
+        .filter(F.size(toks) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.size(toks) - k).cast("int")),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    elected = grams.groupBy("gram").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("first"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    dup = (
+        grams.join(elected, "gram")
+        .filter(
+            (F.col("c") > 1)
+            & ~(
+                (F.col(id_col) == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # token ranges [p1, p1+k-1] and [p2, p2+k-1] overlap-or-touch iff
+    # p2 - p1 <= k, so a gap > k in gram starts breaks the run
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    runs = dup.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("run_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("run_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(id_col, "run_start", "run_end", "n_dup_grams")
+    )
+
+
 # Bloom filter parameters: 16384 bits packed as 512 x 32-bit words (a
 # 2 KB artifact), k=3 positions per shingle from the same universal-hash
 # family shape as MINHASH_PERMS (odd multiplier => bijection on Z_2^48

@@ -234,6 +234,14 @@ _TAIL = (
     # the raw-staging family in-window and the view stays DuckDB-checked
     # by pytest every round).
     "stg_activities",
+    # ...and an eighth, docs_duplicate_runs (exact substring dedup, Lee
+    # et al. 2021 — maximal duplicated token runs under a full value
+    # oracle, the k-gram-anchored distributed form of the suffix-array
+    # pass), takes the slot of clean_accounts (hash-green r1, r2 and
+    # r4 — three lifetime driver rounds — untouched in round 5; the
+    # clean_contacts_* family keeps 4 in-window rows and the view stays
+    # DuckDB-checked by pytest every round).
+    "clean_accounts",
     # ...and a fourth new operator, docs_bpe_merges (distributed BPE
     # tokenizer training under an unrolled-iteration value oracle),
     # takes the slot of streaming_interval_join (r3+r4 hash-green,

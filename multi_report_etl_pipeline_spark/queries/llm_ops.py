@@ -2609,3 +2609,62 @@ QUERIES.update(
         "docs_cms_frequencies": QuerySpec(docs_cms_frequencies, _cms_sql()),
     }
 )
+
+
+# ----------------------------------------- exact substring dedup ---
+
+_RUNS_K = 4
+
+
+def docs_duplicate_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, Lee et al. 2021 (dedup.duplicate_runs):
+    maximal duplicated token runs >= k, first occurrence kept. The
+    k-gram-anchored distributed formulation of the paper's
+    suffix-array pass."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return dedup.duplicate_runs(docs, k=_RUNS_K).orderBy("doc_id", "run_start")
+
+
+DUPLICATE_RUNS_SQL = f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+g AS (
+    SELECT doc_id, pos,
+           array_to_string(w[pos + 1 : pos + {_RUNS_K}], ' ') AS gram
+    FROM (SELECT doc_id, w,
+                 unnest(range(0, len(w) - {_RUNS_K} + 1)) AS pos
+          FROM t WHERE len(w) >= {_RUNS_K})
+),
+r AS (
+    SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM g
+    ) WHERE rn > 1
+),
+fl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) <= {_RUNS_K}
+                THEN 0 ELSE 1 END AS brk
+    FROM r
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM fl
+)
+SELECT doc_id, MIN(pos) AS run_start,
+       MAX(pos) + {_RUNS_K} - 1 AS run_end,
+       COUNT(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, run_start
+"""
+
+
+QUERIES.update(
+    {
+        "docs_duplicate_runs": QuerySpec(docs_duplicate_runs, DUPLICATE_RUNS_SQL),
+    }
+)

@@ -654,3 +654,59 @@ def test_bpe_train_matches_bruteforce_reference(word_lists):
     want = _bpe_python_reference(texts, n_merges=3)
     got = [tuple(r) for r in bpe_train_merges(df, n_merges=3).collect()]
     assert got == want, (got, want)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # tiny alphabet forces k-gram collisions within and across docs
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=16),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_duplicate_runs_matches_bruteforce_reference(corpora):
+    """duplicate_runs must agree with the literal Lee-et-al definition
+    on EVERY corpus: a position is removable iff its k-gram occurs at
+    another (doc, pos) and this one is not the global (doc_id, pos)
+    minimum; removable positions whose starts are within k of each
+    other merge into one maximal run covering [start, end + k - 1]."""
+    from multi_report_etl_pipeline_spark.operators.dedup import duplicate_runs
+
+    spark = _shared_spark["spark"]
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for i, toks in enumerate(corpora):
+        for p in range(len(toks) - k + 1):
+            occ.setdefault(" ".join(toks[p : p + k]), []).append((i, p))
+    removable: dict[int, list[int]] = {}
+    for positions in occ.values():
+        if len(positions) > 1:
+            for d, p in sorted(positions)[1:]:
+                removable.setdefault(d, []).append(p)
+    expect = set()
+    for d, ps in removable.items():
+        ps.sort()
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p - prev <= k:
+                prev = p
+                n += 1
+            else:
+                expect.add((d, start, prev + k - 1, n))
+                start = prev = p
+                n = 1
+        expect.add((d, start, prev + k - 1, n))
+
+    got = {
+        (r["doc_id"], r["run_start"], r["run_end"], r["n_dup_grams"])
+        for r in duplicate_runs(df, k=k).collect()
+    }
+    assert got == expect
