@@ -894,3 +894,50 @@ def unigram_logprob(
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+# --------------------------------------------- hashing-trick embedder ---
+
+HASH_EMBED_DIM = 32
+
+
+def _hash48(col: Column) -> Column:
+    """First 48 md5 bits as non-negative int64 (the engine-portable
+    convention shared with dedup._md5_48)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+
+
+def hash_embedding(
+    text_col: Column | str, dim: int = HASH_EMBED_DIM
+) -> Column:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) bag-of-
+    words embedding: v[i] = sum of +-1 over tokens hashing to index i
+    (index = md5_48('i:'+tok) % dim, sign = parity of md5_48('s:'+tok)).
+    Integer-exact and engine-portable, so unlike a learned float encoder
+    the whole text->vector step sits under a DuckDB value oracle.
+
+    Plan shape: a pure NARROW MAP — each token's (index, sign) pair is
+    computed once into a bound array, then one O(n_tokens * dim) integer
+    fold builds the vector row-locally. No explode, no shuffle, no
+    Python: embedding 100 TB is embarrassingly parallel, and the output
+    row is dim longs regardless of document size."""
+    cells = F.transform(
+        words(text_col),
+        lambda t: F.struct(
+            (_hash48(F.concat(F.lit("i:"), t)) % dim).alias("idx"),
+            F.when(_hash48(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("sgn"),
+        ),
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    return F.aggregate(
+        cells,
+        zero,
+        lambda acc, c: F.transform(
+            acc, lambda x, i: x + F.when(c["idx"] == i, c["sgn"]).otherwise(0)
+        ),
+    )

@@ -242,6 +242,14 @@ _TAIL = (
     # clean_contacts_* family keeps 4 in-window rows and the view stays
     # DuckDB-checked by pytest every round).
     "clean_accounts",
+    # ...and a ninth, docs_hash_embed_topk (feature-hashing text->vector
+    # embedding as a pure narrow integer map + exact cosine retrieval —
+    # the in-engine RAG composition, fully value-oracled), takes the
+    # slot of clean_contacts_field (hash-green r1, r2 and r4 — three
+    # lifetime driver rounds — untouched in round 5; the window-dedup
+    # family keeps primary/promise/restructure in-window and the view
+    # stays DuckDB-checked by pytest every round).
+    "clean_contacts_field",
     # ...and a fourth new operator, docs_bpe_merges (distributed BPE
     # tokenizer training under an unrolled-iteration value oracle),
     # takes the slot of streaming_interval_join (r3+r4 hash-green,

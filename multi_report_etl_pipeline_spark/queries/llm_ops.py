@@ -2668,3 +2668,100 @@ QUERIES.update(
         "docs_duplicate_runs": QuerySpec(docs_duplicate_runs, DUPLICATE_RUNS_SQL),
     }
 )
+
+
+# ------------------------------------ hash-embed + retrieval (RAG) ---
+
+_HE_DIM = text.HASH_EMBED_DIM
+_HE_QUERY_DOC = 0
+_HE_K = 10
+
+
+def docs_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> vector -> retrieval INSIDE the engine: feature-hash every
+    document (text.hash_embedding — a narrow integer map, no learned
+    weights, so the whole pipeline is value-oracled), then exact cosine
+    top-k against the query document's vector. Integer dot products are
+    exact in both engines; only the final norm division is float,
+    absorbed by 6-dp rounding.
+
+    Plan: scan -> narrow embed -> broadcast of the 1-row query vector
+    -> narrow cosine fold -> TakeOrdered. The only exchange is the
+    broadcast; retrieval over 100 TB of text is one map pass."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    emb = docs.select(
+        "doc_id", text.hash_embedding("text", _HE_DIM).alias("v")
+    )
+    q = (
+        emb.filter(F.col("doc_id") == _HE_QUERY_DOC)
+        .select(F.col("v").alias("qv"))
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .select(
+            "doc_id",
+            dot.alias("_dot"),
+            sq(F.col("v")).alias("_n1"),
+            sq(F.col("qv")).alias("_n2"),
+        )
+        .filter((F.col("_n1") > 0) & (F.col("_n2") > 0))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_n1").cast("double"))
+                    * F.sqrt(F.col("_n2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_HE_K)
+
+
+def _hash_embed_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+cells AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('i:' || token), 1, 12) AS BIGINT)
+               % {_HE_DIM} AS idx,
+           CASE WHEN CAST('0x' || substr(md5('s:' || token), 1, 12) AS BIGINT)
+                     % 2 = 0 THEN 1 ELSE -1 END AS sgn
+    FROM toks
+),
+vec AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS val
+        FROM cells GROUP BY 1, 2),
+dots AS (
+    SELECT v.doc_id, SUM(v.val * q.val) AS dot
+    FROM vec v JOIN vec q ON v.idx = q.idx AND q.doc_id = {_HE_QUERY_DOC}
+    GROUP BY 1
+),
+norms AS (SELECT doc_id, SUM(val * val) AS n2 FROM vec GROUP BY 1)
+SELECT d.doc_id,
+       ROUND(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))),
+             6) AS cosine
+FROM dots d
+JOIN norms n ON d.doc_id = n.doc_id
+JOIN norms qn ON qn.doc_id = {_HE_QUERY_DOC}
+WHERE n.n2 > 0 AND qn.n2 > 0
+ORDER BY cosine DESC, d.doc_id ASC
+LIMIT {_HE_K}
+"""
+
+
+QUERIES.update(
+    {
+        "docs_hash_embed_topk": QuerySpec(docs_hash_embed_topk, _hash_embed_sql()),
+    }
+)

@@ -1000,3 +1000,41 @@ def test_cms_overestimate_guarantee_and_partition_invariance(spark):
             for r in QUERIES["docs_cms_frequencies"].fn(spark, d).collect()
         }
     assert rerun == {t: r["cms_estimate"] for t, r in rows.items()}
+
+
+def test_hash_embed_topk_self_retrieval_and_reference(spark):
+    """The query doc must retrieve itself at cosine 1.0 in first
+    position, and the Spark hash embedding must equal the literal
+    Python hashing-trick definition for a sample of docs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import text
+
+    rows = QUERIES["docs_hash_embed_topk"].fn(spark, SF_DIR).collect()
+    assert rows[0]["doc_id"] == 0 and rows[0]["cosine"] == 1.0
+    assert all(
+        rows[i]["cosine"] >= rows[i + 1]["cosine"] for i in range(len(rows) - 1)
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").limit(5)
+    got = {
+        r["doc_id"]: r["v"]
+        for r in docs.select(
+            "doc_id", text.hash_embedding("text", 32).alias("v")
+        ).collect()
+    }
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    import re
+
+    for r in docs.select("doc_id", "text").collect():
+        toks = re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        v = [0] * 32
+        for t in toks:
+            v[h48("i:" + t) % 32] += 1 if h48("s:" + t) % 2 == 0 else -1
+        assert got[r["doc_id"]] == v, r["doc_id"]
