@@ -250,6 +250,18 @@ _TAIL = (
     # family keeps primary/promise/restructure in-window and the view
     # stays DuckDB-checked by pytest every round).
     "clean_contacts_field",
+    # ...and a tenth and eleventh — events_transition_matrix (first-order
+    # Markov path analysis over per-user streams) and
+    # events_ewma_anomaly (EWMA smoothing + trailing z-score anomaly
+    # flags from exact integer sufficient statistics over the dense
+    # gap-filled series) — take the slots of docs_curation_pipeline and
+    # events_conversion_funnel (both hash-green r3 AND r4 with their
+    # current code, untouched in round 5; the curation family keeps its
+    # streaming twin streaming_doc_curation in-window, the funnel stays
+    # DuckDB-checked by pytest every round, and bench.py keeps timing
+    # docs_curation_pipeline regardless of window position).
+    "docs_curation_pipeline",
+    "events_conversion_funnel",
     # ...and a fourth new operator, docs_bpe_merges (distributed BPE
     # tokenizer training under an unrolled-iteration value oracle),
     # takes the slot of streaming_interval_join (r3+r4 hash-green,

@@ -927,3 +927,178 @@ QUERIES.update(
         ),
     }
 )
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    — the path-analysis primitive (what follows a click?). LEAD over the
+    (user, time) window pairs each event with its successor; ties on ts
+    break by event_id so the successor is total-ordered in both engines.
+
+    Scale: the LEAD window shuffles once on user_id (the same exchange
+    family sessionization uses — co-partitioned pipelines share it);
+    the pair aggregation is |types|^2-bounded with map-side combine,
+    and the row-probability normalization window runs over that
+    25-row aggregate, not the event stream."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        nxt.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    ).orderBy("event_type", "next_type")
+
+
+TRANSITION_SQL = """
+WITH nxt AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+FROM pairs
+ORDER BY event_type, next_type
+"""
+
+
+_EWMA_W = [0.5**i for i in range(6)]  # dyadic: exact in double
+_Z_LOOKBACK = 24
+
+
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing + trailing z-score anomaly flags over the dense
+    gap-filled hourly series — the monitoring-pipeline shape. All float
+    inputs are exact integers (hourly counts; dyadic 0.5^i weights), so
+    both engines run the identical IEEE op sequence: EWMA is a
+    fixed-window dot product over 6 LAG columns (missing leading lags
+    renormalize the weight mass), and the z-score derives from exact
+    (n, sum, sum-of-squares) sufficient statistics over the trailing
+    24-hour frame ending 1 hour before the current row.
+
+    Scale: one hour/type aggregation, a produced (not shuffled) dense
+    spine, then per-type ordered windows — O(1) state per row for the
+    lags and running sums, parallel across types."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt0"))
+    bounds = agg.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    dense = spine.join(agg, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cnt0", F.lit(0)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lags = [F.lag("cnt", i).over(w) for i in range(len(_EWMA_W))]
+    num = sum(
+        (F.when(lg.isNotNull(), lg * F.lit(wt)).otherwise(F.lit(0.0))
+         for lg, wt in zip(lags, _EWMA_W)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+         for lg, wt in zip(lags, _EWMA_W)),
+        F.lit(0.0),
+    )
+    zf = w.rowsBetween(-_Z_LOOKBACK, -1)
+    n24 = F.count("cnt").over(zf)
+    s1 = F.sum("cnt").over(zf)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(zf)
+    mean = s1.cast("double") / n24.cast("double")
+    var = (s2.cast("double") - n24.cast("double") * mean * mean) / (
+        n24.cast("double") - F.lit(1.0)
+    )
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    scored = dense.select(
+        "event_type",
+        F.date_format("h", TS_FMT_SPARK).alias("hour_ts"),
+        "cnt",
+        F.round(num / den, 6).alias("ewma"),
+        F.when((n24 >= 2) & (var > 0), F.round(z, 6)).alias("zscore"),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.when(F.abs(F.col("zscore")) > 3.0, 1).otherwise(0),
+    )
+
+
+def _ewma_sql() -> str:
+    terms_n = " + ".join(
+        f"CASE WHEN LAG(cnt, {i}) OVER wt IS NOT NULL "
+        f"THEN LAG(cnt, {i}) OVER wt * {w!r} ELSE 0.0 END"
+        for i, w in enumerate(_EWMA_W)
+    )
+    terms_d = " + ".join(
+        f"CASE WHEN LAG(cnt, {i}) OVER wt IS NOT NULL "
+        f"THEN {w!r} ELSE 0.0 END"
+        for i, w in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH agg AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt0
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM agg GROUP BY 1),
+spine AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+          FROM bounds),
+dense AS (
+    SELECT s.event_type, s.h, CAST(COALESCE(a.cnt0, 0) AS BIGINT) AS cnt
+    FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.h = a.h
+),
+scored AS (
+    SELECT event_type, h, cnt,
+           ({terms_n}) / ({terms_d}) AS ewma_raw,
+           COUNT(cnt) OVER wz AS n24,
+           CAST(SUM(cnt) OVER wz AS DOUBLE) AS s1,
+           CAST(SUM(cnt * cnt) OVER wz AS DOUBLE) AS s2
+    FROM dense
+    WINDOW wt AS (PARTITION BY event_type ORDER BY h),
+           wz AS (PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       cnt,
+       ROUND(ewma_raw, 6) AS ewma,
+       CASE WHEN n24 >= 2
+                 AND (s2 - n24 * (s1 / n24) * (s1 / n24)) / (n24 - 1.0) > 0
+            THEN ROUND((cnt - s1 / n24)
+                 / sqrt((s2 - n24 * (s1 / n24) * (s1 / n24)) / (n24 - 1.0)), 6)
+       END AS zscore,
+       CASE WHEN abs(CASE WHEN n24 >= 2
+                 AND (s2 - n24 * (s1 / n24) * (s1 / n24)) / (n24 - 1.0) > 0
+            THEN ROUND((cnt - s1 / n24)
+                 / sqrt((s2 - n24 * (s1 / n24) * (s1 / n24)) / (n24 - 1.0)), 6)
+       END) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+FROM scored
+"""
+
+
+QUERIES.update(
+    {
+        "events_transition_matrix": QuerySpec(
+            events_transition_matrix, TRANSITION_SQL
+        ),
+        "events_ewma_anomaly": QuerySpec(events_ewma_anomaly, _ewma_sql()),
+    }
+)

@@ -178,3 +178,58 @@ def test_gap_fill_locf_semantics(spark):
     assert out[("a", "2024-01-01 02:00:00")] == (1, 7.0, 0)
     assert out[("b", "2024-01-01 05:00:00")] == (1, 1.0, 0)
     assert len(out) == 4  # spine spans per key, no cross-key bleed
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    import collections
+
+    from multi_report_etl_pipeline_spark.queries.events import QUERIES
+
+    rows = QUERIES["events_transition_matrix"].fn(spark, SF_DIR).collect()
+    by_src = collections.defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0 and 0.0 < r["p"] <= 1.0
+        by_src[r["event_type"]] += r["p"]
+    assert by_src, "fixture should produce transitions"
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, (src, total)
+
+
+def test_ewma_anomaly_flags_planted_spike(spark, tmp_path):
+    """An alternating 1/2-per-hour series (nonzero trailing variance)
+    with one 60-event hour must flag exactly that hour; a zero-variance
+    trailing window must yield a NULL zscore, never a flag."""
+    import datetime
+
+    from multi_report_etl_pipeline_spark.queries.events import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(40):
+        n = 60 if h == 30 else (1 if h % 2 == 0 else 2)
+        for i in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=h, minutes=i % 60),
+                 7, "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["hour_ts"]: r
+        for r in QUERIES["events_ewma_anomaly"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 40
+    flagged = [t for t, r in out.items() if r["is_anomaly"] == 1]
+    assert flagged == ["2024-01-02 06:00:00"], flagged  # base + 30h
+    assert out["2024-01-02 06:00:00"]["cnt"] == 60
+    # first row has an empty trailing frame -> NULL zscore, no flag
+    first = out["2024-01-01 00:00:00"]
+    assert first["zscore"] is None and first["is_anomaly"] == 0
+    # EWMA over the alternating prefix stays within [1, 2]
+    steady = out["2024-01-01 20:00:00"]
+    assert 1.0 <= steady["ewma"] <= 2.0 and steady["is_anomaly"] == 0
