@@ -70,3 +70,55 @@ def pagerank(
             )
         )
     return ranks.select(F.col("a").alias("doc_id"), F.col("r").alias("rank"))
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    src_col: str = "doc_id_1",
+    dst_col: str = "doc_id_2",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected pair frame (src < dst canonical): the community-structure
+    primitive next to pagerank's centrality — in curation, a near-dup
+    neighborhood with high clustering is one template family, while a
+    hub with low clustering bridges unrelated families.
+
+    Node-iterator formulation as joins: symmetrize, enumerate each
+    node's wedges (b < c kills double counting), close them against the
+    canonical edge list. cc = 2*tri / (deg*(deg-1)) — exact integer
+    ratios, so the 6-dp rounding is engine-portable. Cost is
+    sum(deg(v)^2) wedge rows — the standard bound; hub wedges skew the
+    self-join, which AQE splits (the closing join's build rows per key
+    are tiny). All joins are equi-joins; nothing is collected."""
+    a, b = F.col(src_col), F.col(dst_col)
+    sym = pairs.select(a.alias("v"), b.alias("n")).union(
+        pairs.select(b.alias("v"), a.alias("n"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    x, y = sym.alias("x"), sym.alias("y")
+    wedge = x.join(
+        y,
+        (F.col("x.v") == F.col("y.v")) & (F.col("x.n") < F.col("y.n")),
+    ).select(F.col("x.v").alias("v"), F.col("x.n").alias("b"), F.col("y.n").alias("c"))
+    closing = pairs.select(a.alias("b"), b.alias("c"))
+    tri = wedge.join(closing, ["b", "c"]).groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce("n_triangles", F.lit(0)).cast("double")
+                    / (d * (d - F.lit(1.0))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

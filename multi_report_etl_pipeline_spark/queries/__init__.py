@@ -262,6 +262,20 @@ _TAIL = (
     # docs_curation_pipeline regardless of window position).
     "docs_curation_pipeline",
     "events_conversion_funnel",
+    # ...and a twelfth and thirteenth — lineitem_regression_stats
+    # (CORR/REGR_SLOPE/REGR_INTERCEPT from exact long-cents sufficient
+    # statistics, the float-aggregate family made value-oracle-able) and
+    # docs_triangle_stats (per-node triangle counts + local clustering
+    # coefficient over the near-dup graph, community structure next to
+    # docs_pagerank) — take the slots of clean_contacts_promise and
+    # clean_contacts_restructure (both hash-green r1, r2 and r4 — three
+    # lifetime driver rounds — untouched in round 5, same rationale as
+    # round 5's quality_* demotions; clean_contacts_primary and the
+    # three report_* queries keep the reference window-dedup chain
+    # in-window, and both views stay DuckDB-checked by pytest every
+    # round).
+    "clean_contacts_promise",
+    "clean_contacts_restructure",
     # ...and a fourth new operator, docs_bpe_merges (distributed BPE
     # tokenizer training under an unrolled-iteration value oracle),
     # takes the slot of streaming_interval_join (r3+r4 hash-green,

@@ -2257,6 +2257,53 @@ QUERIES.update(
 )
 
 
+def docs_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    near-dup pair graph (graph.triangle_stats) — the community-structure
+    companion to docs_pagerank's centrality, sharing the same edge
+    construction."""
+    from multi_report_etl_pipeline_spark.operators import graph  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return graph.triangle_stats(pairs).orderBy("node")
+
+
+def _triangle_sql() -> str:
+    return (
+        "WITH pairs AS (\n" + NGRAM_JACCARD_SQL.strip() + "\n),\n"
+        """sym AS (SELECT doc_id_1 AS v, doc_id_2 AS n FROM pairs
+       UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
+deg AS (SELECT v, COUNT(*) AS degree FROM sym GROUP BY 1),
+wedge AS (
+    SELECT x.v, x.n AS b, y.n AS c
+    FROM sym x JOIN sym y ON x.v = y.v AND x.n < y.n
+),
+tri AS (
+    SELECT w.v, COUNT(*) AS n_triangles
+    FROM wedge w JOIN pairs p ON w.b = p.doc_id_1 AND w.c = p.doc_id_2
+    GROUP BY 1
+)
+SELECT d.v AS node, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN 2.0 * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                       / (CAST(d.degree AS DOUBLE)
+                          * (CAST(d.degree AS DOUBLE) - 1.0))
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON d.v = t.v
+ORDER BY node
+"""
+    )
+
+
+QUERIES.update(
+    {
+        "docs_triangle_stats": QuerySpec(docs_triangle_stats, _triangle_sql()),
+    }
+)
+
+
 # ------------------------------------------- portable HLL sketch ---
 
 _HLL_REGS = 256  # m: 2^8 registers, ~6.5% standard error

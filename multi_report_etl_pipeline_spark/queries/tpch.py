@@ -940,3 +940,100 @@ FROM cand WHERE levenshtein(name_a, name_b) <= 1
 
 
 QUERIES["customer_fuzzy_matches"] = QuerySpec(customer_fuzzy_matches, FUZZY_MATCH_SQL)
+
+
+def lineitem_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + OLS regression of extendedprice
+    on quantity — the statistical-aggregate family (CORR / REGR_SLOPE /
+    REGR_INTERCEPT) computed from EXACT sufficient statistics rather
+    than the engines' native float accumulators: the five co-moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) are summed in long/decimal CENTS (the
+    q1 long-cents pattern), so partial-aggregation order cannot move a
+    bit, and the closed-form stats are one identical IEEE expression
+    over those exact integers in both engines — which is what makes a
+    float-heavy aggregate value-oracle-able at all. Native F.corr /
+    corr() would drift between engines at the last ulp under different
+    partition orders.
+
+    Scale: ONE partial-aggregated pass over lineitem projecting 2
+    columns; the moment vector per group is 6 numbers, so the exchange
+    carries |groups| x 6 cells. Overflow headroom: Σ(qc·pc) grows
+    ~5e10/row — decimal(38,0) sums keep it exact to ~1e27 rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qc = F.expr("CAST(l_quantity * 100 + 0.5 AS BIGINT)")
+    pc = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qc).alias("sx"),
+        F.sum(pc).alias("sy"),
+        F.sum((qc * pc).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((qc * qc).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((pc * pc).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = sxy - sx * sy / n
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n / F.lit(100.0), 4).alias("avg_qty"),
+        F.round(sy / n / F.lit(100.0), 4).alias("avg_price"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(cov_n / var_x, 6).alias("regr_slope"),
+        F.round((sy - cov_n / var_x * sx) / n / F.lit(100.0), 4).alias(
+            "regr_intercept"
+        ),
+    ).orderBy("l_returnflag")
+
+
+REGRESSION_STATS_SQL = """
+WITH m AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sx,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+               * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+               * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sxx,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) AS avg_qty,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) AS avg_price,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                         * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+             6) AS corr_qty_price,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+             6) AS regr_slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100.0,
+             4) AS regr_intercept
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+QUERIES["lineitem_regression_stats"] = QuerySpec(
+    lineitem_regression_stats, REGRESSION_STATS_SQL
+)

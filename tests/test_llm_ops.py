@@ -1038,3 +1038,36 @@ def test_hash_embed_topk_self_retrieval_and_reference(spark):
         for t in toks:
             v[h48("i:" + t) % 32] += 1 if h48("s:" + t) % 2 == 0 else -1
         assert got[r["doc_id"]] == v, r["doc_id"]
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """Per-node triangle counts and clustering coefficients must equal
+    the quadratic Python reference on the fixture's near-dup graph."""
+    import itertools
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import dedup
+
+    docs = read_table(spark, SF_DIR, "documents")
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nb in adj.items():
+        tri = sum(
+            1 for b, c in itertools.combinations(sorted(nb), 2) if (b, c) in pairs
+        )
+        deg = len(nb)
+        cc = round(2.0 * tri / (deg * (deg - 1)), 6) if deg >= 2 else 0.0
+        want[v] = (deg, tri, cc)
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in QUERIES["docs_triangle_stats"].fn(spark, SF_DIR).collect()
+    }
+    assert want and got == want
+    assert any(t for _, t, _ in want.values()), "fixture graph should have triangles"

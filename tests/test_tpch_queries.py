@@ -60,3 +60,36 @@ def test_fuzzy_matches_rejects_unguaranteed_distance(spark):
     cust = read_table(spark, SF_DIR, "customer")
     with _pytest.raises(ValueError, match="pigeonhole"):
         fuzzy_self_matches(cust, "c_name", "c_custkey", max_dist=3, n_chunks=3)
+
+
+def test_regression_stats_matches_numpy(spark):
+    """corr/slope/intercept from the exact cents moments must agree with
+    numpy's reference computation on raw values to float precision."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag: dict = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (round(r["l_quantity"] * 100), round(r["l_extendedprice"] * 100))
+        )
+    rows = {
+        r["l_returnflag"]: r
+        for r in QUERIES["lineitem_regression_stats"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(by_flag)
+    for flag, pts in by_flag.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        r = rows[flag]
+        assert r["n"] == len(pts)
+        assert abs(r["corr_qty_price"] - np.corrcoef(x, y)[0, 1]) < 1e-4
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r["regr_slope"] - slope) < 1e-4
+        assert abs(r["regr_intercept"] - intercept / 100.0) < 1e-2
+        assert abs(r["avg_qty"] - x.mean() / 100.0) < 1e-3
