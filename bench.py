@@ -65,6 +65,13 @@ HEADLINE = [
     "docs_bloom_decontaminate",
     "events_gap_filled_hourly",
     "docs_pagerank",
+    "docs_cms_frequencies",
+    "docs_duplicate_runs",
+    "docs_hash_embed_topk",
+    "events_transition_matrix",
+    "events_ewma_anomaly",
+    "lineitem_regression_stats",
+    "docs_triangle_stats",
 ]
 
 

@@ -2751,6 +2751,10 @@ def docs_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = lambda c: F.aggregate(  # noqa: E731
         c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
+    # zero-norm rows get a NULL cosine INSIDE the projection and sort
+    # last — a `_n1 > 0` FILTER would re-evaluate the whole embedding
+    # fold in the scan-stage predicate (filters get no subexpression
+    # elimination; the plan pin in test_plans.py guards this)
     scored = (
         emb.join(F.broadcast(q))
         .select(
@@ -2759,19 +2763,23 @@ def docs_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sq(F.col("v")).alias("_n1"),
             sq(F.col("qv")).alias("_n2"),
         )
-        .filter((F.col("_n1") > 0) & (F.col("_n2") > 0))
         .select(
             "doc_id",
-            F.round(
-                F.col("_dot").cast("double")
-                / (
-                    F.sqrt(F.col("_n1").cast("double"))
-                    * F.sqrt(F.col("_n2").cast("double"))
+            F.when(
+                (F.col("_n1") > 0) & (F.col("_n2") > 0),
+                F.round(
+                    F.col("_dot").cast("double")
+                    / (
+                        F.sqrt(F.col("_n1").cast("double"))
+                        * F.sqrt(F.col("_n2").cast("double"))
+                    ),
+                    6,
                 ),
-                6,
             ).alias("cosine"),
         )
     )
+    # desc = NULLS LAST in both engines, so zero-norm rows only surface
+    # when fewer than k scored rows exist — same rows either way
     return scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_HE_K)
 
 
@@ -2794,15 +2802,16 @@ dots AS (
     GROUP BY 1
 ),
 norms AS (SELECT doc_id, SUM(val * val) AS n2 FROM vec GROUP BY 1)
-SELECT d.doc_id,
-       ROUND(CAST(dot AS DOUBLE)
-             / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))),
-             6) AS cosine
-FROM dots d
-JOIN norms n ON d.doc_id = n.doc_id
+SELECT n.doc_id,
+       CASE WHEN n.n2 > 0 AND qn.n2 > 0 THEN
+            ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                  / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))),
+                  6)
+       END AS cosine
+FROM norms n
 JOIN norms qn ON qn.doc_id = {_HE_QUERY_DOC}
-WHERE n.n2 > 0 AND qn.n2 > 0
-ORDER BY cosine DESC, d.doc_id ASC
+LEFT JOIN dots d ON d.doc_id = n.doc_id
+ORDER BY cosine DESC NULLS LAST, n.doc_id ASC
 LIMIT {_HE_K}
 """
 

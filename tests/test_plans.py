@@ -445,3 +445,67 @@ def test_fuzzy_matches_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan, node
+
+
+def test_hash_embed_topk_only_exchange_is_broadcast(spark):
+    """Embedding must stay a narrow fold (no Generate/explode, the
+    tokenizing split evaluated once per side) and retrieval must join
+    the 1-row query vector by BROADCAST — a regression to an exploded
+    (doc, idx) shuffle or a sort-merge join fails here. TakeOrdered
+    caps the result without a global sort."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_hash_embed_topk"].fn(spark, SF_DIR))
+    assert "Generate" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # corpus-side embed + query-side embed: the split runs once per side
+    assert plan.count("split(trim(regexp_replace(lower(") <= 2, plan[:3000]
+
+
+def test_cms_sketch_aggs_are_partial(spark):
+    """Both sketch-building aggregations (vocab-keyed counts, cell-keyed
+    counter sums) must keep map-side partials — the partial agg IS the
+    distributed sketch merge — and the probe join must broadcast against
+    the bounded sketch."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_cms_frequencies"].fn(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_duplicate_runs_election_is_partial_agg(spark):
+    """The first-occurrence election must partial-aggregate on gram text
+    (map-side combine absorbs hot boilerplate) and the run assembly must
+    not re-shuffle more than the doc-keyed window requires."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_duplicate_runs"].fn(spark, SF_DIR))
+    assert "partial_min" in plan or "partial_count" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_regression_stats_single_pass_partial_moments(spark):
+    """All six sufficient statistics must come from ONE partial-
+    aggregated scan of lineitem — no self-join, no second scan."""
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    plan = physical_plan(QUERIES["lineitem_regression_stats"].fn(spark, SF_DIR))
+    assert "partial_sum" in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1, plan[:3000]
+
+
+def test_ewma_anomaly_windows_share_one_type_exchange(spark):
+    """The lag dot-product and the trailing z-frame are windows over the
+    same (event_type, h) ordering — they must share one partitioning,
+    not re-shuffle per window."""
+    from multi_report_etl_pipeline_spark.queries.events import QUERIES
+
+    plan = physical_plan(QUERIES["events_ewma_anomaly"].fn(spark, SF_DIR))
+    # exchanges: fan-out/agg for hourly counts + spine join + ONE window
+    # partitioning; a per-window re-shuffle would add hashpartitioning
+    # nodes keyed the same way twice
+    assert plan.count("hashpartitioning(event_type") <= 2, plan[:3000]
