@@ -276,6 +276,18 @@ _TAIL = (
     # round).
     "clean_contacts_promise",
     "clean_contacts_restructure",
+    # Round-5 additions landing directly in the tail: the audit window's
+    # 50 slots are fully allocated to this round's 13 new/changed
+    # operators plus the standing families, and none of the remaining
+    # in-window entries has the two-consecutive-green record the
+    # demotion rule requires. These five grouped-analytics completions
+    # are DuckDB-oracle-checked by pytest every round from day one and
+    # rotate into the driver window next round.
+    "lineitem_grouping_sets",
+    "orders_price_ntiles",
+    "orders_running_balance",
+    "events_hourly_top_users",
+    "events_session_paths",
     # ...and a fourth new operator, docs_bpe_merges (distributed BPE
     # tokenizer training under an unrolled-iteration value oracle),
     # takes the slot of streaming_interval_join (r3+r4 hash-green,

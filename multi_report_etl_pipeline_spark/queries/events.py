@@ -1102,3 +1102,120 @@ QUERIES.update(
         "events_ewma_anomaly": QuerySpec(events_ewma_anomaly, _ewma_sql()),
     }
 )
+
+
+_TOPU_K = 3
+
+
+def events_hourly_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k users per hour by event count — the per-window heavy-hitter
+    report. The rank-and-cut rides the WindowGroupLimit shape (each
+    task pre-prunes to k rows per hour before the exchange); ties break
+    by user_id so the cut is total-ordered in both engines.
+
+    Scale: one (hour, user)-keyed partial agg, then the group-limit
+    window on the hour key — the aggregate, not the event stream, is
+    what shuffles."""
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("h").orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPU_K)
+        .select(
+            F.date_format("h", TS_FMT_SPARK).alias("hour_ts"),
+            "user_id",
+            "cnt",
+            "rnk",
+        )
+    )
+
+
+HOURLY_TOP_USERS_SQL = f"""
+WITH per AS (
+    SELECT date_trunc('hour', ts) AS h, user_id, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT h, user_id, cnt,
+           ROW_NUMBER() OVER (PARTITION BY h
+                              ORDER BY cnt DESC, user_id ASC) AS rnk
+    FROM per
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, user_id, cnt, rnk
+FROM ranked WHERE rnk <= {_TOPU_K}
+"""
+
+
+_PATH_LEN = 5
+_PATH_K = 20
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining lite — the top event paths: each user-day's first
+    {_PATH_LEN} event types (ordered by ts with event_id tiebreaks)
+    concatenated into a path string, counted corpus-wide, top
+    {_PATH_K} paths kept. The funnel-family companion that reports
+    WHICH journeys dominate rather than testing one.
+
+    Scale: the per-user-day agg carries at most one sorted
+    {_PATH_LEN}-slot array per group (collect_list is bounded by the
+    slice taken from it only after sorting — state is the user-day's
+    events, the same bound sessionization pays), the path count is a
+    low-cardinality hash agg, and the cut is TakeOrdered."""
+    ev = read_table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.col("event_type").alias("e"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice("evs", 1, _PATH_LEN), lambda x: x["e"]
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        per.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_PATH_K)
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH per AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{_PATH_LEN}],
+               '>') AS path
+    FROM events GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM per GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT {_PATH_K}
+"""
+
+
+QUERIES.update(
+    {
+        "events_hourly_top_users": QuerySpec(
+            events_hourly_top_users, HOURLY_TOP_USERS_SQL
+        ),
+        "events_session_paths": QuerySpec(events_session_paths, SESSION_PATHS_SQL),
+    }
+)

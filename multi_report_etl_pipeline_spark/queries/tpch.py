@@ -1037,3 +1037,111 @@ ORDER BY l_returnflag
 QUERIES["lineitem_regression_stats"] = QuerySpec(
     lineitem_regression_stats, REGRESSION_STATS_SQL
 )
+
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize
+    (lineitem_rollup / lineitem_cube cover those): per-(flag, status),
+    per-flag, and grand-total rows in ONE pass with grouping flags
+    disambiguating real NULL keys. Quantity sums run in exact long
+    cents (the q1 pattern) so every slice is engine-identical.
+
+    Scale: Spark expands grouping sets map-side (one scan, partial aggs
+    per set) — same exchange story as rollup, |sets| x |groups| cells."""
+    _register(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+def orders_price_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family completion: NTILE / PERCENT_RANK /
+    CUME_DIST over order value within each priority class. The sort key
+    carries the o_orderkey tiebreak so every rank function is
+    total-ordered (the §2.5 determinism hazard); percent_rank and
+    cume_dist are exact small-integer ratios, identical under 6-dp
+    rounding.
+
+    Scale: one shuffle on the priority key; each function is O(1)
+    window state over the same sort — one Window operator computes all
+    three."""
+    ord_ = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return ord_.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("totalprice"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+NTILES_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       o_totalprice AS totalprice,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def orders_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue — the cumulative-window primitive.
+    The running sum accumulates exact long cents ordered by
+    (o_orderdate, o_orderkey), so prefix sums are engine-identical at
+    any parallelism; emitted as dollars via one final division.
+
+    Scale: one shuffle on o_custkey; the frame is running (O(1) state),
+    and customers parallelize. The cents sum holds to ~9e16 dollars per
+    customer before long overflow."""
+    ord_ = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ord_.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("order_date"),
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_total"),
+    )
+
+
+RUNNING_BALANCE_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate AS order_date,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+           AS running_total
+FROM orders
+"""
+
+
+QUERIES.update(
+    {
+        "lineitem_grouping_sets": QuerySpec(
+            lineitem_grouping_sets, GROUPING_SETS_SQL
+        ),
+        "orders_price_ntiles": QuerySpec(orders_price_ntiles, NTILES_SQL),
+        "orders_running_balance": QuerySpec(
+            orders_running_balance, RUNNING_BALANCE_SQL
+        ),
+    }
+)
