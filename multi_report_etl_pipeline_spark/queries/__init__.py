@@ -283,6 +283,7 @@ _TAIL = (
     # demotion rule requires. These five grouped-analytics completions
     # are DuckDB-oracle-checked by pytest every round from day one and
     # rotate into the driver window next round.
+    "streaming_transition_matrix",
     "lineitem_grouping_sets",
     "orders_price_ntiles",
     "orders_running_balance",

@@ -1219,3 +1219,38 @@ QUERIES.update(
         "events_session_paths": QuerySpec(events_session_paths, SESSION_PATHS_SQL),
     }
 )
+
+
+def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_transition_matrix: successor pairing as
+    an arbitrary-stateful operator (streaming.transitions_stream — one
+    (ts, event_id, type) triple of state per user chains micro-batches
+    together), drained with availableNow; the drained transition facts
+    aggregate to the SAME matrix under the SAME oracle, so stream/batch
+    path-analysis parity is driver-enforced."""
+    from multi_report_etl_pipeline_spark import streaming
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.transitions_stream(st), "q_stream_transitions", "append"
+    )
+    sink = spark.table("q_stream_transitions")
+    pairs = sink.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    ).orderBy("event_type", "next_type")
+
+
+QUERIES.update(
+    {
+        "streaming_transition_matrix": QuerySpec(
+            streaming_transition_matrix, TRANSITION_SQL
+        ),
+    }
+)

@@ -531,3 +531,68 @@ def run_available_now(sdf: DataFrame, table_name: str, output_mode: str) -> None
         .start()
     )
     q.awaitTermination()
+
+
+TRANSITIONS_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("next_type", StringType()),
+    ]
+)
+
+TRANSITIONS_STATE = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _update_transitions(key, pdf_iter, state):
+    """Per-user last-event state: each arriving micro-batch is sorted by
+    (ts, event_id), chained onto the remembered last event, and every
+    consecutive pair is emitted as a transition fact. State is O(1) per
+    user — one (ts, event_id, type) triple — and the in-batch sort is
+    bounded by the user's rows in that batch (the funnel bound).
+
+    Pairing is exact when each user's arrivals respect event-time order
+    ACROSS batches (true for the single-file availableNow drain and for
+    log-structured landing zones); fully out-of-order streams would
+    buffer rows until the watermark passes before pairing — the
+    documented production extension, same state bound plus the
+    watermark's buffer."""
+    import pandas as pd  # noqa: PLC0415
+
+    pdfs = [p for p in pdf_iter if len(p)]
+    if not pdfs:
+        yield pd.DataFrame({"event_type": [], "next_type": []})
+        return
+    pdf = pd.concat(pdfs, ignore_index=True).sort_values(["ts", "event_id"])
+    types = pdf["event_type"].tolist()
+    if state.exists:
+        _, _, last_type = state.get
+        types = [last_type] + types
+    last = pdf.iloc[-1]
+    state.update(
+        (int(last["ts"].value // 1000), int(last["event_id"]), str(last["event_type"]))
+    )
+    yield pd.DataFrame(
+        {"event_type": types[:-1], "next_type": types[1:]}
+    )
+
+
+def transitions_stream(events: DataFrame) -> DataFrame:
+    """Markov-transition facts as an arbitrary-stateful streaming op:
+    the streaming twin of events_transition_matrix's LEAD window."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=TRANSITIONS_OUTPUT,
+            stateStructType=TRANSITIONS_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

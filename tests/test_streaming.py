@@ -372,3 +372,77 @@ def test_weighted_topk_resumes_from_checkpoint(spark, tmp_path):
     ]
     final0 = got2[0][max(got2[0])]
     assert sorted(final0) == sorted(want0), (final0, want0)
+
+
+def test_transitions_chain_across_batches_via_state(spark, tmp_path):
+    """The transition op's core claim: the remembered last event per
+    user PAIRS ACROSS micro-batches. Land file 1, drain, land file 2,
+    resume from the checkpoint — the bridging transition (last event of
+    phase 1 -> first event of phase 2) must be emitted by the second
+    drain, and the union of both drains must equal the batch LEAD
+    pairing over the full input."""
+    import datetime
+
+    in_dir, ck = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+
+    def ev(eid, uid, minute, etype):
+        return (
+            eid,
+            datetime.datetime(2026, 1, 1, 10, minute),
+            uid,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    phase1 = [ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 2, 2, "signup")]
+    phase2 = [ev(4, 1, 3, "purchase"), ev(5, 2, 4, "error")]
+    spark.createDataFrame(phase1, schema).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+
+    def drain():
+        emitted: list[tuple[str, str]] = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(
+                (r.event_type, r.next_type) for r in batch_df.collect()
+            )
+
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            streaming.transitions_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    got1 = drain()
+    assert sorted(got1) == [("view", "click")]
+
+    spark.createDataFrame(phase2, schema).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    got2 = drain()
+    # the bridging pairs: phase-1 tails -> phase-2 heads, via state only
+    assert sorted(got2) == [("click", "purchase"), ("signup", "error")]
+
+    # union equals the batch LEAD pairing over the full input
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        spark.read.parquet(in_dir)
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    want = sorted((r.event_type, r.next_type) for r in batch.collect())
+    assert sorted(got1 + got2) == want
