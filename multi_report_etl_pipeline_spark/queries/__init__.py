@@ -284,6 +284,9 @@ _TAIL = (
     # are DuckDB-oracle-checked by pytest every round from day one and
     # rotate into the driver window next round.
     "streaming_transition_matrix",
+    "tpch_q18_large_volume_customers",
+    "events_daily_type_unpivot",
+    "orders_trailing_30d_stats",
     "lineitem_grouping_sets",
     "orders_price_ntiles",
     "orders_running_balance",

@@ -1254,3 +1254,32 @@ QUERIES.update(
         ),
     }
 )
+
+
+def events_daily_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the reshape inverse of events_daily_type_pivot:
+    the wide per-day count columns fold back into (day, event_type,
+    cnt) rows. Round-tripping the pivot pins both reshape directions;
+    the zero-filled combos survive in both engines (COUNT FILTER / the
+    pivot's na.fill produce 0, not NULL).
+
+    Scale: unpivot is a narrow row-local expansion (|types| output rows
+    per input row, no shuffle beyond the pivot's own aggregation)."""
+    wide = daily_type_pivot(spark, sf_dir)
+    return wide.unpivot("day", EVENT_TYPES, "event_type", "cnt")
+
+
+UNPIVOT_SQL = (
+    "UNPIVOT (" + DAILY_PIVOT_SQL.strip() + ") "
+    "ON click, error, purchase, signup, view "
+    "INTO NAME event_type VALUE cnt"
+)
+
+
+QUERIES.update(
+    {
+        "events_daily_type_unpivot": QuerySpec(
+            events_daily_type_unpivot, UNPIVOT_SQL
+        ),
+    }
+)

@@ -1145,3 +1145,117 @@ QUERIES.update(
         ),
     }
 )
+
+
+_Q18_MIN_QTY = 200
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds the threshold, with their customer and order
+    detail, top 100 by order value. The reference's IN-subquery over a
+    grouped HAVING re-aggregates lineitem twice; here the order-level
+    quantity aggregate is computed ONCE (one partial-agg scan) and the
+    filtered result drives both the membership test and the output
+    column — same rows by construction, half the lineitem work.
+    Quantities sum in exact long cents (the q1 pattern).
+
+    Scale: lineitem aggregates to |orders| rows before anything joins;
+    the orders join is key-co-partitioned (orderkey), the customer join
+    shuffles on custkey, and the final cut is TakeOrdered — no global
+    sort. A 100 TB lineitem flows through one map-side-combined agg."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ord_ = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    qc = F.expr("CAST(l_quantity * 100 + 0.5 AS BIGINT)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qc).alias("qty_cents"))
+        .filter(F.col("qty_cents") > _Q18_MIN_QTY * 100)
+    )
+    j = big.join(ord_, big.l_orderkey == ord_.o_orderkey).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_cents") / F.lit(100.0)).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       o_totalprice,
+       CAST(qty_cents AS DOUBLE) / 100.0 AS sum_qty
+FROM (
+    SELECT l_orderkey, SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents
+    FROM lineitem GROUP BY 1
+    HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > {_Q18_MIN_QTY * 100}
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+QUERIES["tpch_q18_large_volume_customers"] = QuerySpec(
+    q18_large_volume_customers, Q18_SQL
+)
+
+
+def orders_trailing_30d_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames — the frame mode the ROWS-based queries
+    don't cover: for every order, the customer's order count and spend
+    over the TRAILING 30 days (event-time, not row-count). RANGE frames
+    include all peer rows, so ties on o_orderdate cannot make the
+    result order-dependent — deterministic by construction, with spend
+    accumulated in exact long cents.
+
+    Scale: one shuffle on o_custkey; the range frame advances two
+    pointers over each customer's date-sorted orders — O(1) amortized
+    state, parallel across customers."""
+    from multi_report_etl_pipeline_spark.operators.asof import (  # noqa: PLC0415
+        _epoch_us,
+    )
+
+    ord_ = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
+    day_us = 86400 * 1_000_000
+    # timezone-independent epoch micros for BOTH timestamp flavors (the
+    # asof-join convention — a plain cast would shift NTZ wall clocks)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(_epoch_us(ord_, "o_orderdate"))
+        .rangeBetween(-30 * day_us, 0)
+    )
+    return ord_.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("order_date"),
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("spend_30d"),
+    )
+
+
+TRAILING_30D_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate AS order_date,
+       COUNT(*) OVER w AS orders_30d,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+           / 100.0 AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES["orders_trailing_30d_stats"] = QuerySpec(
+    orders_trailing_30d_stats, TRAILING_30D_SQL
+)
