@@ -285,6 +285,7 @@ _TAIL = (
     # rotate into the driver window next round.
     "streaming_transition_matrix",
     "tpch_q18_large_volume_customers",
+    "streaming_hll_distinct",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

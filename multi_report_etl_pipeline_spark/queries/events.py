@@ -1283,3 +1283,36 @@ QUERIES.update(
         ),
     }
 )
+
+
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the portable HyperLogLog: the register table IS
+    streaming state — per-register MAX maintained by a complete-mode
+    groupBy (the HLL merge operator applied incrementally, 256 rows of
+    state regardless of stream length), counting distinct users over
+    the event stream. The estimate is computed over the drained sink by
+    the same in-plan aggregation as the batch query, under the same
+    oracle family — approximate-distinct parity between the batch and
+    streaming paths, value-checked."""
+    from multi_report_etl_pipeline_spark import streaming
+    from multi_report_etl_pipeline_spark.queries import llm_ops
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    regs = llm_ops.hll_registers(st, F.col("user_id").cast("string"))
+    streaming.run_available_now(regs, "q_stream_hll", "complete")
+    return llm_ops.hll_estimate(spark.table("q_stream_hll"))
+
+
+def _streaming_hll_oracle() -> str:
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    return llm_ops.hll_sql("events", "user_id")
+
+
+QUERIES.update(
+    {
+        "streaming_hll_distinct": QuerySpec(
+            streaming_hll_distinct, _streaming_hll_oracle()
+        ),
+    }
+)

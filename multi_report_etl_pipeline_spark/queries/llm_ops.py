@@ -2330,10 +2330,19 @@ def lineitem_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bit-identical at any parallelism; the only float-library call
     is the small-range ln() correction, absorbed by 4-dp rounding."""
     li = read_table(spark, sf_dir, "lineitem")
-    m, w = _HLL_REGS, _HLL_SUFFIX_BITS
-    h = dedup._md5_48(F.col("l_orderkey").cast("string"))  # noqa: SLF001
-    regs = (
-        li.select(
+    regs = hll_registers(li, F.col("l_orderkey").cast("string"))
+    return hll_estimate(regs)
+
+
+def hll_registers(df: DataFrame, key) -> DataFrame:
+    """(reg, mr) register table for ``key`` — the distributed sketch
+    itself; per-register MAX is the HLL merge, so this groupBy partial-
+    aggregates map-side and the same expression incrementally maintains
+    the sketch as streaming complete-mode state."""
+    w = _HLL_SUFFIX_BITS
+    h = dedup._md5_48(key)  # noqa: SLF001
+    return (
+        df.select(
             F.shiftright(h, w).alias("reg"),
             (h.bitwiseAND(F.lit((1 << w) - 1))).alias("low"),
         )
@@ -2346,6 +2355,13 @@ def lineitem_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reg")
         .agg(F.max("rank").alias("mr"))
     )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Harmonic-mean estimate over a (reg, mr) register table — one
+    single-row in-plan aggregation, shared by the batch query and the
+    streaming twin's drained sink."""
+    m = _HLL_REGS
     est_raw = F.lit(_HLL_ALPHA_M2) / F.col("s")
     small = (F.col("v") > 0) & (est_raw <= 2.5 * m)
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v"))
@@ -2366,11 +2382,14 @@ def lineitem_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HLL_SQL = f"""
+def hll_sql(table: str, key: str) -> str:
+    """The DuckDB HLL twin over ``table``.``key`` — shared by the batch
+    lineitem query and the streaming events twin."""
+    return f"""
 WITH h AS (
-    SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)
+    SELECT CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 12)
                 AS BIGINT) AS hv
-    FROM lineitem
+    FROM {table}
 ),
 regs AS (
     SELECT hv >> {_HLL_SUFFIX_BITS} AS reg,
@@ -2393,6 +2412,9 @@ SELECT ROUND(CASE WHEN v > 0 AND {_HLL_ALPHA_M2!r} / s <= 2.5 * {_HLL_REGS}
        CAST(v AS BIGINT) AS zero_registers
 FROM agg
 """
+
+
+HLL_SQL = hll_sql("lineitem", "l_orderkey")
 
 
 QUERIES.update(
