@@ -78,3 +78,33 @@ def test_zorder_key_validates_boundary_count(spark):
 
     with pytest.raises(ValueError):
         layout.zorder_key(["a"], {"a": [1.0, 2.0]}, bits=4)
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Many small commits -> few target-size files, content identical,
+    and sort_within_by tightens per-file min/max spans."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.layout import compact_parquet
+
+    src_dir = str(tmp_path / "landing")
+    ord_ = read_table(spark, SF_DIR, "orders")
+    # simulate 20 tiny stream commits
+    ord_.repartition(20).write.mode("overwrite").parquet(src_dir)
+
+    dst = str(tmp_path / "compacted")
+    stats = compact_parquet(
+        spark, src_dir, dst, target_file_bytes=1 << 40,
+        sort_within_by=["o_orderdate"],
+    )
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == ord_.count()
+    # content identical (orderkey multiset)
+    a = sorted(r.o_orderkey for r in out.select("o_orderkey").collect())
+    b = sorted(r.o_orderkey for r in ord_.select("o_orderkey").collect())
+    assert a == b
+    # a small target yields multiple files
+    stats2 = compact_parquet(spark, src_dir, str(tmp_path / "c2"),
+                             target_file_bytes=64 * 1024)
+    assert stats2["files_after"] > 1
