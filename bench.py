@@ -72,6 +72,7 @@ HEADLINE = [
     "events_ewma_anomaly",
     "lineitem_regression_stats",
     "docs_triangle_stats",
+    "tpch_q18_large_volume_customers",
 ]
 
 
