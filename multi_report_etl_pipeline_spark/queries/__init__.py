@@ -286,6 +286,8 @@ _TAIL = (
     "streaming_transition_matrix",
     "tpch_q18_large_volume_customers",
     "streaming_hll_distinct",
+    "streaming_cms_frequencies",
+    "tpch_q10_returned_items",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

@@ -1316,3 +1316,84 @@ QUERIES.update(
         ),
     }
 )
+
+
+def streaming_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the count-min sketch — the addition-merged
+    sketch streamed the way the max-merged HLL is: the <= 4096-cell
+    counter matrix is complete-mode state (token counts partial-agg
+    within each micro-batch, cells summed into the standing sketch),
+    bounded regardless of stream length. Probe estimates are computed
+    over the drained sink exactly as in the batch query; the oracle is
+    the batch CMS twin restricted to the estimate column, so streamed
+    frequency estimates are value-checked against DuckDB."""
+    from multi_report_etl_pipeline_spark import streaming
+    from multi_report_etl_pipeline_spark.queries import llm_ops
+
+    docs = streaming.read_documents_stream(spark, sf_dir)
+    cells = (
+        docs.select(F.explode(F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        )).alias("token"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("r"),
+                            llm_ops._cms_pos(F.col("token"), j).alias("p"),  # noqa: SLF001
+                        )
+                        for j in range(llm_ops._CMS_DEPTH)  # noqa: SLF001
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.p").alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    streaming.run_available_now(cells, "q_stream_cms", "complete")
+    sketch = spark.table("q_stream_cms")
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in llm_ops._CMS_PROBES])  # noqa: SLF001
+        ).alias("token")
+    )
+    pcells = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("r"),
+                        llm_ops._cms_pos(F.col("token"), j).alias("p"),  # noqa: SLF001
+                    )
+                    for j in range(llm_ops._CMS_DEPTH)  # noqa: SLF001
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", F.col("cell.r").alias("r"), F.col("cell.p").alias("p"))
+    return (
+        pcells.join(F.broadcast(sketch), ["r", "p"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+        .orderBy("token")
+    )
+
+
+def _streaming_cms_oracle() -> str:
+    from multi_report_etl_pipeline_spark.queries import llm_ops
+
+    sql = llm_ops._cms_sql()  # noqa: SLF001
+    return sql.replace(
+        "SELECT token, exact_count, cms_estimate",
+        "SELECT token, cms_estimate",
+    )
+
+
+QUERIES.update(
+    {
+        "streaming_cms_frequencies": QuerySpec(
+            streaming_cms_frequencies, _streaming_cms_oracle()
+        ),
+    }
+)

@@ -1259,3 +1259,68 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 QUERIES["orders_trailing_30d_stats"] = QuerySpec(
     orders_trailing_30d_stats, TRAILING_30D_SQL
 )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer over a quarter, top 20 — the 4-way star join
+    (lineitem⋈orders⋈customer⋈nation) with a selective flag predicate.
+    Revenue = price*(1-discount) accumulated in exact long cents
+    (scale-4, the q1/q3 convention).
+
+    Plan: the returnflag filter pushes into the lineitem scan, the
+    orderdate filter into orders; the orderkey join is the only
+    data-proportional one, customer joins post-aggregation on custkey,
+    and nation broadcasts. TakeOrdered caps the result — no global
+    sort."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    ord_ = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    pc = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)")
+    dc = F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    rev = (
+        li.select("l_orderkey", (pc * (100 - dc)).alias("rc"))
+        .join(ord_, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg((F.sum("rc") / F.lit(10000.0)).alias("revenue"))
+    )
+    return (
+        rev.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal AS acctbal, n_name AS nation,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+QUERIES["tpch_q10_returned_items"] = QuerySpec(q10_returned_items, Q10_SQL)

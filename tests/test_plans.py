@@ -509,3 +509,35 @@ def test_ewma_anomaly_windows_share_one_type_exchange(spark):
     # partitioning; a per-window re-shuffle would add hashpartitioning
     # nodes keyed the same way twice
     assert plan.count("hashpartitioning(event_type") <= 2, plan[:3000]
+
+
+def test_q18_aggregates_lineitem_before_joining(spark):
+    """The order-quantity aggregate must be computed ONCE from a single
+    lineitem scan (partial agg) and drive both membership and output —
+    a regression to the literal two-scan IN-subquery form fails here —
+    with TakeOrdered capping the result."""
+    plan = physical_plan(
+        TPCH_QUERIES["tpch_q18_large_volume_customers"].fn(spark, SF_DIR)
+    )
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 3, plan[:3000]
+    assert "partial_sum" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_q10_pushes_flag_filter_and_broadcasts_nation(spark):
+    df = TPCH_QUERIES["tpch_q10_returned_items"].fn(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed, pushed
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_trailing_range_window_single_exchange(spark):
+    """Both window aggregates share one custkey partitioning; the range
+    frame must not introduce a second exchange or a global sort."""
+    plan = physical_plan(
+        TPCH_QUERIES["orders_trailing_30d_stats"].fn(spark, SF_DIR)
+    )
+    assert plan.count("hashpartitioning(o_custkey") <= 1, plan[:3000]
+    assert "rangepartitioning" not in plan.lower() or "Window" in plan, plan[:3000]
