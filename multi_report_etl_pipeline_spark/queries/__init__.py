@@ -288,6 +288,7 @@ _TAIL = (
     "streaming_hll_distinct",
     "streaming_cms_frequencies",
     "tpch_q10_returned_items",
+    "customer_rfm_segments",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

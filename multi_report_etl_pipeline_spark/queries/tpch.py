@@ -1324,3 +1324,91 @@ LIMIT 20
 
 
 QUERIES["tpch_q10_returned_items"] = QuerySpec(q10_returned_items, Q10_SQL)
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics composition:
+    per-customer Recency (days since last order at the corpus max
+    date), Frequency (order count), Monetary (exact cents spend), each
+    scored into quartiles by NTILE over a total-ordered sort (custkey
+    tiebreak), concatenated into a segment code with per-segment
+    counts. Exercises aggregate -> multi-window -> re-aggregate
+    chaining on one shuffle key change.
+
+    Scale: the per-customer aggregate is one partial-agg pass over
+    orders; the three NTILEs sort the |customers|-row aggregate (not
+    the fact table), but each global NTILE is a single-task sort — fine
+    to ~10M customers, and beyond that the quartile assignment swaps to
+    approxQuantile boundaries + width_bucket (the layout.zorder_key
+    bucketing shape, no global sort) at the cost of boundary-exactness;
+    the exact-NTILE form is kept here because it is the oracle-checkable
+    one. The final segment rollup is a 64-group agg."""
+    ord_ = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
+    per = ord_.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    mx = per.agg(F.max("last_order").alias("mx"))
+    scored = (
+        per.join(F.broadcast(mx))
+        .withColumn(
+            "recency_days", F.datediff(F.col("mx"), F.col("last_order"))
+        )
+        .withColumn(
+            "r_score",
+            F.ntile(4).over(
+                Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("monetary_cents") / F.lit(100.0)).alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SQL = """
+WITH per AS (
+    SELECT o_custkey,
+           MAX(o_orderdate) AS last_order,
+           COUNT(*) AS frequency,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT o_custkey, monetary_cents,
+           NTILE(4) OVER (ORDER BY datediff('day', last_order,
+                              (SELECT MAX(last_order) FROM per)) ASC,
+                          o_custkey ASC) AS r_score,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+           NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
+    FROM per
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary_cents) AS DOUBLE) / 100.0 AS segment_revenue
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+QUERIES["customer_rfm_segments"] = QuerySpec(customer_rfm_segments, RFM_SQL)
