@@ -541,3 +541,24 @@ def test_trailing_range_window_single_exchange(spark):
     )
     assert plan.count("hashpartitioning(o_custkey") <= 1, plan[:3000]
     assert "rangepartitioning" not in plan.lower() or "Window" in plan, plan[:3000]
+
+
+def test_hourly_top_users_uses_window_group_limit(spark):
+    """The per-hour top-k must pre-prune to k rows per hour before the
+    exchange (WindowGroupLimit), and the aggregate — not the event
+    stream — is what the rank window sorts."""
+    from multi_report_etl_pipeline_spark.queries.events import QUERIES
+
+    plan = physical_plan(QUERIES["events_hourly_top_users"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "partial_count" in plan, plan[:3000]
+
+
+def test_session_paths_aggregates_before_takeordered(spark):
+    """Path counting is a hash agg over the per-user-day aggregate with
+    a TakeOrdered cut — no global sort of the event stream."""
+    from multi_report_etl_pipeline_spark.queries.events import QUERIES
+
+    plan = physical_plan(QUERIES["events_session_paths"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "partial_count" in plan or "partial_finalmerge" in plan.lower(), plan[:3000]
