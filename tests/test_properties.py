@@ -710,3 +710,141 @@ def test_duplicate_runs_matches_bruteforce_reference(corpora):
         for r in duplicate_runs(df, k=k).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # (user, minute, type) event tuples; duplicates force ties
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_transition_matrix_matches_bruteforce_reference(events):
+    """The Markov pairing must equal the literal per-user successor
+    definition under (ts, event_id) total order — including rows with
+    identical timestamps, where the event_id tiebreak decides."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.queries.events import (
+        events_transition_matrix,
+    )
+
+    spark = _shared_spark["spark"]
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, (u, m, t) in enumerate(events)
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (r["event_type"], r["next_type"]): (r["n"], r["p"])
+            for r in events_transition_matrix(spark, d).collect()
+        }
+
+    per_user: dict = {}
+    for i, (u, m, t) in enumerate(events):
+        per_user.setdefault(u, []).append((m, i, t))
+    pairs: dict = {}
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    src_tot: dict = {}
+    for (a, _), n in pairs.items():
+        src_tot[a] = src_tot.get(a, 0) + n
+    want = {
+        k: (n, round(n / src_tot[k[0]], 6)) for k, n in pairs.items()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # hourly counts for one key, hole-free by construction
+        st.integers(min_value=0, max_value=9),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_ewma_anomaly_matches_bruteforce_reference(counts):
+    """EWMA and trailing z must equal the literal Python formulas on
+    EVERY series — weight renormalization over missing leading lags,
+    the 24-row trailing frame, and the n>=2 / var>0 guards included.
+    Hours with cnt=0 come from the spine (no events that hour)."""
+    import datetime
+    import math
+    import tempfile
+
+    from multi_report_etl_pipeline_spark.queries.events import (
+        events_ewma_anomaly,
+    )
+
+    spark = _shared_spark["spark"]
+    # ensure first and last hour have >=1 event so the spine spans all
+    counts = [max(counts[0], 1)] + counts[1:-1] + [max(counts[-1], 1)]
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=h, minutes=i), 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["hour_ts"]: (r["cnt"], r["ewma"], r["zscore"], r["is_anomaly"])
+            for r in events_ewma_anomaly(spark, d).collect()
+        }
+    assert len(got) == len(counts)
+    W = [0.5**i for i in range(6)]
+    for h, n in enumerate(counts):
+        ts = (base + datetime.timedelta(hours=h)).strftime("%Y-%m-%d %H:%M:%S")
+        lags = [counts[h - i] if h - i >= 0 else None for i in range(6)]
+        num = sum(w * v for w, v in zip(W, lags) if v is not None)
+        den = sum(w for w, v in zip(W, lags) if v is not None)
+        ewma = round(num / den, 6)
+        window = counts[max(0, h - 24) : h]
+        z = None
+        if len(window) >= 2:
+            m = sum(window) / len(window)
+            var = (sum(v * v for v in window) - len(window) * m * m) / (
+                len(window) - 1
+            )
+            if var > 0:
+                z = round((n - m) / math.sqrt(var), 6)
+        flag = 1 if (z is not None and abs(z) > 3.0) else 0
+        gc, ge, gz, gf = got[ts]
+        assert gc == n and ge == ewma and gf == flag, (ts, got[ts], (n, ewma, z, flag))
+        if z is None:
+            assert gz is None, (ts, gz)
+        else:
+            assert gz is not None and abs(gz - z) < 1e-6, (ts, gz, z)
