@@ -289,6 +289,7 @@ _TAIL = (
     "streaming_cms_frequencies",
     "tpch_q10_returned_items",
     "customer_rfm_segments",
+    "docs_hashed_ngram_logreg",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

@@ -2843,3 +2843,118 @@ QUERIES.update(
         "docs_hash_embed_topk": QuerySpec(docs_hash_embed_topk, _hash_embed_sql()),
     }
 )
+
+
+# --------------------------- fastText-style hashed-ngram classifier ---
+
+_HLOGREG_ITERS = 2
+
+
+def docs_hashed_ngram_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fastText pattern (Joulin et al. 2016): a linear classifier
+    over HASHED bag-of-words features — composing two engine-portable
+    pieces this repo already proves separately: text.hash_embedding
+    (the narrow integer feature fold) feeds
+    classifier.logistic_regression_fit (distributed full-batch GD whose
+    per-iteration driver traffic is d+2 floats). Label = source
+    membership. Training AND scoring sit under the unrolled-GD value
+    oracle with the hashed features reproduced in SQL — tokenizer-free
+    text classification, trained in the engine, value-checked
+    end-to-end.
+
+    Scale: the feature fold is embarrassingly parallel; each GD pass is
+    one partial agg carrying d+2 cells; scoring is an Exchange-free
+    narrow map against literal weights."""
+    from multi_report_etl_pipeline_spark.operators import (  # noqa: PLC0415
+        classifier,
+    )
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    emb = docs.select(
+        "doc_id",
+        (F.col("source") == "src0").cast("double").alias("y"),
+        text.hash_embedding("text", _HE_DIM).alias("v"),
+    )
+    cols = [f"f{i}" for i in range(_HE_DIM)]
+    feats = emb.select(
+        "doc_id",
+        "y",
+        *[F.col("v")[i].cast("double").alias(c) for i, c in enumerate(cols)],
+    )
+    w = classifier.logistic_regression_fit(
+        feats, cols, label_col="y", iters=_HLOGREG_ITERS
+    )
+    return classifier.logistic_regression_score(feats, cols, w).orderBy("doc_id")
+
+
+def _hashed_logreg_sql(iters: int = _HLOGREG_ITERS) -> str:
+    from multi_report_etl_pipeline_spark.operators import (  # noqa: PLC0415
+        classifier,
+    )
+
+    lr = classifier.LOGREG_LR
+    d = _HE_DIM
+    names = [f"f{i}" for i in range(d)]
+    fcols = ", ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN idx = {i} THEN val END), 0) AS DOUBLE)"
+        f" AS f{i}"
+        for i in range(d)
+    )
+    parts = [
+        f"toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents)",
+        f"""cells AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('i:' || token), 1, 12) AS BIGINT)
+               % {d} AS idx,
+           CASE WHEN CAST('0x' || substr(md5('s:' || token), 1, 12) AS BIGINT)
+                     % 2 = 0 THEN 1 ELSE -1 END AS sgn
+    FROM toks)""",
+        "vec AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS val"
+        " FROM cells GROUP BY 1, 2)",
+        "lab AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END"
+        " AS y FROM documents)",
+        f"feats AS (SELECT v.doc_id, MIN(l.y) AS y, {fcols}"
+        " FROM vec v JOIN lab l ON v.doc_id = l.doc_id GROUP BY 1)",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(d + 1)) + ")",
+    ]
+
+    z = " + ".join(
+        ["w.w0"] + [f"w.w{j + 1} * f.{n}" for j, n in enumerate(names)]
+    )
+    zp = " + ".join(
+        ["w.w0"] + [f"w.w{j + 1} * {n}" for j, n in enumerate(names)]
+    )
+    for t in range(1, iters + 1):
+        cols_sel = ", ".join(f"f.{n}" for n in names)
+        parts.append(
+            f"p{t} AS (SELECT f.y, {cols_sel},"
+            f" 1.0 / (1.0 + exp(-({z}))) AS p"
+            f" FROM feats f CROSS JOIN w{t - 1} w)"
+        )
+        gsel = ", ".join(
+            ["SUM(p - y) AS g0"]
+            + [f"SUM((p - y) * {n}) AS g{j + 1}" for j, n in enumerate(names)]
+        )
+        parts.append(f"g{t} AS (SELECT {gsel}, COUNT(*) AS n FROM p{t})")
+        wsel = ", ".join(
+            f"ROUND(w.w{j} - {lr} * g.g{j} / g.n, 6) AS w{j}"
+            for j in range(d + 1)
+        )
+        parts.append(f"w{t} AS (SELECT {wsel} FROM g{t} g CROSS JOIN w{t - 1} w)")
+    score = f"ROUND(1.0 / (1.0 + exp(-({zp}))), 6)"
+    tail = (
+        f"SELECT f.doc_id, {score} AS score,"
+        f" CASE WHEN {score} >= 0.5 THEN 1 ELSE 0 END AS pred"
+        f" FROM feats f CROSS JOIN w{iters} w"
+        " ORDER BY f.doc_id"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+QUERIES.update(
+    {
+        "docs_hashed_ngram_logreg": QuerySpec(
+            docs_hashed_ngram_logreg, _hashed_logreg_sql()
+        ),
+    }
+)

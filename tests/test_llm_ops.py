@@ -1071,3 +1071,33 @@ def test_triangle_stats_matches_bruteforce(spark):
     }
     assert want and got == want
     assert any(t for _, t, _ in want.values()), "fixture graph should have triangles"
+
+
+def test_hashed_ngram_logreg_learns_planted_token(spark):
+    """A planted marker token must be learnable by the hashed-feature
+    classifier: docs containing it labeled 1, others 0, and after
+    training with enough iterations every prediction is correct (the
+    marker's hash bucket carries the signal)."""
+    from multi_report_etl_pipeline_spark.operators import classifier, text
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, ("xmarker " if i % 2 == 0 else "") + "alpha beta gamma delta")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = [f"f{i}" for i in range(32)]
+    feats = df.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).cast("double").alias("y"),
+        *[
+            text.hash_embedding("text", 32)[i].cast("double").alias(c)
+            for i, c in enumerate(cols)
+        ],
+    )
+    w = classifier.logistic_regression_fit(feats, cols, label_col="y", iters=40)
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in classifier.logistic_regression_score(feats, cols, w).collect()
+    }
+    assert all(got[i] == (1 if i % 2 == 0 else 0) for i in range(40)), got
