@@ -290,6 +290,7 @@ _TAIL = (
     "tpch_q10_returned_items",
     "customer_rfm_segments",
     "docs_hashed_ngram_logreg",
+    "docs_canonical_selection",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

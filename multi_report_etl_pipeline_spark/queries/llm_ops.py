@@ -2958,3 +2958,80 @@ QUERIES.update(
         ),
     }
 )
+
+
+def docs_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the step BETWEEN near-dup
+    grouping and corpus rewrite: within each dup group, keep the
+    highest-quality member (text.quality_score; doc_id-ascending
+    tiebreak), emitting the (group, canonical, size) survivorship
+    manifest a deduped rewrite joins against. min-id election
+    (exact_dedup) is the degenerate quality-free case; this is the
+    "choose the BEST duplicate" curation policy.
+
+    Scale: components + one quality projection + ONE max_by partial
+    agg keyed by group — the span-dedup election shape, so Zipf-huge
+    boilerplate groups reduce map-side; nothing is collected."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    groups = dedup.near_dup_components(pairs)
+    q = docs.select(
+        "doc_id", text.quality_score("text").alias("quality")
+    )
+    member = groups.join(q, "doc_id")
+    return (
+        member.groupBy("group_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid")
+                ),
+                F.struct(
+                    F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid")
+                ),
+            ).alias("win"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select(
+            "group_id",
+            (-F.col("win.nid")).alias("canonical_id"),
+            F.col("win.q").alias("canonical_quality"),
+            "group_size",
+        )
+        .orderBy("group_id")
+    )
+
+
+# Build the oracle by wrapping the groups CTE and electing per group.
+_CANONICAL_SQL = (
+    DEDUP_GROUPS_SQL.replace(
+        "SELECT src AS doc_id, LEAST(MIN(dst), src) AS group_id FROM reach GROUP BY src",
+        ", grp AS (SELECT src AS doc_id, LEAST(MIN(dst), src) AS group_id"
+        " FROM reach GROUP BY src),\n"
+        "q AS (SELECT doc_id,"
+        " ROUND(0.4 * least(CAST(len(" + _WORDS + ") AS DOUBLE) / 100.0, 1.0)"
+        " + 0.3 * (1.0 - ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]'))"
+        " AS DOUBLE) / CAST(length(text) AS DOUBLE), 6))"
+        " + 0.3 * least(ROUND(CAST(len(regexp_extract_all(lower(text),"
+        " '" + _STOP_PAT + "')) AS DOUBLE) / CAST(len(" + _WORDS + ") AS DOUBLE), 6)"
+        " * 5, 1.0), 6) AS quality FROM documents)\n"
+        # arg_max cannot order by ROW: encode (quality, -doc_id) as one
+        # BIGINT — quality has exactly 6 dp, doc ids < 1e10
+        "SELECT g.group_id,\n"
+        "       arg_max(g.doc_id, CAST(ROUND(q.quality * 1000000) AS BIGINT)"
+        " * 10000000000 - g.doc_id) AS canonical_id,\n"
+        "       MAX(q.quality) AS canonical_quality,\n"
+        "       COUNT(*) AS group_size\n"
+        "FROM grp g JOIN q ON g.doc_id = q.doc_id\n"
+        "GROUP BY g.group_id ORDER BY g.group_id",
+    )
+)
+
+
+QUERIES.update(
+    {
+        "docs_canonical_selection": QuerySpec(
+            docs_canonical_selection, _CANONICAL_SQL
+        ),
+    }
+)
