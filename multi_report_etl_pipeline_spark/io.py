@@ -186,3 +186,31 @@ def write_parquet(
         writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
         return
     writer.parquet(path)
+
+
+def expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """Data-quality constraint validation (the dbt-tests / Deequ shape,
+    generalizing the reference's ad-hoc quality probes into an
+    operator): ``rules`` maps rule name -> boolean violation predicate;
+    the result is ONE row per rule with its violation count and the
+    scanned total — computed in a single partially-aggregated pass
+    (every rule is a sum(CASE) over the same scan, no per-rule jobs).
+
+    Scale: one scan however many rules; the exchange carries
+    |rules| + 1 cells. Uniqueness-style rules need their own groupBy
+    and are composed upstream (see orders_quality_checks)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).alias(f"_v_{name}")
+            for name, pred in rules.items()
+        ],
+    )
+    stack = ", ".join(
+        f"'{name}', _v_{name}" for name in rules
+    )
+    return agg.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, violations)", "_n AS n_rows"
+    )

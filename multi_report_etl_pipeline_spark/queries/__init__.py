@@ -291,6 +291,7 @@ _TAIL = (
     "customer_rfm_segments",
     "docs_hashed_ngram_logreg",
     "docs_canonical_selection",
+    "orders_quality_checks",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

@@ -1412,3 +1412,84 @@ ORDER BY 1, 2, 3
 
 
 QUERIES["customer_rfm_segments"] = QuerySpec(customer_rfm_segments, RFM_SQL)
+
+
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation over orders (io.expectations): null keys,
+    domain violations, referential orphans (anti-join count folded in
+    as a pre-computed flag column), and duplicate keys — the dbt-test /
+    Deequ report as one partial-agg pass plus one key-count pass.
+
+    Scale: the rule scan is ONE pass (|rules| sum(CASE) cells); the
+    uniqueness rule adds a key-keyed agg whose map-side combine
+    collapses duplicates before the exchange; the orphan flag is a
+    broadcast-able left-semi probe."""
+    from multi_report_etl_pipeline_spark.io import expectations  # noqa: PLC0415
+
+    ord_ = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    flagged = ord_.join(
+        cust, F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).withColumn("_orphan", F.col("c_custkey").isNull())
+    dup_keys = (
+        ord_.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dups"))
+    )
+    base = expectations(
+        flagged,
+        {
+            "null_orderkey": F.col("o_orderkey").isNull(),
+            "null_custkey": F.col("o_custkey").isNull(),
+            "nonpositive_price": F.col("o_totalprice") <= 0,
+            "bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "orphan_custkey": F.col("_orphan"),
+        },
+    )
+    tot = ord_.agg(F.count(F.lit(1)).alias("n_rows"))
+    dup_row = dup_keys.join(F.broadcast(tot)).select(
+        F.lit("duplicate_orderkey").alias("rule"),
+        F.col("dups").cast("long").alias("violations"),
+        "n_rows",
+    )
+    return base.unionByName(dup_row).orderBy("rule")
+
+
+QUALITY_CHECKS_SQL = """
+WITH flagged AS (
+    SELECT o.*, c.c_custkey IS NULL AS _orphan
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+base AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null_orderkey,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null_custkey,
+           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_nonpositive_price,
+           SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_bad_status,
+           SUM(CASE WHEN _orphan THEN 1 ELSE 0 END) AS v_orphan
+    FROM flagged
+),
+dups AS (
+    SELECT COUNT(*) AS dups FROM (
+        SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1
+    )
+)
+SELECT rule, CAST(violations AS BIGINT) AS violations,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM (
+    SELECT 'null_orderkey' AS rule, v_null_orderkey AS violations, n AS n_rows FROM base
+    UNION ALL SELECT 'null_custkey', v_null_custkey, n FROM base
+    UNION ALL SELECT 'nonpositive_price', v_nonpositive_price, n FROM base
+    UNION ALL SELECT 'bad_status', v_bad_status, n FROM base
+    UNION ALL SELECT 'orphan_custkey', v_orphan, n FROM base
+    UNION ALL SELECT 'duplicate_orderkey', dups,
+              (SELECT COUNT(*) FROM orders) FROM dups
+)
+ORDER BY rule
+"""
+
+
+QUERIES["orders_quality_checks"] = QuerySpec(
+    orders_quality_checks, QUALITY_CHECKS_SQL
+)
