@@ -292,6 +292,7 @@ _TAIL = (
     "docs_hashed_ngram_logreg",
     "docs_canonical_selection",
     "orders_quality_checks",
+    "streaming_binned_percentiles",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

@@ -1397,3 +1397,95 @@ QUERIES.update(
         ),
     }
 )
+
+
+def streaming_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the portable histogram-quantile sketch,
+    completing the streamed sketch trio (HLL = max-merge, CMS =
+    add-merge, histogram = add-merge): per-bin counts are complete-mode
+    state — <= nbins rows regardless of stream length — under FROZEN
+    bin bounds (the offline-fit artifact pattern shared with the LM /
+    logreg streaming twins: a histogram deployment fixes its binning
+    before the stream starts; here the bounds are the corpus min/max,
+    computed once per sf_dir and cached). The drained histogram feeds
+    the SAME interpolation as the batch query under the SAME oracle, so
+    streamed percentiles are value-checked against DuckDB."""
+    from multi_report_etl_pipeline_spark import streaming
+    from multi_report_etl_pipeline_spark.queries import llm_ops
+
+    key = ("stream_pctl_bounds", sf_dir)
+    if key not in llm_ops._CONSTRUCT_CACHE:  # noqa: SLF001
+        llm_ops._CONSTRUCT_CACHE[key] = (  # noqa: SLF001
+            read_table(spark, sf_dir, "events")
+            .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+            .collect()[0]
+        )
+    b = llm_ops._CONSTRUCT_CACHE[key]  # noqa: SLF001
+    mn, mx = float(b["mn"]), float(b["mx"])
+    nb = llm_ops._QBINS  # noqa: SLF001
+    width = (mx - mn) / float(nb)
+    st = streaming.read_events_stream(spark, sf_dir)
+    hist = (
+        st.select(
+            F.least(
+                F.floor((F.col("value") - F.lit(mn)) / F.lit(width)).cast("long"),
+                F.lit(nb - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    streaming.run_available_now(hist, "q_stream_pctl", "complete")
+    sink = spark.table("q_stream_pctl")
+    cum = sink.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "n",
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    agged = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.struct("bin", "cum", "cnt", "n"),
+                )
+            ).alias(f"h{i}")
+            for i, q in enumerate(llm_ops._QUANTS)  # noqa: SLF001
+        ]
+    )
+    sel = []
+    for i, q in enumerate(llm_ops._QUANTS):  # noqa: SLF001
+        h = f"h{i}"
+        est = F.lit(mn) + F.lit(width) * (
+            F.col(f"{h}.bin").cast("double")
+            + (
+                F.ceil(F.lit(q) * F.col(f"{h}.n"))
+                - (F.col(f"{h}.cum") - F.col(f"{h}.cnt"))
+            ).cast("double")
+            / F.col(f"{h}.cnt").cast("double")
+        )
+        sel.append(F.round(est, 6).alias(llm_ops._QLABELS[q]))  # noqa: SLF001
+    return agged.select(*sel)
+
+
+def _streaming_pctl_oracle() -> str:
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    return llm_ops.BINNED_PCTL_SQL
+
+
+QUERIES.update(
+    {
+        "streaming_binned_percentiles": QuerySpec(
+            streaming_binned_percentiles, _streaming_pctl_oracle()
+        ),
+    }
+)
