@@ -848,3 +848,60 @@ def test_ewma_anomaly_matches_bruteforce_reference(counts):
             assert gz is None, (ts, gz)
         else:
             assert gz is not None and abs(gz - z) < 1e-6, (ts, gz, z)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # (user, day, minute, type)
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=59),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_session_paths_matches_bruteforce_reference(events):
+    """Top session paths must equal the literal per-user-day first-5
+    concatenation under (ts, event_id) order, counted and cut by
+    (count desc, path asc)."""
+    import datetime
+    import tempfile
+
+    from multi_report_etl_pipeline_spark.queries.events import (
+        events_session_paths,
+    )
+
+    spark = _shared_spark["spark"]
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=d, minutes=m), u, t, 1.0, "{}")
+        for i, (u, d, m, t) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = [
+            (r["path"], r["n_sessions"])
+            for r in events_session_paths(spark, tmp).collect()
+        ]
+
+    per: dict = {}
+    for i, (u, d, m, t) in enumerate(events):
+        per.setdefault((u, d), []).append((m, i, t))
+    counts: dict = {}
+    for seq in per.values():
+        seq.sort()
+        path = ">".join(t for _, _, t in seq[:5])
+        counts[path] = counts.get(path, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
