@@ -293,6 +293,7 @@ _TAIL = (
     "docs_canonical_selection",
     "orders_quality_checks",
     "streaming_binned_percentiles",
+    "streaming_quality_checks",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

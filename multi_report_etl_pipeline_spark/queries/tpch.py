@@ -1493,3 +1493,76 @@ ORDER BY rule
 QUERIES["orders_quality_checks"] = QuerySpec(
     orders_quality_checks, QUALITY_CHECKS_SQL
 )
+
+
+def streaming_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live data-quality monitoring — the streaming twin of
+    orders_quality_checks' scan rules: every sum(CASE) violation
+    counter is ONE row of complete-mode state maintained as commits
+    land, and the referential-orphan rule rides a stream-static left
+    join against the customer dimension (the supported
+    stream-dimension join shape). The drained counters reshape into
+    the same (rule, violations, n_rows) report under the batch
+    oracle's scan-rule subset — CI for the landing zone, live.
+    The uniqueness rule stays batch-only by design: its state is
+    key-cardinality-sized, the one rule a streaming monitor defers to
+    the nightly pass."""
+    from multi_report_etl_pipeline_spark import streaming  # noqa: PLC0415
+
+    st = streaming.read_orders_quality_stream(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    flagged = st.join(
+        cust, st.o_custkey == cust.c_custkey, "left"
+    ).withColumn("_orphan", F.col("c_custkey").isNull())
+    rules = {
+        "null_orderkey": F.col("o_orderkey").isNull(),
+        "null_custkey": F.col("o_custkey").isNull(),
+        "nonpositive_price": F.col("o_totalprice") <= 0,
+        "bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "orphan_custkey": F.col("_orphan"),
+    }
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).alias(f"_v_{name}")
+            for name, pred in rules.items()
+        ],
+    )
+    streaming.run_available_now(agg, "q_stream_quality", "complete")
+    sink = spark.table("q_stream_quality")
+    stack = ", ".join(f"'{name}', _v_{name}" for name in rules)
+    return sink.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, violations)", "_n AS n_rows"
+    ).orderBy("rule")
+
+
+STREAM_QUALITY_SQL = """
+WITH flagged AS (
+    SELECT o.*, c.c_custkey IS NULL AS _orphan
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+base AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null_orderkey,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null_custkey,
+           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_nonpositive_price,
+           SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_bad_status,
+           SUM(CASE WHEN _orphan THEN 1 ELSE 0 END) AS v_orphan
+    FROM flagged
+)
+SELECT rule, CAST(violations AS BIGINT) AS violations,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM (
+    SELECT 'null_orderkey' AS rule, v_null_orderkey AS violations, n AS n_rows FROM base
+    UNION ALL SELECT 'null_custkey', v_null_custkey, n FROM base
+    UNION ALL SELECT 'nonpositive_price', v_nonpositive_price, n FROM base
+    UNION ALL SELECT 'bad_status', v_bad_status, n FROM base
+    UNION ALL SELECT 'orphan_custkey', v_orphan, n FROM base
+)
+ORDER BY rule
+"""
+
+
+QUERIES["streaming_quality_checks"] = QuerySpec(
+    streaming_quality_checks, STREAM_QUALITY_SQL
+)

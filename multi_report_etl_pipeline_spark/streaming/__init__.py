@@ -596,3 +596,24 @@ def transitions_stream(events: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+ORDERS_QUALITY_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+    ]
+)
+
+
+def read_orders_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders stream projected to the quality-rule columns (the scan
+    never reads the rest — file-source column pruning via the declared
+    schema)."""
+    return (
+        spark.readStream.schema(ORDERS_QUALITY_SCHEMA)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
