@@ -294,6 +294,7 @@ _TAIL = (
     "orders_quality_checks",
     "streaming_binned_percentiles",
     "streaming_quality_checks",
+    "orders_first_last_nth",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

@@ -1566,3 +1566,54 @@ ORDER BY rule
 QUERIES["streaming_quality_checks"] = QuerySpec(
     streaming_quality_checks, STREAM_QUALITY_SQL
 )
+
+
+def orders_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over the full partition
+    frame — the navigation-function family the LAG/LEAD and ranking
+    queries don't cover: each customer's first, latest, and
+    second-ever order in one pass. The frame is explicitly
+    unbounded-to-unbounded (LAST_VALUE over the default frame is the
+    classic silent bug — it returns the CURRENT row), the sort carries
+    the orderkey tiebreak, and one row per customer survives via the
+    per-partition top-1 (WindowGroupLimit shape).
+
+    Scale: one shuffle on o_custkey; all three navigation functions
+    plus the dedup rank share one Window sort."""
+    ord_ = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ord_.select(
+            "o_custkey",
+            F.first_value(F.col("o_orderkey")).over(full).alias("first_order"),
+            F.last_value(F.col("o_orderkey")).over(full).alias("last_order"),
+            F.nth_value(F.col("o_orderkey"), 2).over(full).alias("second_order"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_custkey")
+    )
+
+
+FIRST_LAST_NTH_SQL = """
+SELECT o_custkey, first_order, last_order, second_order
+FROM (
+    SELECT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+           LAST_VALUE(o_orderkey) OVER wf AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER wf AS second_order,
+           ROW_NUMBER() OVER wo AS rn
+    FROM orders
+    WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+) WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+QUERIES["orders_first_last_nth"] = QuerySpec(
+    orders_first_last_nth, FIRST_LAST_NTH_SQL
+)
