@@ -562,3 +562,26 @@ def test_session_paths_aggregates_before_takeordered(spark):
     plan = physical_plan(QUERIES["events_session_paths"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert "partial_count" in plan or "partial_finalmerge" in plan.lower(), plan[:3000]
+
+
+def test_canonical_selection_election_is_partial_agg(spark):
+    """The per-group winner must come from a group-keyed max_by partial
+    aggregation (map-side combine absorbs huge boilerplate groups) —
+    not a window over all members — with no cartesian anywhere."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_canonical_selection"].fn(spark, SF_DIR))
+    assert "partial_max_by" in plan or "partial_max" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_quality_checks_single_rule_scan(spark):
+    """All scan rules must fold into ONE aggregation pass over the
+    flagged frame (a per-rule job regression fails here)."""
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    plan = physical_plan(QUERIES["orders_quality_checks"].fn(spark, SF_DIR))
+    # orders appears in the rule scan and the uniqueness pass + the
+    # total-count side of the dup row: 3 order scans max, 1 customer
+    assert plan.count("orders.parquet") <= 3, plan[:3000]
+    assert "partial_sum" in plan or "partial_count" in plan, plan[:3000]

@@ -93,3 +93,46 @@ def test_regression_stats_matches_numpy(spark):
         assert abs(r["regr_slope"] - slope) < 1e-4
         assert abs(r["regr_intercept"] - intercept / 100.0) < 1e-2
         assert abs(r["avg_qty"] - x.mean() / 100.0) < 1e-3
+
+
+def test_quality_checks_count_planted_violations(spark, tmp_path):
+    """Planted nulls, bad statuses, non-positive prices, orphans and a
+    duplicate key must each be counted exactly once by their rule."""
+    import datetime
+
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    d = datetime.datetime(2024, 1, 1)
+    orders = [
+        (1, 10, "O", 100.0, d, "1-URGENT"),
+        (2, 10, "F", 50.0, d, "1-URGENT"),
+        (2, 11, "P", 25.0, d, "1-URGENT"),     # duplicate orderkey
+        (3, None, "O", 10.0, d, "1-URGENT"),    # null custkey
+        (4, 99, "O", 10.0, d, "1-URGENT"),      # orphan custkey
+        (5, 11, "X", 10.0, d, "1-URGENT"),      # bad status
+        (6, 11, "O", 0.0, d, "1-URGENT"),       # non-positive price
+        (None, 11, "O", 10.0, d, "1-URGENT"),   # null orderkey
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, "a", 0, 1.0, "BUILDING"), (11, "b", 0, 1.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    got = {
+        r["rule"]: (r["violations"], r["n_rows"])
+        for r in QUERIES["orders_quality_checks"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "null_orderkey": (1, 8),
+        "null_custkey": (1, 8),
+        "nonpositive_price": (1, 8),
+        "bad_status": (1, 8),
+        "orphan_custkey": (2, 8),  # the NULL custkey row is also an orphan
+        "duplicate_orderkey": (1, 8),
+    }, got
