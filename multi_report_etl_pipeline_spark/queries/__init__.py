@@ -295,6 +295,7 @@ _TAIL = (
     "streaming_binned_percentiles",
     "streaming_quality_checks",
     "orders_first_last_nth",
+    "events_hourly_unique_users",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

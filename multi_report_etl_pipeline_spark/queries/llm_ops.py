@@ -3039,3 +3039,116 @@ QUERIES.update(
         ),
     }
 )
+
+
+def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed cardinality — the unique-visitors-per-window op: one
+    portable HLL sketch PER HOUR (the keyed generalization of
+    lineitem_hll_distinct: (hour, register) partial-agg max, per-hour
+    in-plan harmonic estimate) next to the exact distinct count, so the
+    emitted rows show the sketch's per-window error and BOTH columns
+    are value-oracled.
+
+    Scale: the sketch side's exchange carries <= |hours| x 256 cells
+    regardless of event volume — the exact side's |hours| x |users|
+    distinct pairs is the thing the sketch exists to avoid; at 100 TB
+    you keep the sketch column and drop the exact one (it is here as
+    the oracle-checked accuracy witness)."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    ev = read_table(spark, sf_dir, "events")
+    m, w = _HLL_REGS, _HLL_SUFFIX_BITS
+    h = dedup._md5_48(F.col("user_id").cast("string"))  # noqa: SLF001
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    regs = (
+        ev.select(
+            hour.alias("hour_ts"),
+            F.shiftright(h, w).alias("reg"),
+            (h.bitwiseAND(F.lit((1 << w) - 1))).alias("low"),
+        )
+        .withColumn(
+            "rank",
+            F.when(F.col("low") == 0, F.lit(w + 1)).otherwise(
+                F.lit(w + 1) - F.length(F.conv(F.col("low"), 10, 2))
+            ),
+        )
+        .groupBy("hour_ts", "reg")
+        .agg(F.max("rank").alias("mr"))
+    )
+    est_raw = F.lit(_HLL_ALPHA_M2) / F.col("s")
+    small = (F.col("v") > 0) & (est_raw <= 2.5 * m)
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v"))
+    sketch = (
+        regs.groupBy("hour_ts")
+        .agg(
+            (
+                F.sum(F.pow(F.lit(2.0), -F.col("mr")))
+                + (F.lit(m) - F.count(F.lit(1))).cast("double")
+            ).alias("s"),
+            (F.lit(m) - F.count(F.lit(1))).cast("double").alias("v"),
+        )
+        .select(
+            "hour_ts",
+            F.round(F.when(small, linear).otherwise(est_raw), 4).alias(
+                "hll_uniques"
+            ),
+        )
+    )
+    exact = ev.groupBy(hour.alias("hour_ts")).agg(
+        F.countDistinct("user_id").alias("exact_uniques")
+    )
+    return (
+        exact.join(sketch, "hour_ts")
+        .select("hour_ts", "exact_uniques", "hll_uniques")
+        .orderBy("hour_ts")
+    )
+
+
+HOURLY_UNIQUES_SQL = f"""
+WITH h AS (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                AS BIGINT) AS hv
+    FROM events
+),
+regs AS (
+    SELECT hour_ts, hv >> {_HLL_SUFFIX_BITS} AS reg,
+           MAX(CASE WHEN (hv & {(1 << _HLL_SUFFIX_BITS) - 1}) = 0
+                    THEN {_HLL_SUFFIX_BITS + 1}
+                    ELSE {_HLL_SUFFIX_BITS + 1}
+                         - length(bin(hv & {(1 << _HLL_SUFFIX_BITS) - 1}))
+               END) AS mr
+    FROM h GROUP BY 1, 2
+),
+agg AS (
+    SELECT hour_ts,
+           SUM(POWER(2.0, -mr))
+               + CAST({_HLL_REGS} - COUNT(*) AS DOUBLE) AS s,
+           CAST({_HLL_REGS} - COUNT(*) AS DOUBLE) AS v
+    FROM regs GROUP BY 1
+),
+sk AS (
+    SELECT hour_ts,
+           ROUND(CASE WHEN v > 0 AND {_HLL_ALPHA_M2!r} / s <= 2.5 * {_HLL_REGS}
+                      THEN {_HLL_REGS}.0 * ln({_HLL_REGS}.0 / v)
+                      ELSE {_HLL_ALPHA_M2!r} / s END, 4) AS hll_uniques
+    FROM agg
+),
+ex AS (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           COUNT(DISTINCT user_id) AS exact_uniques
+    FROM events GROUP BY 1
+)
+SELECT ex.hour_ts, exact_uniques, hll_uniques
+FROM ex JOIN sk ON ex.hour_ts = sk.hour_ts
+ORDER BY ex.hour_ts
+"""
+
+
+QUERIES.update(
+    {
+        "events_hourly_unique_users": QuerySpec(
+            events_hourly_unique_users, HOURLY_UNIQUES_SQL
+        ),
+    }
+)

@@ -1101,3 +1101,14 @@ def test_hashed_ngram_logreg_learns_planted_token(spark):
         for r in classifier.logistic_regression_score(feats, cols, w).collect()
     }
     assert all(got[i] == (1 if i % 2 == 0 else 0) for i in range(40)), got
+
+
+def test_hourly_unique_users_sketch_accuracy(spark):
+    """The per-hour HLL estimate must be within 15% of the exact
+    per-hour distinct count (m=256, small windows lean on the
+    linear-counting branch, which is tighter)."""
+    rows = QUERIES["events_hourly_unique_users"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["hll_uniques"] - r["exact_uniques"]) / max(r["exact_uniques"], 1)
+        assert err < 0.15, (r["hour_ts"], r["exact_uniques"], r["hll_uniques"])
