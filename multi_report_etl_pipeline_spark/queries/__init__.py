@@ -296,6 +296,7 @@ _TAIL = (
     "streaming_quality_checks",
     "orders_first_last_nth",
     "events_hourly_unique_users",
+    "customer_abc_analysis",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

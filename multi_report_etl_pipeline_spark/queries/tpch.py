@@ -1617,3 +1617,72 @@ ORDER BY o_custkey
 QUERIES["orders_first_last_nth"] = QuerySpec(
     orders_first_last_nth, FIRST_LAST_NTH_SQL
 )
+
+
+def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification — the cumulative-share shape: rank
+    customers by revenue, accumulate the share of total in exact long
+    cents (integer cumulative and total sums, so the class boundary
+    comparison 2*cum <= total etc. is decided in EXACT integer
+    arithmetic — a float share would flip boundary customers between
+    engines), and bucket A (first 50% of revenue), B (next 30%),
+    C (tail). Emits per-class counts and revenue.
+
+    Scale: the revenue rollup is one partial-agg pass; the cumulative
+    window sorts the |customers|-row aggregate (single-task like RFM's
+    NTILE — same documented width_bucket escape hatch beyond ~10M
+    groups); the class rollup is a 3-group agg."""
+    ord_ = read_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
+    per = ord_.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    ).orderBy(F.lit(1))
+    cum = per.select(
+        "rev",
+        F.sum("rev").over(w).alias("cum"),
+        F.sum("rev").over(tot).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") * 2 <= F.col("total"), "A")
+        .when(F.col("cum") * 5 <= F.col("total") * 4, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("rev") / F.lit(100.0)).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_SQL = """
+WITH per AS (
+    SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1
+),
+cum AS (
+    SELECT rev,
+           SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(rev) OVER () AS total
+    FROM per
+)
+SELECT CASE WHEN cum * 2 <= total THEN 'A'
+            WHEN cum * 5 <= total * 4 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_customers,
+       CAST(SUM(rev) AS DOUBLE) / 100.0 AS class_revenue
+FROM cum
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["customer_abc_analysis"] = QuerySpec(customer_abc_analysis, ABC_SQL)
