@@ -297,6 +297,7 @@ _TAIL = (
     "orders_first_last_nth",
     "events_hourly_unique_users",
     "customer_abc_analysis",
+    "docs_dedup_sample",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

@@ -3041,6 +3041,84 @@ QUERIES.update(
 )
 
 
+_DEDUP_SAMPLE_PCT = 60
+
+
+def docs_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-then-sample pipeline tail: drop every non-canonical
+    member of a near-dup group (quality-aware canonical selection),
+    keep docs outside any group untouched, then take the deterministic
+    md5-keyed 60% sample of the survivors — the id manifest a
+    training-data export joins against. Composes canonical selection
+    with the hash sampler; survivorship semantics: survivors =
+    (all docs) minus (group members that lost their election).
+
+    Scale: the anti side is a broadcast-able losers list (one id per
+    non-canonical group member); the sample is the narrow md5 filter —
+    the corpus text itself never shuffles."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    groups = dedup.near_dup_components(pairs)
+    q = docs.select("doc_id", text.quality_score("text").alias("quality"))
+    member = groups.join(q, "doc_id")
+    winners = (
+        member.groupBy("group_id")
+        .agg(
+            F.max_by(
+                F.col("doc_id"),
+                F.struct(
+                    F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid")
+                ),
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+    losers = groups.select("doc_id").exceptAll(winners)
+    survivors = docs.select("doc_id").join(losers, "doc_id", "left_anti")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return survivors.filter(u < _DEDUP_SAMPLE_PCT).orderBy("doc_id")
+
+
+_DEDUP_SAMPLE_SQL = (
+    DEDUP_GROUPS_SQL.replace(
+        "SELECT src AS doc_id, LEAST(MIN(dst), src) AS group_id FROM reach GROUP BY src",
+        ", grp AS (SELECT src AS doc_id, LEAST(MIN(dst), src) AS group_id"
+        " FROM reach GROUP BY src),\n"
+        "q AS (SELECT doc_id,"
+        " ROUND(0.4 * least(CAST(len(" + _WORDS + ") AS DOUBLE) / 100.0, 1.0)"
+        " + 0.3 * (1.0 - ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]'))"
+        " AS DOUBLE) / CAST(length(text) AS DOUBLE), 6))"
+        " + 0.3 * least(ROUND(CAST(len(regexp_extract_all(lower(text),"
+        " '" + _STOP_PAT + "')) AS DOUBLE) / CAST(len(" + _WORDS + ") AS DOUBLE), 6)"
+        " * 5, 1.0), 6) AS quality FROM documents),\n"
+        "winners AS (SELECT arg_max(g.doc_id,"
+        " CAST(ROUND(q.quality * 1000000) AS BIGINT) * 10000000000 - g.doc_id)"
+        " AS doc_id FROM grp g JOIN q ON g.doc_id = q.doc_id GROUP BY g.group_id),\n"
+        "losers AS (SELECT doc_id FROM grp EXCEPT SELECT doc_id FROM winners),\n"
+        "survivors AS (SELECT d.doc_id FROM documents d"
+        " LEFT JOIN losers l ON d.doc_id = l.doc_id WHERE l.doc_id IS NULL)\n"
+        "SELECT doc_id FROM survivors\n"
+        "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)"
+        f" % 100 < {_DEDUP_SAMPLE_PCT}\n"
+        "ORDER BY doc_id",
+    )
+)
+
+
+QUERIES.update(
+    {
+        "docs_dedup_sample": QuerySpec(docs_dedup_sample, _DEDUP_SAMPLE_SQL),
+    }
+)
+
+
 def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed cardinality — the unique-visitors-per-window op: one
     portable HLL sketch PER HOUR (the keyed generalization of
