@@ -298,6 +298,7 @@ _TAIL = (
     "events_hourly_unique_users",
     "customer_abc_analysis",
     "docs_dedup_sample",
+    "tpch_q6_forecast_revenue",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

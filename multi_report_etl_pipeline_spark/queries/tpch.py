@@ -1686,3 +1686,43 @@ ORDER BY 1
 
 
 QUERIES["customer_abc_analysis"] = QuerySpec(customer_abc_analysis, ABC_SQL)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-predicate
+    aggregate — every filter pushes into the parquet scan (shipdate
+    range, discount band, quantity cap), revenue = price*discount
+    accumulated in exact long cents, ONE row out. The canonical "is
+    pushdown working" probe: the scan should read only rows whose
+    row-group stats overlap the predicate ranges.
+
+    Scale: the cheapest shape in the book — scan, narrow project, one
+    partial-agg cell."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pc = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)")
+    dc = F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(pc * dc) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24
+"""
+
+
+QUERIES["tpch_q6_forecast_revenue"] = QuerySpec(q6_forecast_revenue, Q6_SQL)
