@@ -446,3 +446,68 @@ def test_transitions_chain_across_batches_via_state(spark, tmp_path):
     )
     want = sorted((r.event_type, r.next_type) for r in batch.collect())
     assert sorted(got1 + got2) == want
+
+
+def test_quality_counters_resume_from_checkpoint(spark, tmp_path):
+    """The live data-quality monitor must survive a restart: land a
+    commit with violations, drain, kill, land another, resume from the
+    checkpoint — the complete-mode counters must span BOTH phases
+    without reprocessing the first file's rows twice."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    in_dir, ck = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    d = datetime.datetime(2026, 1, 1)
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    phase1 = [(1, 10, "O", 10.0, d, "x"), (2, 10, "X", 5.0, d, "x")]
+    phase2 = [(3, 10, "O", 0.0, d, "x"), (4, 10, "X", 2.0, d, "x")]
+    spark.createDataFrame(phase1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    rules = {
+        "bad_status": F.col("o_orderstatus") != "O",
+        "nonpositive_price": F.col("o_totalprice") <= 0,
+    }
+
+    def drain():
+        from multi_report_etl_pipeline_spark import streaming
+
+        got = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                got.update(n=r["_n"], **{k: r[f"_v_{k}"] for k in rules})
+
+        st = spark.readStream.schema(
+            streaming.ORDERS_QUALITY_SCHEMA
+        ).parquet(in_dir)
+        agg = st.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.when(p, 1).otherwise(0)).alias(f"_v_{k}")
+                for k, p in rules.items()
+            ],
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    got1 = drain()
+    assert got1 == {"n": 2, "bad_status": 1, "nonpositive_price": 0}
+    spark.createDataFrame(phase2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    got2 = drain()
+    # counters span both phases via the recovered state store
+    assert got2 == {"n": 4, "bad_status": 2, "nonpositive_price": 1}
