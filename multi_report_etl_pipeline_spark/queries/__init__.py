@@ -299,6 +299,7 @@ _TAIL = (
     "customer_abc_analysis",
     "docs_dedup_sample",
     "tpch_q6_forecast_revenue",
+    "docs_minhash_estimate",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

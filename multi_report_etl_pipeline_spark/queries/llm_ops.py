@@ -325,6 +325,120 @@ WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.8
 """
 
 
+def docs_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as an ESTIMATOR, not just a candidate filter: for every
+    banded candidate pair, the signature-agreement fraction (matching
+    permutations / 8 — the textbook unbiased Jaccard estimator,
+    E[agreement] = J) is emitted NEXT TO the exact hashed-shingle
+    Jaccard, so the estimator's per-pair error is itself value-oracled
+    (the same witness-column pattern as events_hourly_unique_users).
+    Every quantity is integer/dyadic arithmetic — bit-identical in both
+    engines.
+
+    Scale: identical cost shape to docs_minhash_near_dup (signature
+    partial agg, banded self-join); the agreement count adds one
+    zip_with fold over two 8-slot arrays per candidate."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    nt = 8
+    perms = dedup.MINHASH_PERMS[:nt]
+    hs = dedup.shingles(docs, "text", 3).select(
+        "doc_id", dedup._md5_48(F.col("shingle")).alias("h")  # noqa: SLF001
+    )
+    sigs = hs.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hset"),
+        F.array(
+            *(
+                F.min(
+                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(dedup.MINHASH_MOD)
+                )
+                for a, b in perms
+            )
+        ).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode("sig").alias("t", "v")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["t", "v"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    s1 = sigs.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("sig").alias("sig1"),
+        F.col("hset").alias("hs1"),
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("sig").alias("sig2"),
+        F.col("hset").alias("hs2"),
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    jac = F.size(F.array_intersect("hs1", "hs2")).cast("double") / F.size(
+        F.array_union("hs1", "hs2")
+    ).cast("double")
+    return (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(agree.cast("double") / F.lit(float(nt)), 6).alias(
+                "sig_agreement"
+            ),
+            F.round(jac, 6).alias("exact_jaccard"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+MINHASH_ESTIMATE_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+f AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(words) - 2),
+           i -> array_to_string(words[i + 1:i + 3], ' ')))) AS shingle FROM f),
+e AS (SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h FROM sh),
+perms AS (SELECT * FROM (VALUES {_MINHASH_CONSTS}) AS v(t, a, b)),
+sig AS (SELECT doc_id, t, MIN((a * h + b) % {dedup.MINHASH_MOD}) AS m
+        FROM e CROSS JOIN perms GROUP BY 1, 2),
+cand AS (SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+         FROM sig s1 JOIN sig s2
+           ON s1.t = s2.t AND s1.m = s2.m AND s1.doc_id < s2.doc_id),
+agree AS (SELECT c.doc_id_1, c.doc_id_2,
+                 SUM(CASE WHEN s1.m = s2.m THEN 1 ELSE 0 END) AS a
+          FROM cand c
+          JOIN sig s1 ON s1.doc_id = c.doc_id_1
+          JOIN sig s2 ON s2.doc_id = c.doc_id_2 AND s1.t = s2.t
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+common AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS c
+           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT cand.doc_id_1, cand.doc_id_2,
+       ROUND(CAST(ag.a AS DOUBLE) / 8.0, 6) AS sig_agreement,
+       ROUND(CAST(COALESCE(cm.c, 0) AS DOUBLE) / (s1.n + s2.n - COALESCE(cm.c, 0)),
+             6) AS exact_jaccard
+FROM cand
+JOIN agree ag USING (doc_id_1, doc_id_2)
+LEFT JOIN common cm USING (doc_id_1, doc_id_2)
+JOIN sizes s1 ON cand.doc_id_1 = s1.doc_id
+JOIN sizes s2 ON cand.doc_id_2 = s2.doc_id
+ORDER BY cand.doc_id_1, cand.doc_id_2
+"""
+
+
 def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
@@ -999,6 +1113,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
     "docs_contamination": QuerySpec(docs_contamination, CONTAMINATION_SQL),
     "docs_minhash_near_dup": QuerySpec(docs_minhash_near_dup, MINHASH_SQL),
+    "docs_minhash_estimate": QuerySpec(docs_minhash_estimate, MINHASH_ESTIMATE_SQL),
     "docs_simhash_near_dup": QuerySpec(docs_simhash_near_dup, SIMHASH_SQL),
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, COSINE_TOPK_SQL),
     "emb_near_dup_pairs": QuerySpec(emb_near_dup_pairs, EMB_NEAR_DUP_SQL),
