@@ -300,6 +300,7 @@ _TAIL = (
     "docs_dedup_sample",
     "tpch_q6_forecast_revenue",
     "docs_minhash_estimate",
+    "docs_substring_clean",
     "events_daily_type_unpivot",
     "orders_trailing_30d_stats",
     "lineitem_grouping_sets",

@@ -2854,6 +2854,80 @@ QUERIES.update(
 )
 
 
+def docs_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXCISE half of exact substring dedup (docs_duplicate_runs is
+    the detect half): every token position covered by a duplicated run
+    is cut, survivors reassemble in order — the Lee et al. 2021 rewrite
+    applied, emitting (doc_id, clean_text, n_kept). Fully-excised docs
+    vanish in both engines; docs with no duplicated runs pass through
+    intact.
+
+    Scale: the cut is a per-doc RANGE anti-join of token positions
+    against that doc's few runs (doc-equi + pos-between — each doc's
+    probe side is its own runs, so the join is doc-local), and
+    reassembly is the span_dedup doc-keyed agg whose state is bounded
+    by the doc itself."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    runs = dedup.duplicate_runs(docs, k=_RUNS_K)
+    toks = docs.select(
+        "doc_id", F.posexplode(text.words("text")).alias("pos", "tok")
+    )
+    r = runs.select(
+        F.col("doc_id").alias("r_doc"), "run_start", "run_end"
+    )
+    kept = toks.join(
+        r,
+        (F.col("doc_id") == F.col("r_doc"))
+        & F.col("pos").between(F.col("run_start"), F.col("run_end")),
+        "left_anti",
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos").alias("i"), F.col("tok").alias("t")))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(" ", F.transform(ordered, lambda x: x["t"])).alias(
+                "clean_text"
+            ),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_CLEAN_SQL = (
+    "WITH runs AS (\n"
+    + DUPLICATE_RUNS_SQL.replace("ORDER BY doc_id, run_start", "").strip()
+    + "\n),\n"
+    + f"""t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+toks AS (
+    SELECT doc_id, pos, w[pos + 1] AS tok
+    FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS pos FROM t)
+),
+kept AS (
+    SELECT tk.doc_id, tk.pos, tk.tok
+    FROM toks tk
+    LEFT JOIN runs r ON tk.doc_id = r.doc_id
+                    AND tk.pos BETWEEN r.run_start AND r.run_end
+    WHERE r.doc_id IS NULL
+)
+SELECT doc_id,
+       string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       COUNT(*) AS n_kept
+FROM kept GROUP BY doc_id
+ORDER BY doc_id
+"""
+)
+
+
+QUERIES.update(
+    {
+        "docs_substring_clean": QuerySpec(docs_substring_clean, SUBSTRING_CLEAN_SQL),
+    }
+)
+
+
 # ------------------------------------ hash-embed + retrieval (RAG) ---
 
 _HE_DIM = text.HASH_EMBED_DIM

@@ -1112,3 +1112,40 @@ def test_hourly_unique_users_sketch_accuracy(spark):
     for r in rows:
         err = abs(r["hll_uniques"] - r["exact_uniques"]) / max(r["exact_uniques"], 1)
         assert err < 0.15, (r["hour_ts"], r["exact_uniques"], r["hll_uniques"])
+
+
+def test_substring_clean_consistent_with_runs(spark):
+    """The excise half must agree with the detect half: per doc,
+    n_kept = n_tokens - tokens covered by its (merged, non-overlapping)
+    runs, and no clean text may still contain a corpus-duplicated
+    k-gram that a second detect pass would cut at the same positions
+    (the runs are maximal, so re-running detect on survivors of a doc
+    can only find NEW cross-doc collisions created by excision — we
+    assert the arithmetic identity, the stronger per-doc invariant)."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import text
+
+    runs = {}
+    for r in QUERIES["docs_duplicate_runs"].fn(spark, SF_DIR).collect():
+        runs.setdefault(r["doc_id"], []).append((r["run_start"], r["run_end"]))
+    docs = read_table(spark, SF_DIR, "documents")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(text.words("text")).alias("n")
+        ).collect()
+    }
+    clean = {
+        r["doc_id"]: r["n_kept"]
+        for r in QUERIES["docs_substring_clean"].fn(spark, SF_DIR).collect()
+    }
+    assert runs, "fixture should contain duplicated runs"
+    for doc, n in n_tokens.items():
+        cut = sum(e - s + 1 for s, e in runs.get(doc, []))
+        want = n - cut
+        if want == 0:
+            assert doc not in clean
+        else:
+            assert clean[doc] == want, (doc, n, cut, clean.get(doc))
