@@ -9,8 +9,14 @@ general link-analysis primitive.
 Scale shape: the rank vector stays DISTRIBUTED (unlike the
 kmeans/logreg model artifacts — here the model IS node-sized); each
 iteration is one edge⋈rank equi-join plus one destination-keyed partial
-agg, the textbook edge-partitioned PageRank step. Nothing is collected;
-iterations chain lazily (use localCheckpoint upstream for deep runs).
+agg, the textbook edge-partitioned PageRank step. Nothing is collected.
+Both operators own their iteration persistence (the
+``distributed_kmeans``/``train_logreg`` convention): the edge frame is
+``localCheckpoint``-ed before the loop, so an expensive upstream
+lineage (e.g. the n-gram shingle self-join that builds the near-dup
+pair graph) is executed ONCE, not once per iteration/walk. At 100 TB
+the un-checkpointed form multiplies the dominant candidate-generation
+cost by iters+2 — the round-5 verdict's top finding.
 
 Engine-portable by the kmeans/logreg technique: ranks are ROUNDED to 6
 decimals each iteration (F.round and DuckDB ROUND agree half-up on
@@ -32,6 +38,7 @@ def pagerank(
     damping: float = PAGERANK_DAMPING,
     src_col: str = "doc_id_1",
     dst_col: str = "doc_id_2",
+    checkpoint_edges: bool | None = None,
 ) -> DataFrame:
     """PageRank over an undirected pair frame (symmetrized internally).
 
@@ -40,7 +47,18 @@ def pagerank(
     r_{t+1}(v) = round6((1-d)/N + d * sum_{u->v} r_t(u)/outdeg(u)),
     r_0 = round6(1/N). N is the node count — ONE bounded 1-value collect
     (the only driver traffic).
+
+    ``checkpoint_edges`` (default ``None`` = auto when ``iters >= 2``)
+    materializes ``edges`` and ``deg`` via ``localCheckpoint`` before
+    the loop. Without it the pair-producing lineage runs iters+2 times
+    (degree count + every ``contrib_base ⋈ ranks`` walk); with it, once.
+    ``deg.count()`` runs a job regardless, so the eager checkpoint of
+    ``deg`` piggybacks on work already paid for. Sized for scale: the
+    checkpointed state is 2·|E| longs + |V| (long, long) — edge-list
+    sized, never corpus-sized (wide payload columns were projected out
+    by the caller's pair builder).
     """
+    do_ckpt = iters >= 2 if checkpoint_edges is None else checkpoint_edges
     edges = (
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
@@ -48,7 +66,11 @@ def pagerank(
         )
         .distinct()
     )
+    if do_ckpt:
+        edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    if do_ckpt:
+        deg = deg.localCheckpoint(eager=True)
     n = deg.count()  # bounded: one value (graph size), the only collect
     if n == 0:
         return edges.select(
@@ -76,6 +98,7 @@ def triangle_stats(
     pairs: DataFrame,
     src_col: str = "doc_id_1",
     dst_col: str = "doc_id_2",
+    checkpoint_pairs: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected pair frame (src < dst canonical): the community-structure
@@ -89,8 +112,15 @@ def triangle_stats(
     ratios, so the 6-dp rounding is engine-portable. Cost is
     sum(deg(v)^2) wedge rows — the standard bound; hub wedges skew the
     self-join, which AQE splits (the closing join's build rows per key
-    are tiny). All joins are equi-joins; nothing is collected."""
+    are tiny). All joins are equi-joins; nothing is collected.
+
+    The plan walks ``pairs`` four times (both wedge sides via ``sym``,
+    the degree agg, the closing edge list), so ``checkpoint_pairs``
+    (default on) ``localCheckpoint``-s the pair frame up front — one
+    execution of the candidate-generation lineage instead of four."""
     a, b = F.col(src_col), F.col(dst_col)
+    if checkpoint_pairs:
+        pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(a.alias("v"), b.alias("n")).union(
         pairs.select(b.alias("v"), a.alias("n"))
     )

@@ -293,28 +293,431 @@ def encode_png(arr) -> bytes:
     )
 
 
+# ------------------------------------------------------ JPEG (baseline) ---
+
+# Zigzag scan: position k in the entropy-coded coefficient order maps to
+# natural (row-major) flat index _ZIGZAG[k] within the 8x8 block.
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# ITU-T T.81 Annex K "typical" luminance Huffman tables (the tables
+# every baseline encoder ships): per-code-length counts + symbol values.
+_DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_LUMA_VALS = tuple(range(12))
+_AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_LUMA_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _dct_matrix():
+    """The orthonormal 8-point DCT-II matrix C (C[u,x] = a(u)·cos((2x+1)uπ/16),
+    a(0)=√(1/8), a(u>0)=√(2/8)). T.81's 2-D FDCT (1/4·C(u)C(v)·Σ…) IS this
+    orthonormal transform: forward S = C·s·Cᵀ, inverse s = Cᵀ·S·C."""
+    import numpy as np  # noqa: PLC0415
+
+    x = np.arange(8, dtype=np.float64)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * np.sqrt(0.25)
+    c[0] = np.sqrt(0.125)
+    return c
+
+
+def _build_huffman(bits, vals):
+    """Canonical Huffman per T.81 C.2: codes assigned in value order,
+    ascending length. Returns {(length, code): symbol}."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+class _BitReader:
+    """MSB-first reader over a numpy bit array (the entropy segment is
+    unpacked once with np.unpackbits; per-symbol work is then integer
+    indexing, which keeps the pure-Python decode loop tolerable)."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes):
+        import numpy as np  # noqa: PLC0415
+
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        bits = self.bits
+        if self.pos + n > len(bits):
+            raise ValueError("JPEG entropy stream exhausted mid-symbol")
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | int(bits[self.pos])
+            self.pos += 1
+        return v
+
+    def decode(self, table) -> int:
+        bits, code, length = self.bits, 0, 0
+        while length < 17:
+            if self.pos >= len(bits):
+                raise ValueError("JPEG entropy stream exhausted mid-code")
+            code = (code << 1) | int(bits[self.pos])
+            self.pos += 1
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _decode_jpeg(payload: bytes):
+    """Native baseline JFIF decoder — numpy + stdlib only, no imaging
+    library: segment walk (DQT/SOF0/DHT/SOS/DRI), canonical Huffman
+    entropy decode with byte-unstuffing and RSTn restart handling,
+    dequantize through the zigzag map, orthonormal IDCT, level shift,
+    chroma upsample (sample replication) and JFIF YCbCr->RGB for
+    3-component scans. Grayscale returns (h, w); color (h, w, 3).
+
+    Baseline sequential only: progressive (SOF2), arithmetic coding,
+    12-bit precision, and 4-component scans raise ValueError into the
+    DECODE_ERRORS poison-row isolation. Correctness-tier throughput,
+    same story as ``_decode_png``: a production deployment swaps a SIMD
+    codec behind the same ``decode_image`` dispatch; golden tests pin
+    this implementation against an independent IDCT and (when PIL is
+    importable) against libjpeg output."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    frame = None  # (height, width, [(cid, h, v, tq), ...])
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("desynchronized JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # optional fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI before any scan
+            break
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                zz = np.frombuffer(body, np.uint8, 64, at + 1).astype(np.int32)
+                nat = np.empty(64, np.int32)
+                nat[list(_ZIGZAG)] = zz
+                qtables[tq] = nat
+                at += 65
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0x0F
+                bits = list(body[at + 1 : at + 17])
+                n = sum(bits)
+                vals = list(body[at + 17 : at + 17 + n])
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                at += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline DCT
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"only 8-bit JPEG supported (got {precision})")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (height, width, comps)
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise ValueError("only baseline sequential JPEG (SOF0/1) supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+            data_at = pos + 2 + seg_len
+            return _decode_jpeg_scan(
+                payload, data_at, frame, scan_tables, qtables, huff,
+                restart_interval,
+            )
+        pos += 2 + seg_len
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_jpeg_scan(
+    payload, data_at, frame, scan_tables, qtables, huff, restart_interval
+):
+    import numpy as np  # noqa: PLC0415
+
+    height, width, comps = frame
+    # split entropy data into restart segments, removing 0xFF00 stuffing
+    segments, cur, i = [], bytearray(), data_at
+    while i < len(payload):
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker: end of scan
+            break
+    segments.append(bytes(cur))
+
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    dctm = _dct_matrix()
+    planes, quants, tabs = [], [], []
+    for cid, h, v, tq in comps:
+        planes.append(np.zeros((8 * v * mcus_y, 8 * h * mcus_x), np.float64))
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        quants.append(qtables[tq].reshape(8, 8).astype(np.float64))
+        td, ta = scan_tables.get(cid, (0, 0))
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("missing Huffman table for scan component")
+        tabs.append((huff[(0, td)], huff[(1, ta)]))
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    coef = np.empty(64, np.float64)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG truncated before final restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (_, h, v, _) in enumerate(comps):
+            dc_tab, ac_tab = tabs[ci]
+            for by in range(v):
+                for bx in range(h):
+                    coef[:] = 0.0
+                    s = reader.decode(dc_tab)
+                    preds[ci] += _extend(reader.read(s), s) if s else 0
+                    coef[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        coef[_ZIGZAG[k]] = _extend(reader.read(s), s)
+                        k += 1
+                    block = coef.reshape(8, 8) * quants[ci]
+                    px = dctm.T @ block @ dctm + 128.0
+                    y0, x0 = 8 * (my * v + by), 8 * (mx * h + bx)
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    out = []
+    for ci, (_, h, v, _) in enumerate(comps):
+        p = planes[ci]
+        if h != hmax or v != vmax:
+            if hmax % h or vmax % v:
+                raise ValueError("non-integer JPEG sampling ratio")
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        out.append(p[:height, :width])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # 1-pad per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+def encode_jpeg_gray(arr, qtable=None) -> bytes:
+    """Baseline JFIF encoder for 8-bit grayscale — the native inverse of
+    ``_decode_jpeg``'s luma path: forward orthonormal DCT per 8x8 block,
+    quantize, zigzag, Annex-K Huffman entropy coding. ``qtable`` is a
+    64-entry natural-order table (default: all 8s — the DC step that
+    makes block-constant images round-trip EXACTLY: a constant block's
+    only nonzero coefficient is DC = 8·(v−128), and quantize/dequantize
+    by 8 is the identity on it, which is what puts the JPEG tier of
+    docs_image_decode under the value-level oracle). Image dimensions
+    must be multiples of 8 (no edge-padding policy to disagree about)."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] % 8 or a.shape[1] % 8:
+        raise ValueError("encode_jpeg_gray needs a 2-D array with 8|h and 8|w")
+    h, w = a.shape
+    q = np.full(64, 8, np.int32) if qtable is None else np.asarray(qtable, np.int32)
+    dctm = _dct_matrix()
+    dc_tab = _build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_tab = _build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_codes = {v: k for k, v in dc_tab.items()}  # symbol -> (length, code)
+    ac_codes = {v: k for k, v in ac_tab.items()}
+
+    writer = _BitWriter()
+    pred = 0
+    qm = q.reshape(8, 8).astype(np.float64)
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            block = a[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+            coefs = dctm @ block @ dctm.T
+            zz = np.round(coefs / qm).astype(np.int64).reshape(64)[list(_ZIGZAG)]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = int(diff).bit_length() if diff else 0
+            length, code = dc_codes[s]
+            writer.write(code, length)
+            if s:
+                writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_codes[0xF0]  # ZRL
+                    writer.write(code, length)
+                    run -= 16
+                s = abs(v).bit_length()
+                length, code = ac_codes[(run << 4) | s]
+                writer.write(code, length)
+                writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                length, code = ac_codes[0x00]  # EOB
+                writer.write(code, length)
+    entropy = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zz_q = bytes(int(q[_ZIGZAG[k]]) for k in range(64))
+    dht = bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    dht += bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0x00]) + zz_q)
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, dht)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to a uint8 numpy array (h, w[, c]).
 
     Native decoders (no imaging library needed): binary PPM/PGM by
-    header magic P6/P5, BI_RGB 24/32-bit BMP by magic BM, and 8-bit
+    header magic P6/P5, BI_RGB 24/32-bit BMP by magic BM, 8-bit
     non-interlaced PNG by signature (stdlib zlib inflate + unfilter —
-    see ``_decode_png``). Remaining compressed formats (JPEG/...) fall
-    back to PIL when importable and raise NotImplementedError otherwise
-    — deliberately not faked, so callers can't mistake stub output for
-    pixels."""
+    see ``_decode_png``), and baseline sequential JPEG/JFIF by SOI
+    marker (Huffman + IDCT — see ``_decode_jpeg``). Remaining formats
+    (progressive JPEG, GIF, TIFF, ...) fall back to PIL when importable
+    and raise NotImplementedError otherwise — deliberately not faked,
+    so callers can't mistake stub output for pixels."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError as exc:
         raise NotImplementedError(
             "this image format requires PIL; this environment decodes "
-            "PPM/PGM/BMP/PNG natively (see decode_image)"
+            "PPM/PGM/BMP/PNG/baseline-JPEG natively (see decode_image)"
         ) from exc
     import io  # noqa: PLC0415
 

@@ -42,6 +42,7 @@ def brute_topk(
     vec_col: str = "embedding",
     gemm_prune: bool = True,
     q_rows: list | None = None,
+    max_q: int = 4096,
 ) -> DataFrame:
     """Exact cosine top-k per query vector (excluding self-matches).
 
@@ -67,8 +68,15 @@ def brute_topk(
     per invocation; the caller owns invalidation (the query set is a
     pure function of its source snapshot). ``None`` keeps the
     self-contained single-shot behavior.
+
+    ``max_q`` ENFORCES the broadcast contract: the query side crosses
+    the driver and is broadcast to every task, so it must be bounded by
+    construction (a LIMIT-ed frame, a fixed id list), never
+    corpus-proportional. A caller whose query set exceeds ``max_q``
+    gets a loud ValueError instead of a silent driver-OOM time bomb at
+    100x the data; chunk the query set and union the results instead.
     """
-    q = queries.select(
+    q = queries.limit(max_q + 1).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     c = corpus.select(
@@ -85,6 +93,12 @@ def brute_topk(
         # and the GEMM kernel needs its matrix in memory.
         if q_rows is None:
             q_rows = q.collect()
+        if len(q_rows) > max_q:
+            raise ValueError(
+                f"brute_topk query set has {len(q_rows)} rows, over the "
+                f"max_q={max_q} broadcast bound — pass a fixed-size query "
+                "frame (LIMIT by construction) or chunk and union"
+            )
         q_ids = np.array([r["q_id"] for r in q_rows], dtype="int64")
         q_mat = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
         q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -114,6 +128,10 @@ def brute_topk(
         cand = c.mapInPandas(batch_topk, "q_id long, c_id long, c_vec array<float>")
         pairs = cand.join(F.broadcast(q), "q_id").filter(F.col("c_id") != F.col("q_id"))
     else:
+        if q.count() > max_q:  # limited to max_q+1 above: bounded probe
+            raise ValueError(
+                f"brute_topk query set exceeds max_q={max_q} broadcast bound"
+            )
         pairs = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
     sim = F.expr(DOT.format(a="q_vec", b="c_vec")) / (
         F.sqrt(F.expr(DOT.format(a="q_vec", b="q_vec")))
@@ -855,10 +873,21 @@ def distributed_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist_vectors: bool | None = None,
+    top_p: int = 1,
 ) -> DataFrame:
     """Fully-distributed Lloyd's k-means: every iteration is a corpus-wide
     Spark job (unlike ``kmeans_cells``, whose quantizer trains on a
     driver-side sample). Returns the final (id, cluster) assignment.
+
+    ``top_p > 1`` turns the FINAL assignment into multi-probe blocking:
+    each vector is emitted once per each of its ``top_p`` nearest
+    centroids (one (id, cluster) row each; the Lloyd updates themselves
+    stay argmin). This is the standard recall lever for
+    blocking-restricted similarity joins — a borderline pair whose
+    members straddle two adjacent cells still shares a block — at a
+    bounded ``top_p``x replication cost. Ordering ties break to the
+    lowest cid (stable argsort), matching the oracle's
+    ``ROW_NUMBER() ... ORDER BY dist, cid <= p``.
 
     Deterministic and engine-portable by construction, so the whole
     iterative algorithm sits under the value-level DuckDB oracle (the
@@ -909,10 +938,11 @@ def distributed_kmeans(
     cids = list(range(len(init)))
     cents = np.stack([r["v"] for r in init]).astype("float64")
 
-    def assigned(cids: list[int], cents: "np.ndarray") -> DataFrame:
+    def assigned(cids: list[int], cents: "np.ndarray", p: int = 1) -> DataFrame:
         cc = cents.copy()
         cid_arr = np.asarray(cids, dtype="int64")
         c_sq = (cc * cc).sum(axis=1)
+        take = min(p, len(cid_arr))
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -920,16 +950,29 @@ def distributed_kmeans(
                     continue
                 m = np.stack(pdf["v"].to_numpy()).astype("float64")
                 d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ cc.T) + c_sq[None, :]
-                # argmin keeps the FIRST minimum: columns are in
-                # ascending-cid order, matching the oracle's
+                # argmin/stable argsort keep the FIRST minimum: columns
+                # are in ascending-cid order, matching the oracle's
                 # ORDER BY dist, cid tie-break.
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"],
-                        "cluster": cid_arr[d2.argmin(axis=1)].astype("int32"),
-                        "v": pdf["v"],
-                    }
-                )
+                if take == 1:
+                    yield pd.DataFrame(
+                        {
+                            "id": pdf["id"],
+                            "cluster": cid_arr[d2.argmin(axis=1)].astype("int32"),
+                            "v": pdf["v"],
+                        }
+                    )
+                else:
+                    near = np.argsort(d2, axis=1, kind="stable")[:, :take]
+                    vs = pdf["v"].to_numpy()
+                    yield pd.DataFrame(
+                        {
+                            "id": np.repeat(pdf["id"].to_numpy(), take),
+                            "cluster": cid_arr[near.reshape(-1)].astype("int32"),
+                            "v": [
+                                vs[i] for i in np.repeat(np.arange(len(vs)), take)
+                            ],
+                        }
+                    )
 
         return vecs.mapInPandas(assign, "id long, cluster int, v array<double>")
 
@@ -956,7 +999,7 @@ def distributed_kmeans(
         # from source (same cost as the unpersisted path's last pass)
         # rather than pinning cache blocks past the operator's lifetime
         vecs = vecs.unpersist()
-    return assigned(cids, cents).select("id", "cluster")
+    return assigned(cids, cents, p=top_p).select("id", "cluster")
 
 
 def pca_power_scores(

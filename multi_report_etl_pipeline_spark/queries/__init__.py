@@ -2,6 +2,66 @@
 
 Each submodule exposes ``QUERIES: dict[str, QuerySpec]``. ``all_queries()``
 merges them; ``__spark_entry__`` (driver contract) is a thin shim over it.
+
+ROTATION POLICY (the driver audit window)
+=========================================
+
+The verification driver audits the registry in iteration order and caps
+at ``DRIVER_AUDIT_CAP`` (50) entries per round; entries past the cap get
+no driver CORRECTNESS row that round. The registry holds ~145 queries —
+roughly 3 windows' worth — so window membership is ROTATED each round
+under these rules, in priority order:
+
+1. **Changed queries always get a row.** Any query whose semantics,
+   emitted values, or physical plan changed this round enters the
+   window, no matter how many green rows it already has — driver
+   evidence must cover the code that ships, not the code that passed.
+2. **New queries always get a row the round they land.**
+3. **Never-driver-checked entries outrank recently-checked ones.** If
+   an addition burst outgrows a single window (round 5 added 25 more
+   than fit), the overflow rotates in the NEXT round before anything
+   else does.
+4. **The reference surface keeps standing representation** (one raw
+   staging view, the window-dedup chain representative, all three
+   reports) — the §2 parity claim should re-prove per round.
+5. **Fresh one-round-green entries are preferred keeps** for their
+   second consecutive round; after two consecutive greens an untouched
+   query is demotable, which keeps a steady demotion supply for rules
+   1-3.
+6. **Demotion never loses local coverage**: pytest parametrizes over
+   the FULL registry every round (oracle-checked entries re-prove
+   against DuckDB at sf0.001 regardless of window position), and
+   ``scripts/validate.py`` runs the driver-equivalent oracle harness
+   over any subset on demand.
+
+Round-6 window derivation:
+- rule 4: the 5 reference-surface rows.
+- rule 1: docs_pagerank + docs_triangle_stats (edge-frame
+  localCheckpoint), docs_minhash_near_dup (hot-band guard),
+  docs_image_decode (native JPEG decode), emb_cosine_topk (bounded
+  query-set contract), the 3 streaming_* sketches (bounded drain
+  partitions).
+- rule 2: emb_blocked_near_dup (the near-dup scale path that replaced
+  the retired quadratic emb_near_dup_pairs registry entry).
+- rule 3: the 25 round-5 additions the round-5 window couldn't hold
+  (judge-validated 25/25 OK in VERDICT.md round 5; driver rows this
+  round).
+- rule 5: 14 round-5-green keeps, one per §2.9 extension family where
+  possible (ER, float-agg, SimHash, SemDeDup, LM-quality, DSIR, int8
+  ANN, BPE, in-engine training, PCA, decontamination, HLL, histogram
+  sketch, streaming-scoring).
+Demoted in exchange (all r4+r5 or r5 hash-green, code untouched or
+plan-identical this round, all still pytest-oracle-checked):
+tpch_q1_pricing_summary, orders_snapshot_diff, orders_lifecycle_zorder,
+docs_bigram_vocabulary, docs_mixture_sample, docs_split_assignment,
+events_value_percentiles, emb_ivf_topk, docs_repetition_stats,
+emb_kmeans_clusters, docs_span_dedup, emb_cluster_balanced_sample,
+docs_bm25_topk, events_user_activity_histogram, streaming_user_totals,
+streaming_vocabulary, streaming_doc_curation, docs_weighted_sample,
+docs_bpe_tokenize, docs_cms_frequencies, docs_duplicate_runs,
+docs_hash_embed_topk, streaming_quality_logreg,
+streaming_weighted_sample, events_gap_filled_hourly,
+events_transition_matrix, events_ewma_anomaly.
 """
 
 from __future__ import annotations
@@ -25,333 +85,70 @@ class QuerySpec:
     oracle: str | None = None
 
 
-# The verification driver audits the registry in iteration order and caps
-# at 50 entries; round 1 had 56 and silently lost the last 6 (session
-# windows, JSON props, pivot, and the whole streaming family). Every
-# distinct operator family must land inside the first 50, and entries
-# past the cap get no driver CORRECTNESS row that round — so the tail is
-# ROTATED each round: entries with two consecutive driver-green rounds
-# are demoted so that never-driver-checked (or not-recently-checked)
-# entries earn a row. Pytest still runs every oracle-checked entry every
-# round regardless of position (tests parametrize over the full QUERIES
-# dicts), so demotion never loses local coverage.
-#
-# Round-4 rotation, three forcing facts from the round-3 verdict:
-# (1) the ENTIRE reference §2 surface (stg_*/clean_*/quality_*/
-# report_*, 14 queries) sat in the round-3 tail while domain.py's
-# _ROW_IDENTITY change altered row_fp, a tiebreaker those views read —
-# pytest re-proved them vs DuckDB at sf0.001, but the driver's sf0.01
-# gate never saw the post-change code. All 14 rotate back IN.
-# (2) five registry entries had never had a driver row in ANY round:
-# orders_snapshot_diff, docs_split_assignment, docs_bigram_vocabulary,
-# events_user_activity_histogram, streaming_vocabulary. All five
-# rotate IN.
-# (3) emb_cosine_topk grew a construction-artifact cache this round
-# (llm_ops._CONSTRUCT_CACHE — values verified identical at sf0.01),
-# so it rotates IN for a post-change driver row.
-# Also kept in-window because their code changes this round:
-# events_conversion_funnel (rewritten to the bounded-state window
-# form), emb_ivf_topk (cached quantizer), docs_audio_decode (8-bit RMS
-# centering changes emitted values + oracle), docs_curation_pipeline
-# (perf-rework target), and the scan-agg family (tpch_q1,
-# orders_top_customers, lineitem_window_rank, events_windowed_counts).
-# Demoted in exchange — every one hash-green (or rows-green for the
-# no_oracle approximates, which pytest recall-gates) in round 3's
-# CORRECTNESS_r03.json, none touched by this round's semantic changes,
-# all still DuckDB-oracle-checked by pytest every round: tpch_q14,
-# orders_top_customers_salted, lineitem_cube, lineitem_distinct_counts,
-# orders_above_customer_avg, orders_snapshot_merge, docs_pii_scrub,
-# docs_fingerprint, docs_rolling_fingerprint, docs_contamination,
-# docs_minhash_near_dup, docs_simhash_near_dup, emb_near_dup_pairs,
-# emb_lsh_ann, docs_media_features, docs_image_decode,
-# emb_cosine_dedup, docs_hash_sample, docs_stratified_sample,
-# docs_token_packing, lineitem_approx_distinct.
-_TAIL = (
-    "tpch_q14_type_share",
-    "orders_top_customers_salted",
-    "lineitem_cube",
-    "lineitem_distinct_counts",
-    "orders_above_customer_avg",
-    "orders_snapshot_merge",
-    "docs_pii_scrub",
-    "docs_fingerprint",
-    "docs_rolling_fingerprint",
-    "docs_contamination",
-    # round-5 late rotation: docs_minhash_near_dup and
-    # docs_simhash_near_dup changed SEMANTICALLY this round (xxhash64 ->
-    # engine-portable md5-derived hashing, which is what earned each a
-    # full DuckDB value oracle after two rounds of rows-only status), so
-    # both rotate IN for post-change driver rows. In exchange two
-    # r3+r4-hash-green entries whose code round 5 does not touch are
-    # demoted: events_asof_last_click and docs_video_frames (both stay
-    # DuckDB-oracle-checked by pytest every round).
-    "events_asof_last_click",
-    "docs_video_frames",
-    # ...and the NEW docs_quality_logreg (distributed logistic-regression
-    # training under the unrolled-GD value oracle) takes the slot of
-    # orders_top_customers (r3+r4 hash-green, untouched in round 5; the
-    # scan-agg bench family keeps tpch_q1 / lineitem_window_rank /
-    # events_windowed_counts in-window and bench.py times it regardless
-    # of window position).
-    "orders_top_customers",
-    # ...and the NEW emb_pca_projection (distributed PCA power iteration
-    # under the unrolled-CTE value oracle) takes the slot of
-    # lineitem_window_rank (r3+r4 hash-green, untouched in round 5; the
-    # scan-agg bench family keeps tpch_q1 and events_windowed_counts
-    # in-window and bench.py times every member regardless).
-    "lineitem_window_rank",
-    # ...and the NEW streaming_quality_logreg (offline-fit / online-score
-    # twin of docs_quality_logreg — stateless narrow-map scoring under
-    # the frozen weight artifact, SAME unrolled-GD oracle, so
-    # stream-vs-batch parity of learned scores is driver-enforced) takes
-    # the slot of streaming_sessionization (r3+r4 hash-green, untouched
-    # in round 5; the streaming family holds 7 in-window rows and the
-    # batch sessionization twin stays pytest-checked).
-    "streaming_sessionization",
-    # ...and the NEW docs_bloom_decontaminate (Bloom-filter eval-leakage
-    # pre-screen: 2 KB literal bitmask artifact, narrow corpus-side bit
-    # test, exact verification join over candidates only — candidates
-    # AND verified counts value-oracled) takes the slot of
-    # streaming_contact_survivors (r3+r4 hash-green, its stream builder
-    # untouched in round 5; the streaming family holds 6 in-window rows
-    # and the batch staging twin stays in-window).
-    "streaming_contact_survivors",
-    # ...and the NEW streaming_weighted_sample (Efraimidis-Spirakis
-    # selection as distributed per-shard top-k STATE — bounded at
-    # n_shards*k rows — with monotone-seq final-state recovery and a
-    # global merge; deterministic md5 priorities make the drained
-    # result equal the batch operator under the SAME oracle) takes the
-    # slot of events_windowed_counts (r3+r4 hash-green, untouched in
-    # round 5; bench.py keeps timing it in the scan-agg family).
-    "events_windowed_counts",
-    # ...and the NEW customer_fuzzy_matches (entity resolution: chunked-
-    # suffix blocking + levenshtein verification, value-oracled) takes
-    # the slot of quality_date_parse_failures (hash-green in r1, r2 and
-    # r4 — three lifetime driver rounds — untouched in round 5, a
-    # 10-row LIMIT probe still DuckDB-checked by pytest every round).
-    "quality_date_parse_failures",
-    # ...and the NEW events_gap_filled_hourly (dense-spine gap-fill +
-    # LOCF carry-forward, value-oracled) takes the slot of
-    # quality_null_keys (hash-green in r1, r2 and r4 — three lifetime
-    # driver rounds — untouched in round 5, a 2-row probe still
-    # DuckDB-checked by pytest every round).
-    "quality_null_keys",
-    # ...and the NEW docs_pagerank (graph centrality over the near-dup
-    # pair graph under the unrolled-CTE value oracle — the iterative
-    # technique applied to a node-sized distributed model) takes the
-    # slot of quality_view_counts (hash-green in r1, r2 and r4 — three
-    # lifetime driver rounds — untouched in round 5, a 5-row COUNT
-    # probe still DuckDB-checked by pytest every round).
-    "quality_view_counts",
-    # ...and the NEW lineitem_hll_distinct (engine-portable HyperLogLog
-    # built from md5-derived randomness, so the approximate-distinct
-    # family finally has a FULL value oracle — approx_count_distinct's
-    # engine-internal sketch never could) takes the slot of
-    # quality_duplicate_operations (hash-green in r1, r2 and r4 — three
-    # lifetime driver rounds — untouched in round 5, still
-    # DuckDB-checked by pytest every round).
-    "quality_duplicate_operations",
-    # ...and the NEW events_binned_percentiles (engine-portable
-    # fixed-width-histogram quantile sketch — the percentile analog of
-    # lineitem_hll_distinct, giving the approx-aggregate family its
-    # second full value oracle) takes the slot of emb_cosine_topk
-    # (hash-green r4 with its current cached-construction code,
-    # untouched in round 5; the embedding-retrieval family keeps
-    # emb_int8_topk and emb_ivf_topk in-window, and the brute-topk
-    # plan/recall pins run in pytest every round).
+# The driver's audit cap (see module docstring for the rotation policy).
+DRIVER_AUDIT_CAP = 50
+
+# The round-6 audit window, explicitly enumerated: these and only these
+# get driver CORRECTNESS rows this round. all_queries() fails loudly if
+# a name here is missing from the registry (typo/rename guard) or the
+# window outgrows the cap, so adding a query without rebalancing cannot
+# silently evict an audited family past the cap.
+_WINDOW = (
+    # rule 4 — reference surface
+    "stg_accounts",
+    "clean_contacts_primary",
+    "report_mortgage_portfolio",
+    "report_restructuring_pipeline",
+    "report_commercial_promises",
+    # rules 1-2 — changed or new this round
+    "docs_pagerank",
+    "docs_triangle_stats",
+    "docs_minhash_near_dup",
+    "docs_image_decode",
     "emb_cosine_topk",
-    "emb_near_dup_pairs",
-    "emb_lsh_ann",
-    "docs_media_features",
-    "emb_cosine_dedup",
-    "docs_hash_sample",
-    "docs_stratified_sample",
-    "docs_token_packing",
-    "lineitem_approx_distinct",
-    # round-4 late demotions: json_props (green r1+r3, untouched this
-    # round) yields its slot to streaming_user_totals — the
-    # applyInPandasWithState arbitrary-stateful path's first driver row —
-    # and daily_type_pivot (green r1+r3, untouched) to
-    # docs_mixture_sample (per-source training-mix rates with
-    # deterministic fractional upsampling)
-    "events_daily_type_pivot",
-    "events_json_props",
-    # round-4 additions: docs_chunks, docs_vocabulary and
-    # docs_tfidf_top_terms (all hash-green in r3, their operator code
-    # untouched since) yield their slots to the three NEW queries
-    # docs_repetition_stats (Gopher repetition filters),
-    # emb_kmeans_clusters (distributed Lloyd's under an
-    # unrolled-iteration oracle) and docs_span_dedup (C4-style span
-    # dedup with reassembly) so each gets a driver row the round it
-    # lands.
-    "docs_chunks",
-    "docs_vocabulary",
-    "docs_tfidf_top_terms",
-    # ...and events_cohort_retention (hash-green r3, untouched) yields
-    # its slot to emb_cluster_balanced_sample (kmeans -> per-cluster
-    # hash sampler composition), and events_clicks_before_errors
-    # (hash-green r3; the plain range join compares raw timestamps, so
-    # this round's NTZ epoch fix to the BINNED variant — which stays in
-    # the window — does not touch it) to docs_bm25_topk (Okapi BM25
-    # retrieval for quality-match mining).
-    "events_cohort_retention",
-    "events_clicks_before_errors",
-    # round-5 rotation (verdict items #1/#5): docs_weighted_sample — the
-    # one operator without driver evidence — enters with its DuckDB
-    # oracle, and docs_image_decode rotates back IN for a post-change row
-    # (native PNG decode lands this round, extending its emitted rows +
-    # oracle). In exchange, two two-consecutive-round-green entries
-    # whose code this round does not touch are demoted (both r3+r4
-    # hash-green in CORRECTNESS_r0{3,4}.json, both still DuckDB-checked
-    # by pytest every round): events_sliding_avg and docs_audio_decode.
-    "events_sliding_avg",
-    "docs_audio_decode",
-    # ...and events_sessionization (r3+r4 hash-green, untouched in
-    # round 5; its streaming twin stays in-window) yields its slot to
-    # the NEW emb_semantic_dedup — SemDeDup under the full unrolled
-    # kmeans + pairwise-cosine value oracle — so the operator gets a
-    # driver row the round it lands.
-    "events_sessionization",
-    # round-5 additions (after the verdict-item rotation above): three
-    # NEW operators land this round and each takes a driver row the
-    # round it lands — docs_unigram_logprob (CCNet-style LM-perplexity
-    # bucketing), docs_dsir_sample (hashed-n-gram importance
-    # resampling), emb_int8_topk (int8-quantized cosine ANN). In
-    # exchange three r3+r4 hash-green entries whose code round 5 does
-    # not touch are demoted (their builder functions have no round-5
-    # diffs — round 5 only ADDS new functions to these modules; all
-    # three stay DuckDB-oracle-checked by pytest every round):
-    # events_multi_resolution_rollup,
-    # events_clicks_before_errors_binned, streaming_dedup.
-    "events_multi_resolution_rollup",
-    "events_clicks_before_errors_binned",
-    "streaming_dedup",
-    # ...and a seventh new operator, docs_cms_frequencies (engine-portable
-    # count-min sketch — the frequency member of the mergeable-sketch
-    # family next to lineitem_hll_distinct and events_binned_percentiles),
-    # takes the slot of stg_activities (hash-green r1, r2 and r4 — three
-    # lifetime driver rounds — untouched in round 5; stg_accounts keeps
-    # the raw-staging family in-window and the view stays DuckDB-checked
-    # by pytest every round).
-    "stg_activities",
-    # ...and an eighth, docs_duplicate_runs (exact substring dedup, Lee
-    # et al. 2021 — maximal duplicated token runs under a full value
-    # oracle, the k-gram-anchored distributed form of the suffix-array
-    # pass), takes the slot of clean_accounts (hash-green r1, r2 and
-    # r4 — three lifetime driver rounds — untouched in round 5; the
-    # clean_contacts_* family keeps 4 in-window rows and the view stays
-    # DuckDB-checked by pytest every round).
-    "clean_accounts",
-    # ...and a ninth, docs_hash_embed_topk (feature-hashing text->vector
-    # embedding as a pure narrow integer map + exact cosine retrieval —
-    # the in-engine RAG composition, fully value-oracled), takes the
-    # slot of clean_contacts_field (hash-green r1, r2 and r4 — three
-    # lifetime driver rounds — untouched in round 5; the window-dedup
-    # family keeps primary/promise/restructure in-window and the view
-    # stays DuckDB-checked by pytest every round).
-    "clean_contacts_field",
-    # ...and a tenth and eleventh — events_transition_matrix (first-order
-    # Markov path analysis over per-user streams) and
-    # events_ewma_anomaly (EWMA smoothing + trailing z-score anomaly
-    # flags from exact integer sufficient statistics over the dense
-    # gap-filled series) — take the slots of docs_curation_pipeline and
-    # events_conversion_funnel (both hash-green r3 AND r4 with their
-    # current code, untouched in round 5; the curation family keeps its
-    # streaming twin streaming_doc_curation in-window, the funnel stays
-    # DuckDB-checked by pytest every round, and bench.py keeps timing
-    # docs_curation_pipeline regardless of window position).
-    "docs_curation_pipeline",
-    "events_conversion_funnel",
-    # ...and a twelfth and thirteenth — lineitem_regression_stats
-    # (CORR/REGR_SLOPE/REGR_INTERCEPT from exact long-cents sufficient
-    # statistics, the float-aggregate family made value-oracle-able) and
-    # docs_triangle_stats (per-node triangle counts + local clustering
-    # coefficient over the near-dup graph, community structure next to
-    # docs_pagerank) — take the slots of clean_contacts_promise and
-    # clean_contacts_restructure (both hash-green r1, r2 and r4 — three
-    # lifetime driver rounds — untouched in round 5, same rationale as
-    # round 5's quality_* demotions; clean_contacts_primary and the
-    # three report_* queries keep the reference window-dedup chain
-    # in-window, and both views stay DuckDB-checked by pytest every
-    # round).
-    "clean_contacts_promise",
-    "clean_contacts_restructure",
-    # Round-5 additions landing directly in the tail: the audit window's
-    # 50 slots are fully allocated to this round's 13 new/changed
-    # operators plus the standing families, and none of the remaining
-    # in-window entries has the two-consecutive-green record the
-    # demotion rule requires. These five grouped-analytics completions
-    # are DuckDB-oracle-checked by pytest every round from day one and
-    # rotate into the driver window next round.
-    "streaming_transition_matrix",
-    "tpch_q18_large_volume_customers",
+    "emb_blocked_near_dup",
     "streaming_hll_distinct",
     "streaming_cms_frequencies",
+    "streaming_binned_percentiles",
+    # rule 3 — round-5 additions owed a driver row
+    "streaming_transition_matrix",
+    "tpch_q18_large_volume_customers",
     "tpch_q10_returned_items",
+    "tpch_q6_forecast_revenue",
     "customer_rfm_segments",
+    "customer_abc_analysis",
     "docs_hashed_ngram_logreg",
     "docs_canonical_selection",
-    "orders_quality_checks",
-    "streaming_binned_percentiles",
-    "streaming_quality_checks",
-    "orders_first_last_nth",
-    "events_hourly_unique_users",
-    "customer_abc_analysis",
     "docs_dedup_sample",
-    "tpch_q6_forecast_revenue",
     "docs_minhash_estimate",
     "docs_substring_clean",
-    "events_daily_type_unpivot",
+    "orders_quality_checks",
+    "orders_first_last_nth",
     "orders_trailing_30d_stats",
-    "lineitem_grouping_sets",
     "orders_price_ntiles",
     "orders_running_balance",
+    "events_hourly_unique_users",
     "events_hourly_top_users",
     "events_session_paths",
-    # ...and a fourth new operator, docs_bpe_merges (distributed BPE
-    # tokenizer training under an unrolled-iteration value oracle),
-    # takes the slot of streaming_interval_join (r3+r4 hash-green,
-    # streaming/__init__.py untouched in round 5; the family keeps 7
-    # in-window rows and the batch range-join twins stay
-    # pytest-checked).
-    "streaming_interval_join",
-    # ...and a fifth, docs_bpe_tokenize (the apply half of the BPE
-    # train/apply pair — narrow-map tokenizer application under the
-    # train-unrolled oracle), takes the slot of
-    # streaming_windowed_counts (r3+r4 hash-green, untouched; the
-    # streaming family keeps 6 in-window rows and the batch twin
-    # events_windowed_counts stays in-window for the scan-agg bench
-    # family).
-    "streaming_windowed_counts",
-    # ...and a sixth, streaming_doc_perplexity (online scoring of a
-    # streamed landing zone under the frozen offline-fit LM artifact —
-    # same oracle as the batch docs_unigram_logprob, so stream/batch
-    # parity is driver-enforced), takes the slot of
-    # streaming_snapshot_merge (r3+r4 hash-green; round 5 touched only
-    # its TESTS — the kill-and-resume checkpoint proof — not its code;
-    # the streaming family holds 7 in-window rows).
-    "streaming_snapshot_merge",
-    "customers_without_orders",
-    "parts_at_max_size",
-    "lineitem_rollup",
-    "docs_dedup_groups",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "docs_ngram_jaccard",
-    "docs_exact_dedup",
-    "docs_token_stats",
-    "docs_language_id",
-    "docs_text_quality",
-    "emb_label_centroids",
-    "lineitem_quantity_quantiles",
-    "customer_set_ops",
-    "orders_semi_anti_join",
+    "events_daily_type_unpivot",
+    "lineitem_grouping_sets",
+    "streaming_quality_checks",
+    # rule 5 — second-consecutive-round keeps, one per extension family
+    "customer_fuzzy_matches",
+    "lineitem_regression_stats",
+    "docs_simhash_near_dup",
+    "emb_semantic_dedup",
+    "docs_unigram_logprob",
+    "docs_dsir_sample",
+    "emb_int8_topk",
+    "docs_bpe_merges",
+    "docs_quality_logreg",
+    "emb_pca_projection",
+    "docs_bloom_decontaminate",
+    "lineitem_hll_distinct",
+    "events_binned_percentiles",
+    "streaming_doc_perplexity",
 )
-
-# The driver's audit cap. all_queries() fails loudly when the non-tail
-# window outgrows it, so adding a query without rebalancing _TAIL cannot
-# silently evict an audited operator family past the cap.
-DRIVER_AUDIT_CAP = 50
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -365,13 +162,17 @@ def all_queries() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for module in (reference, tpch, llm_ops, events):
         merged.update(module.QUERIES)
-    n_window = len(merged) - sum(1 for n in _TAIL if n in merged)
-    if n_window > DRIVER_AUDIT_CAP:
+    missing = [n for n in _WINDOW if n not in merged]
+    if missing:
         raise AssertionError(
-            f"{n_window} non-tail registry entries exceed the driver's "
-            f"{DRIVER_AUDIT_CAP}-entry audit cap; demote two-round-green "
-            "entries into _TAIL to keep every family driver-checked"
+            f"_WINDOW names not in the registry (typo or rename?): {missing}"
         )
-    ordered = {n: s for n, s in merged.items() if n not in _TAIL}
-    ordered.update({n: merged[n] for n in _TAIL if n in merged})
+    if len(_WINDOW) > DRIVER_AUDIT_CAP:
+        raise AssertionError(
+            f"{len(_WINDOW)} window entries exceed the driver's "
+            f"{DRIVER_AUDIT_CAP}-entry audit cap; rebalance per the "
+            "rotation policy in this module's docstring"
+        )
+    ordered = {n: merged[n] for n in _WINDOW}
+    ordered.update({n: s for n, s in merged.items() if n not in ordered})
     return ordered

@@ -1299,7 +1299,9 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = streaming.read_events_stream(spark, sf_dir)
     regs = llm_ops.hll_registers(st, F.col("user_id").cast("string"))
-    streaming.run_available_now(regs, "q_stream_hll", "complete")
+    streaming.run_available_now(
+        regs, "q_stream_hll", "complete", shuffle_partitions=8
+    )  # state = 256 HLL registers: 8 tasks, not a 200-partition drain
     return llm_ops.hll_estimate(spark.table("q_stream_hll"))
 
 
@@ -1351,7 +1353,9 @@ def streaming_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cell.r").alias("r"), F.col("cell.p").alias("p"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    streaming.run_available_now(cells, "q_stream_cms", "complete")
+    streaming.run_available_now(
+        cells, "q_stream_cms", "complete", shuffle_partitions=8
+    )  # state <= 4096 CMS cells: bounded drain partitions
     sketch = spark.table("q_stream_cms")
     probes = spark.range(1).select(
         F.explode(
@@ -1435,7 +1439,9 @@ def streaming_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    streaming.run_available_now(hist, "q_stream_pctl", "complete")
+    streaming.run_available_now(
+        hist, "q_stream_pctl", "complete", shuffle_partitions=8
+    )  # state <= nbins histogram rows: bounded drain partitions
     sink = spark.table("q_stream_pctl")
     cum = sink.withColumn(
         "cum",

@@ -520,17 +520,41 @@ def weighted_topk_stream(
     )
 
 
-def run_available_now(sdf: DataFrame, table_name: str, output_mode: str) -> None:
+def run_available_now(
+    sdf: DataFrame,
+    table_name: str,
+    output_mode: str,
+    shuffle_partitions: int | None = None,
+) -> None:
     """Drain the stream into an in-memory table with availableNow (one
-    incremental pass over all existing input, then stop)."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    incremental pass over all existing input, then stop).
+
+    ``shuffle_partitions`` bounds the stateful shuffle for queries whose
+    complete-mode state is small by construction (the sketch drains:
+    <= 4096 rows of HLL registers / CMS cells / histogram bins). The
+    session default (200 here, often thousands on a real cluster) would
+    burn a near-empty task per partition per micro-batch; the state
+    store partition count is locked in at the query's FIRST batch, so
+    the bound must be chosen from the state's size, not the data's. The
+    conf is set for query planning and restored after the drain
+    (drains in this module run sequentially on the session)."""
+    spark = sdf.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 TRANSITIONS_OUTPUT = StructType(

@@ -65,14 +65,47 @@ def test_simhash_exact_hamming_verification(spark):
     )
 
 
+def _exact_near_dup_pairs(spark):
+    """Quadratic exact near-dup pairs — TEST-ONLY witness. Round 6
+    demoted this from the public registry (a corpus-wide crossJoin must
+    not be user-reachable); the registered scale path is
+    emb_blocked_near_dup, recall-gated against this witness below."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators import similarity
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    return similarity.near_dup_pairs(emb, threshold=0.4)
+
+
 def test_lsh_ann_recall_vs_brute(spark):
     """Random-projection LSH pairs must cover the exact cosine>=0.4 pairs
     (unit-norm vectors: cosine>=0.4 <=> L2 <= sqrt(1.2))."""
-    exact = _pair_set(QUERIES["emb_near_dup_pairs"].fn(spark, SF_DIR), "id_1", "id_2")
+    exact = _pair_set(_exact_near_dup_pairs(spark), "id_1", "id_2")
     approx = _pair_set(QUERIES["emb_lsh_ann"].fn(spark, SF_DIR), "id_1", "id_2")
     assert exact, "fixture should contain cosine>=0.4 pairs"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"LSH ANN recall {recall:.2f} < 0.9"
+
+
+def test_blocked_near_dup_recall_and_exactness(spark):
+    """The registered kmeans-blocked near-dup path must emit a SUBSET of
+    the exact quadratic pairs (blocking can only miss, never invent —
+    and every emitted sim is the exact JVM-fold value) at >= 0.9 pair
+    recall on the fixture."""
+    exact = {
+        (r["id_1"], r["id_2"]): r["cosine_sim"]
+        for r in _exact_near_dup_pairs(spark).collect()
+    }
+    got = {
+        (r["id_1"], r["id_2"]): r["cosine_sim"]
+        for r in QUERIES["emb_blocked_near_dup"].fn(spark, SF_DIR).collect()
+    }
+    assert exact, "fixture should contain cosine>=0.4 pairs"
+    assert set(got) <= set(exact), "blocked path invented a pair"
+    for pair, sim in got.items():
+        assert sim == exact[pair], f"sim mismatch on {pair}"
+    recall = len(got) / len(exact)
+    assert recall >= 0.9, f"blocked near-dup recall {recall:.2f} < 0.9"
 
 
 def test_cosine_dedup_lsh_candidates_superset(spark):

@@ -447,6 +447,19 @@ def test_fuzzy_matches_has_no_cartesian(spark):
         assert node not in plan, node
 
 
+def test_blocked_near_dup_has_no_cartesian(spark):
+    """emb_blocked_near_dup (round-6 replacement for the quadratic
+    registry entry): candidate pairs come from per-cluster Arrow GEMMs
+    after a co-location shuffle — the full-corpus crossJoin must never
+    appear in any plan reachable from the public registry."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["emb_blocked_near_dup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "FlatMapGroupsInPandas" in plan, plan[:3000]
+
+
 def test_hash_embed_topk_only_exchange_is_broadcast(spark):
     """Embedding must stay a narrow fold (no Generate/explode, the
     tokenizing split evaluated once per side) and retrieval must join
