@@ -352,40 +352,23 @@ def test_truncated_and_zeroed_payloads_null_their_rows(spark):
     assert got[4].sample_rate == 8000 and got[4].rms == 0.0
 
 
-def test_compressed_decode_activates_with_pil(spark):
-    """Capability-probe golden test: skipped in containers without an
-    imaging library, ACTIVE wherever PIL exists — the remaining
-    compressed-codec tier (JPEG, now that PNG decodes natively) then
-    gets real coverage instead of staying a declared gap. Also
-    cross-checks the NATIVE PNG decoder against PIL's independent
-    encoder (filtered scanlines PIL chooses must reconstruct
-    identically), and pins that a corrupt compressed payload still
-    nulls its row rather than killing the batch (PIL raises OSError
-    subclasses, which decode_image re-raises as ValueError)."""
-    pytest.importorskip("PIL")
-    import io
-
+def test_jpeg_decode_with_optional_pil_cross_check(spark):
+    """JPEG is NATIVE now (round-6: Huffman + IDCT in numpy), so this
+    test always runs — no PIL-conditional skip left in the suite. It
+    decodes a baseline JFIF through the Arrow batch path (corrupt
+    payload nulls its own row), and — only where an imaging library
+    happens to exist — additionally cross-checks the native PNG and
+    JPEG decoders against PIL's independent codecs."""
     import numpy as np
-    from PIL import Image
 
     from multi_report_etl_pipeline_spark.operators.multimodal import (
         decode_image,
+        encode_jpeg_gray,
         image_stats,
     )
 
-    want = (np.arange(6 * 8 * 3) % 256).astype("uint8").reshape(6, 8, 3)
-    # native PNG decoder vs PIL's encoder (independent implementation)
-    buf = io.BytesIO()
-    Image.fromarray(want).save(buf, format="PNG")
-    assert np.array_equal(decode_image(buf.getvalue()), want)
-
-    # the PIL fallback tier: JPEG (lossy — check shape + rough values)
-    jbuf = io.BytesIO()
-    Image.fromarray(want).save(jbuf, format="JPEG", quality=95)
-    jpeg = jbuf.getvalue()
-    got_arr = decode_image(jpeg)
-    assert got_arr.shape == want.shape
-
+    want = (np.arange(16 * 24) % 256).astype("uint8").reshape(16, 24)
+    jpeg = encode_jpeg_gray(want, qtable=np.ones(64, np.int64))
     media = spark.createDataFrame(
         [
             (1, jpeg, "image", "en", "t"),
@@ -395,8 +378,26 @@ def test_compressed_decode_activates_with_pil(spark):
         "meta_lang string, meta_source string",
     ).coalesce(1)
     got = {r.media_id: r for r in image_stats(media).collect()}
-    assert (got[1].width, got[1].height, got[1].channels) == (8, 6, 3)
-    assert got[2].width is None
+    assert (got[1].width, got[1].height, got[1].channels) == (24, 16, 1)
+    assert got[2].width is None  # poison row isolated, batch survived
+
+    try:  # optional extra layer: cross-check vs libjpeg/libpng via PIL
+        from PIL import Image
+    except ImportError:
+        return
+    import io  # pragma: no cover - exercised when PIL is installed
+
+    rgb = (np.arange(6 * 8 * 3) % 256).astype("uint8").reshape(6, 8, 3)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+    assert np.array_equal(decode_image(buf.getvalue()), rgb)
+    jbuf = io.BytesIO()
+    Image.fromarray(rgb).save(jbuf, format="JPEG", quality=95)
+    ours = decode_image(jbuf.getvalue()).astype(int)
+    pils = np.asarray(Image.open(io.BytesIO(jbuf.getvalue()))).astype(int)
+    assert ours.shape == pils.shape
+    # float IDCT (ours) vs libjpeg's integer IDCT: off-by-rounding only
+    assert np.abs(ours - pils).max() <= 2
 
 
 def test_decode_png_all_filters_match_spec_reference():
@@ -529,3 +530,271 @@ def test_image_stats_decodes_png_through_arrow_path(spark):
     assert (got[2].width, got[2].height, got[2].channels) == (5, 3, 1)
     assert got[3].width is None and got[3].mean_pixel is None
     assert got[4].width == 6
+
+
+def test_jpeg_constant_blocks_round_trip_exactly():
+    """The value-oracle construction behind docs_image_decode's JPEG
+    tier: every possible byte value as an 8x8 constant block must
+    survive encode -> Huffman -> dequantize -> IDCT bit-exactly (a
+    constant block's only nonzero coefficient is DC = 8*(v-128), and
+    the all-8s quantization table is the identity on it)."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_gray,
+    )
+
+    row = np.arange(256, dtype=np.uint8)
+    img = np.repeat(np.repeat(row[None, :], 8, axis=0), 8, axis=1)
+    got = decode_image(encode_jpeg_gray(img))
+    assert got.shape == (8, 2048)
+    assert np.array_equal(got, img)
+
+
+def test_jpeg_general_content_unit_quant_round_trip():
+    """General (non-constant) content through the full AC path: with
+    all-1 quantization the only loss is coefficient rounding, so the
+    reconstruction must stay within 2 gray levels everywhere — any
+    zigzag/Huffman/run-length bug produces gross errors, not +/-2."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_gray,
+    )
+
+    h, w = 24, 32
+    img = ((np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 13) % 256).astype(
+        np.uint8
+    )
+    got = decode_image(encode_jpeg_gray(img, qtable=np.ones(64, np.int64))).astype(int)
+    assert got.shape == (h, w)
+    assert np.abs(got - img.astype(int)).max() <= 2
+
+
+def test_jpeg_decoder_matches_independent_idct_reference():
+    """Golden test against an INDEPENDENT reference: hand-assemble a
+    JPEG whose entropy stream encodes known quantized coefficients, and
+    compare the native decoder's pixels with a from-the-spec float IDCT
+    (T.81 A.3.3 double loop, no shared code with the decoder's matrix
+    formulation)."""
+    import math
+
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        _ZIGZAG,
+        _decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    q = np.ones(64, np.int64)
+    payload = encode_jpeg_gray(img, qtable=q)
+    got = _decode_jpeg(payload).astype(np.float64)
+
+    # reference: recompute the quantized coefficients exactly as the
+    # encoder's contract states (orthonormal FDCT, round, quantize),
+    # then reconstruct with the spec's scalar IDCT formula.
+    def spec_idct(coef):
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * coef[u, v]
+                            * math.cos((2 * x + 1) * v * math.pi / 16)
+                            * math.cos((2 * y + 1) * u * math.pi / 16)
+                        )
+                out[y, x] = s / 4 + 128.0
+        return out
+
+    cm = np.cos(
+        (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+    ) * np.sqrt(0.25)
+    cm[0] = np.sqrt(0.125)
+    for y0 in range(0, 16, 8):
+        for x0 in range(0, 16, 8):
+            block = img[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - 128.0
+            coefs = np.round(cm @ block @ cm.T)  # quantize by 1
+            want = np.clip(np.round(spec_idct(coefs)), 0, 255)
+            assert np.array_equal(got[y0 : y0 + 8, x0 : x0 + 8], want), (y0, x0)
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    """DRI/RSTn handling: split a 2-MCU grayscale scan at every MCU and
+    verify the decoder re-aligns to the byte boundary and resets the DC
+    predictor per segment (the second block's DC is coded absolute, not
+    as a diff)."""
+    import struct
+
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        _AC_LUMA_BITS,
+        _AC_LUMA_VALS,
+        _BitWriter,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _build_huffman,
+        _decode_jpeg,
+    )
+
+    dc_codes = {v: k for k, v in _build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS).items()}
+    ac_codes = {v: k for k, v in _build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS).items()}
+
+    def block_bits(writer, dc_value):
+        # DC category + magnitude bits (positive values: no EXTEND flip)
+        s = int(dc_value).bit_length() if dc_value else 0
+        length, code = dc_codes[s]
+        writer.write(code, length)
+        if s:
+            writer.write(dc_value if dc_value > 0 else dc_value + (1 << s) - 1, s)
+        length, code = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+
+    v1, v2 = 200, 40  # constant block values
+    w1 = _BitWriter()
+    block_bits(w1, v1 - 128)
+    w2 = _BitWriter()
+    block_bits(w2, v2 - 128)  # ABSOLUTE after restart (pred reset to 0)
+    entropy = w1.flush() + b"\xff\xd0" + w2.flush()
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    q = bytes([8] * 64)
+    dht = bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    dht += bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + q)
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, dht)
+        + seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+    got = _decode_jpeg(payload)
+    want = np.concatenate(
+        [np.full((8, 8), v1, np.uint8), np.full((8, 8), v2, np.uint8)], axis=1
+    )
+    assert np.array_equal(got, want)
+
+
+def test_jpeg_color_420_interleaved_mcu():
+    """3-component 4:2:0 scan, hand-assembled: one 16x16 MCU holds four
+    Y blocks + one Cb + one Cr; constant planes round-trip exactly, so
+    the interleaved MCU walk, per-component DC prediction, chroma
+    replication upsample, and the JFIF YCbCr->RGB conversion are each
+    pinned by the expected RGB triple."""
+    import struct
+
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        _AC_LUMA_BITS,
+        _AC_LUMA_VALS,
+        _BitWriter,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _build_huffman,
+        _decode_jpeg,
+    )
+
+    dc_codes = {v: k for k, v in _build_huffman(_DC_LUMA_BITS, _DC_LUMA_VALS).items()}
+    ac_codes = {v: k for k, v in _build_huffman(_AC_LUMA_BITS, _AC_LUMA_VALS).items()}
+    yv, cbv, crv = 120, 90, 180
+    writer = _BitWriter()
+
+    def block_bits(diff):
+        s = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+        length, code = dc_codes[s]
+        writer.write(code, length)
+        if s:
+            writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        length, code = ac_codes[0x00]
+        writer.write(code, length)
+
+    # MCU order: Y x4 (pred chains within the component), Cb, Cr
+    block_bits(yv - 128)
+    for _ in range(3):
+        block_bits(0)
+    block_bits(cbv - 128)
+    block_bits(crv - 128)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    q = bytes([8] * 64)
+    dht = bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    dht += bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + q)
+        + seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + seg(0xC4, dht)
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + writer.flush()
+        + b"\xff\xd9"
+    )
+    got = _decode_jpeg(payload)
+    assert got.shape == (16, 16, 3)
+    r = np.clip(round(yv + 1.402 * (crv - 128)), 0, 255)
+    g = np.clip(round(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)), 0, 255)
+    b = np.clip(round(yv + 1.772 * (cbv - 128)), 0, 255)
+    assert np.array_equal(got[0, 0], np.array([r, g, b], np.uint8))
+    assert (got == got[0, 0]).all()  # constant planes -> constant RGB
+
+
+def test_jpeg_rejects_unsupported_variants():
+    """Progressive scans, 16-bit quant tables, 12-bit precision, and
+    truncation all raise inside DECODE_ERRORS (poison-row isolation)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        DECODE_ERRORS,
+        _decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    img = np.full((8, 8), 77, np.uint8)
+    good = encode_jpeg_gray(img)
+
+    progressive = bytearray(good)
+    sof_at = good.index(b"\xff\xc0")
+    progressive[sof_at + 1] = 0xC2  # SOF0 -> SOF2
+    with _pytest.raises(ValueError, match="baseline"):
+        _decode_jpeg(bytes(progressive))
+
+    precision12 = bytearray(good)
+    precision12[sof_at + 4] = 12
+    with _pytest.raises(ValueError, match="8-bit"):
+        _decode_jpeg(bytes(precision12))
+
+    # truncated mid-stream: struct.error here, which DECODE_ERRORS lists
+    # explicitly (it does NOT subclass ValueError) — poison-row isolation
+    # is the contract, not any one exception class
+    with _pytest.raises(DECODE_ERRORS):
+        _decode_jpeg(good[: sof_at + 6])
+
+    # encoder contract: dims must be block-aligned, input 2-D
+    with _pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((7, 8), np.uint8))
+    with _pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((8, 8, 3), np.uint8))
+    assert struct.unpack_from(">H", good, sof_at + 7)[0] == 8  # sanity: w=8
