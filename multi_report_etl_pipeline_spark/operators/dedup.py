@@ -154,19 +154,15 @@ def _md5_48(col) -> F.Column:
     )
 
 
-def minhash_near_dup_pairs(
+def _minhash_banded_pairs(
     df: DataFrame,
-    text_col: str = "text",
-    n: int = 3,
-    jaccard_threshold: float = 0.8,
-    num_hash_tables: int = 8,
+    text_col: str,
+    n: int,
+    jaccard_threshold: float,
+    num_hash_tables: int,
 ) -> DataFrame:
-    """Approximate near-dup pairs via banded MinHash — pure DataFrame
-    ops, no UDFs anywhere (measured ~4x faster than Spark ML's
-    MinHashLSH.approxSimilarityJoin, whose distance step is a Scala UDF
-    outside codegen).
-
-    Plan shape (the classic MinHash-LSH pipeline, one operator each):
+    """The raw banded pipeline over whatever rows it is handed (see
+    ``minhash_near_dup_pairs`` for the guarded public entry):
       1. shingle -> 48-bit md5 hash per (doc, shingle);
       2. ``num_hash_tables`` minhash values per doc in ONE partial agg
          (m_t = min over shingles of (a_t*h + b_t) mod 2^48 — the
@@ -178,10 +174,9 @@ def minhash_near_dup_pairs(
          shingle sets (array_intersect/array_union — JVM set ops).
     At corpus scale only step 3's band keys and step 4's per-doc hash
     sets shuffle; the banding keeps candidate generation sub-quadratic
-    exactly like any LSH. Every hash is md5-derived integer arithmetic,
-    so the DuckDB twin reproduces the exact row set (value-level
-    oracle); a recall test vs ngram_jaccard_pairs additionally gates the
-    banding quality (tests/test_llm_ops.py)."""
+    exactly like any LSH — PROVIDED the input has no large groups of
+    identical texts (the caller's job; identical docs share every band
+    key, so a group of m copies is m^2 candidate rows in ALL b bands)."""
     perms = MINHASH_PERMS[:num_hash_tables]
     hs = shingles(df, text_col, n).select(
         "doc_id", _md5_48(F.col("shingle")).alias("h")
@@ -230,6 +225,91 @@ def minhash_near_dup_pairs(
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("doc_id_1", "doc_id_2", "est_jaccard")
     )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    num_hash_tables: int = 8,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Approximate near-dup pairs via banded MinHash — pure DataFrame
+    ops, no UDFs anywhere (measured ~4x faster than Spark ML's
+    MinHashLSH.approxSimilarityJoin, whose distance step is a Scala UDF
+    outside codegen). Pipeline shape in ``_minhash_banded_pairs``.
+
+    Hot-band guard (``collapse_exact``, default on): identical texts
+    have identical signatures, so a group of m byte-equal copies — the
+    single most common real-corpus pathology (boilerplate pages, mirror
+    dumps) — puts m^2 candidate rows into EVERY band, the same quadratic
+    blowup ``similarity.lsh_ann_topk`` guards with max_bucket tiling.
+    The guard collapses the corpus to one REPRESENTATIVE per md5 text
+    fingerprint (min doc_id) before shingling, runs the banded pipeline
+    on representatives only, then expands rep-level pairs back to doc
+    level with two linear joins:
+      - cross-group: member(g1) x member(g2) pairs inherit the rep
+        pair's est_jaccard (equal shingle sets within a group make this
+        EXACT, not an approximation);
+      - intra-group: all pairs inside a multi-copy group at est_jaccard
+        exactly 1.0 (restricted to groups whose representative produced
+        at least one shingle, matching the unguarded pipeline's drop of
+        sub-n-word docs).
+    The expansion's cost is proportional to the OUTPUT pair count —
+    inherent to pair semantics — while the band join, the hset verify,
+    and every shuffled intermediate see each distinct text once. Output
+    is row-for-row identical to ``collapse_exact=False`` (pinned by
+    tests/test_llm_ops.py), so the registered query's DuckDB value
+    oracle is unchanged."""
+    if not collapse_exact:
+        return _minhash_banded_pairs(
+            df, text_col, n, jaccard_threshold, num_hash_tables
+        )
+    members = df.select(
+        "doc_id", fingerprint(text_col).alias("fp")
+    ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("fp")))
+    reps = members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    rep_pairs = _minhash_banded_pairs(
+        df.join(reps, "doc_id"), text_col, n, jaccard_threshold, num_hash_tables
+    )
+    m1 = members.select(
+        F.col("rep_id").alias("doc_id_1"), F.col("doc_id").alias("d1")
+    )
+    m2 = members.select(
+        F.col("rep_id").alias("doc_id_2"), F.col("doc_id").alias("d2")
+    )
+    cross = (
+        rep_pairs.join(m1, "doc_id_1")
+        .join(m2, "doc_id_2")
+        .select(
+            F.least("d1", "d2").alias("doc_id_1"),
+            F.greatest("d1", "d2").alias("doc_id_2"),
+            "est_jaccard",
+        )
+    )
+    if jaccard_threshold > 1.0:
+        return cross
+    # intra-group pairs exist only where the rep has >= 1 shingle (docs
+    # under n words never enter the unguarded pipeline); probe that with
+    # the same >= n-words predicate instead of re-running shingling
+    shingled = (
+        df.join(reps, "doc_id")
+        .filter(F.size(F.split(normalized(text_col), " ")) >= n)
+        .select(F.col("doc_id").alias("rep_id"))
+    )
+    mm = members.join(shingled, "rep_id").select("rep_id", "doc_id")
+    intra = (
+        mm.alias("x")
+        .join(mm.alias("y"), "rep_id")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_id_1"),
+            F.col("y.doc_id").alias("doc_id_2"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:

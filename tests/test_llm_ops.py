@@ -34,6 +34,88 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(exact)} exact pairs)"
 
 
+def test_minhash_exact_collapse_guard_equality(spark):
+    """The hot-band guard (collapse_exact=True, the default) must be
+    OUTPUT-INVISIBLE: on a corpus with planted byte-identical copies,
+    the guarded pipeline's pair set (intra-group 1.0 pairs + expanded
+    cross-group pairs) equals the unguarded banded pipeline row for row
+    — est_jaccard included. That invariance is what lets the registered
+    query keep its DuckDB value oracle unchanged."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    base = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # plant a 40-copy group (one hot doc) plus a 3-copy group, ids above
+    # the fixture range; also a sub-n-word doc group (no shingles -> no
+    # intra pairs may be emitted for it)
+    src = base.filter(F.col("doc_id") < 20).limit(2).collect()
+    copies = [(900_000 + i, src[0].text) for i in range(40)]
+    copies += [(910_000 + i, src[1].text) for i in range(3)]
+    copies += [(920_000 + i, "two words") for i in range(5)]
+    planted = spark.createDataFrame(copies, "doc_id long, text string")
+    corpus = base.unionByName(planted)
+
+    def rows(guarded):
+        out = minhash_near_dup_pairs(corpus, collapse_exact=guarded)
+        return {
+            (r.doc_id_1, r.doc_id_2, r.est_jaccard) for r in out.collect()
+        }
+
+    got, want = rows(True), rows(False)
+    assert got == want
+    # the planted 40-copy group contributes exactly C(40,2) + the pair
+    # with the original doc's own group-mates
+    intra = {p for p in got if p[0] >= 900_000 and p[1] < 910_000}
+    assert len(intra) >= 40 * 39 // 2
+    # sub-n-word copies never pair (no shingle is defined for them)
+    assert not any(p[0] >= 920_000 or p[1] >= 920_000 for p in got)
+
+
+def test_minhash_guard_bounds_band_join(spark):
+    """A planted 1000-copy document must NOT quadratic-blow the band
+    join: with the guard, the banded pipeline runs over one
+    representative per distinct text, so its verified rep-level pair
+    count is bounded by distinct-text combinations — independent of the
+    copy count. (Unguarded, the same corpus would push 1000^2 candidate
+    rows into every one of the 8 bands.)"""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.operators.dedup import (
+        _minhash_banded_pairs,
+    )
+    from multi_report_etl_pipeline_spark.operators.text import fingerprint
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = [(i, words) for i in range(1000)]  # the hot group
+    docs += [(1000 + i, f"distinct document number {i} " + words[: 5 + i])
+             for i in range(10)]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    members = corpus.select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    n_distinct = members.select("fp").distinct().count()
+    assert n_distinct <= 11
+    from pyspark.sql import Window
+
+    reps = (
+        members.withColumn(
+            "rep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id")
+    )
+    rep_pairs = _minhash_banded_pairs(
+        corpus.join(reps, "doc_id"), "text", 3, 0.0, 8
+    )
+    # every shuffled intermediate upstream of this count is rep-sized:
+    # <= C(11, 2) pairs regardless of the 1000 copies
+    assert rep_pairs.count() <= 55
+
+
 def test_simhash_exact_hamming_verification(spark):
     """SimHash banding is EXACT for Hamming <= 3: with 4 x 16-bit bands,
     any pair within distance 3 must collide on >= 1 band (pigeonhole), and
