@@ -42,7 +42,9 @@ Round-6 window derivation:
   query-set contract), the 3 streaming_* sketches (bounded drain
   partitions).
 - rule 2: emb_blocked_near_dup (the near-dup scale path that replaced
-  the retired quadratic emb_near_dup_pairs registry entry).
+  the retired quadratic emb_near_dup_pairs registry entry), plus the
+  10-query TPC-H completion batch (q4/q7/q8/q12/q13/q15/q17/q19/q21/
+  q22 — every remaining dbgen query expressible without partsupp).
 - rule 3: the 25 round-5 additions the round-5 window couldn't hold
   (judge-validated 25/25 OK in VERDICT.md round 5; driver rows this
   round).
@@ -133,20 +135,23 @@ _WINDOW = (
     "events_daily_type_unpivot",
     "lineitem_grouping_sets",
     "streaming_quality_checks",
-    # rule 5 — second-consecutive-round keeps, one per extension family
-    "customer_fuzzy_matches",
-    "lineitem_regression_stats",
+    # rule 2 — the round-6 TPC-H completion batch (new this round)
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_ship_mode_delay",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
+    # rule 5 — second-consecutive-round keeps (one per still-unrepresented
+    # extension family; the other ten r5-green keeps were demoted mid-round
+    # to make room for the rule-2 TPC-H batch — all remain pytest-oracled)
     "docs_simhash_near_dup",
-    "emb_semantic_dedup",
-    "docs_unigram_logprob",
-    "docs_dsir_sample",
     "emb_int8_topk",
-    "docs_bpe_merges",
-    "docs_quality_logreg",
-    "emb_pca_projection",
     "docs_bloom_decontaminate",
-    "lineitem_hll_distinct",
-    "events_binned_percentiles",
     "streaming_doc_perplexity",
 )
 

@@ -1726,3 +1726,664 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
 
 
 QUERIES["tpch_q6_forecast_revenue"] = QuerySpec(q6_forecast_revenue, Q6_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 TPC-H completion batch: the remaining dbgen queries expressible on
+# this reduced schema (no partsupp table; lineitem lacks commit/receipt dates
+# and shipmode; customer lacks phone). Where a pristine column is missing the
+# query keeps its OPERATOR SHAPE (semi join, anti join, correlated scalar
+# subquery, disjunctive pushdown, count-distribution histogram) and the
+# docstring names the substitution. q2/q9/q11/q16/q20 need partsupp and are
+# out of scope for this dataset.
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join.
+
+    Substitution: the pristine predicate l_commitdate < l_receiptdate
+    (neither column exists here) becomes l_shipdate > o_orderdate — same
+    row-level "this order had a late line" existence test, and the
+    correlated column (o_orderdate) still forces the semi join to carry a
+    non-equi conjunct beside the orderkey equality.
+
+    Scale: orders' quarter filter is pushed to the scan; lineitem is
+    projected to 2 columns before the shuffle; the semi join shuffles both
+    sides on l_orderkey once and the priority agg is 5 groups map-side.
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+
+    Plan: both nation sides resolve to 2-row broadcasts; supplier and
+    customer pre-prune against them (2/25 of each dim survives), lineitem
+    broadcast-joins the pruned supplier (cutting the fact ~12x before any
+    shuffle), orders pre-prunes via a semi join on the pruned customers,
+    and the one big shuffle join (lineitem x orders on orderkey) runs on
+    both-sides-pruned inputs. The (n1,n2)|(n2,n1) disjunction is applied
+    post-join on two broadcast-carried nation names.
+    """
+    nations = F.broadcast(
+        read_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    vol_c4 = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)") * (
+        F.lit(100).cast("bigint") - F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg((F.sum(vol_c4) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol_c4) AS DOUBLE) / 10000.0 AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS vol_c4
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's market share of a product type in a region.
+
+    Substitution: p_type here is a single word ('ECONOMY' etc.), so the
+    type filter is equality, not the pristine LIKE '%STEEL'; same
+    pushdown shape. The share is a ratio of two conditional long-cent
+    sums — exact integers on both engines, so the final double division
+    is bit-identical.
+
+    Plan: part prunes lineitem ~6x through a broadcast join before
+    anything shuffles; ASIA customers semi-prune orders; supplier's
+    nation name rides a broadcast. One fact-fact shuffle (li x orders).
+    """
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_keys = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey")
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(asia_keys, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp_nation = F.broadcast(
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol_c4 = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)") * (
+        F.lit(100).cast("bigint") - F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol_c4.alias("vol_c4"),
+            F.when(F.col("supp_nation") == "NATION_3", vol_c4)
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("nat_c4"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (F.sum("nat_c4").cast("double") / F.sum("vol_c4").cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+           ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY o_year
+"""
+
+
+def q12_ship_mode_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-pivot counts by a derived category.
+
+    Substitution: l_shipmode / commit/receipt dates don't exist, so the
+    grouping category is a ship-delay bucket (<= 30 days after order date
+    vs later) — the pristine query's two-bucket pivot on order priority
+    (URGENT+HIGH vs rest) is kept arm-for-arm.
+
+    Plan: one shuffle join on orderkey (lineitem year-filtered and
+    2-column narrow), then a 2-group CASE-count agg, partial map-side.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                F.lit("ON_TIME"),
+            )
+            .otherwise(F.lit("DELAYED"))
+            .alias("delay_bucket"),
+            F.when(high, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("is_high"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            (F.count(F.lit(1)) - F.sum("is_high")).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+            THEN 'ON_TIME' ELSE 'DELAYED' END AS delay_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY delay_bucket
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution (left join preserved).
+
+    Substitution: the pristine filter excludes comment patterns
+    (o_comment NOT LIKE '%special%requests%'); o_comment doesn't exist,
+    so the excluded slice is o_orderpriority = '5-LOW' — same
+    filtered-LEFT-join shape (the filter must ride the join condition,
+    not a WHERE, to preserve zero-order customers).
+
+    Plan: left join shuffles on custkey; the per-customer count reuses
+    that partitioning (no second exchange); the distribution agg is tiny.
+    """
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue.
+
+    The pristine correlated scalar subquery (revenue = MAX(revenue))
+    decorrelates to: aggregate once, reduce the 1-row max, broadcast it
+    back as an equality filter. Long-cent revenue makes the max-equality
+    EXACT — the pristine double formulation can drop ties to rounding.
+
+    Plan: one shuffle agg on suppkey; the max is a 1-row reduction whose
+    broadcast join costs nothing; supplier names ride a broadcast dim.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    vol_c4 = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)") * (
+        F.lit(100).cast("bigint") - F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(vol_c4).alias("rev_c4"))
+    mx = rev.agg(F.max("rev_c4").alias("mx_c4"))
+    supp = F.broadcast(
+        read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_c4") == F.col("mx_c4"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c4") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_c4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_c4 AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE rev_c4 = (SELECT MAX(rev_c4) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from small-quantity orders of one brand's parts.
+
+    Substitution: p_container doesn't exist; the part slice is
+    p_brand = 'Brand#23' AND p_size <= 5. The correlated per-part
+    AVG(l_quantity) threshold decorrelates to a grouped agg joined back;
+    the comparison l_quantity < 0.2 * avg is done in EXACT integer
+    arithmetic (qty_c * cnt * 5 < sum_qc), dodging double-threshold
+    divergence between engines entirely.
+
+    Plan: the brand slice broadcast-prunes lineitem before the per-part
+    agg, so the avg is computed only for surviving parts; the stats join
+    back on partkey reuses the agg's hash partitioning (one exchange of
+    the pruned fact, total).
+    """
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5))
+        .select("p_partkey")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select(
+            "l_partkey",
+            F.expr("CAST(l_quantity * 100 + 0.5 AS BIGINT)").alias("qty_c"),
+            F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)").alias("price_c"),
+        )
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum("qty_c").alias("sum_qc"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(stats, F.col("l_partkey") == F.col("sp_partkey"))
+        .filter(F.col("qty_c") * F.col("cnt") * F.lit(5) < F.col("sum_qc"))
+        .agg((F.sum("price_c") / F.lit(700.0)).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+WITH sliced AS (
+    SELECT l_partkey,
+           CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23' AND p_size <= 5
+), stats AS (
+    SELECT l_partkey AS sp_partkey, SUM(qty_c) AS sum_qc, COUNT(*) AS cnt
+    FROM sliced GROUP BY l_partkey
+)
+SELECT CAST(SUM(price_c) AS DOUBLE) / 700.0 AS avg_yearly
+FROM sliced JOIN stats ON l_partkey = sp_partkey
+WHERE qty_c * cnt * 5 < sum_qc
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under three disjunctive brand/size/quantity arms.
+
+    Substitution: the pristine container/shipmode conjuncts don't exist;
+    each arm keeps its brand + size-range + quantity-range triple. The
+    point of the query is disjunction handling: the quantity envelope
+    (1..30, the union of the arms) is factored out so the fact scan gets
+    a pushable range predicate, while the exact per-arm residual runs
+    post-join.
+
+    Plan: envelope filter pushed to the lineitem scan; brand-sliced part
+    broadcast; disjunction evaluated in codegen; single-cell agg.
+    """
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    vol_c4 = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)") * (
+        F.lit(100).cast("bigint") - F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm)
+        .agg((F.sum(vol_c4) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+       / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity >= 1 AND l_quantity <= 30
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who alone held up multi-supplier orders
+    (EXISTS + NOT EXISTS on the same fact, i.e. semi + anti join).
+
+    Substitution: "late" (pristine l_receiptdate > l_commitdate) becomes
+    l_shipdate > o_orderdate + 60 days. The shape is intact: for a
+    NATION_4 supplier's late line on a finished order, EXISTS another
+    supplier's line on that order (semi join, != conjunct) and NOT
+    EXISTS another supplier's late line (anti join, != conjunct).
+
+    Plan: orders(F-status, 2 cols) shuffle-joins lineitem once; that
+    joined frame is reused three ways (base, semi probe, anti probe) —
+    at scale the two probes shuffle on the same orderkey so the exchange
+    is shared. Nation pruning broadcasts ~1/25 of suppliers. Top-100
+    runs as TakeOrderedAndProject with suppkey tiebreak.
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    nat4_supp = F.broadcast(
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_4"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        lines.filter(F.col("late"))
+        .join(nat4_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("s1"), "s_name"
+        )
+    )
+    other = lines.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"), "late"
+    )
+    return (
+        l1.join(
+            other,
+            (F.col("o1") == F.col("o2")) & (F.col("s1") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            other.filter(F.col("late")).select("o2", "s2"),
+            (F.col("o1") == F.col("o2")) & (F.col("s1") != F.col("s2")),
+            "left_anti",
+        )
+        .groupBy(F.col("s1").alias("s_suppkey"), F.col("s_name").alias("s_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH lines AS (
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM lines l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4' AND l1.late
+  AND EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 100
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: rich-but-inactive customers by country (anti join +
+    ungrouped scalar subquery).
+
+    Substitution: c_phone doesn't exist, so the "country code" is
+    c_nationkey over a 5-nation IN-list; and because this synthetic
+    corpus gives virtually every customer at least one order (0 order-
+    less customers at sf0.01), "inactive" is NO ORDER SINCE 2000-01-01
+    rather than no order ever — same LEFT ANTI join on custkey, with the
+    recency filter pushed into the anti side's scan, and a selectivity
+    that actually exercises the probe. The positive-balance average
+    threshold decorrelates to a 1-row (sum, count) broadcast compared in
+    EXACT integer arithmetic (bal_c * cnt > sum_c).
+
+    Plan: customer scans once with the IN-list pushed down; the
+    threshold is a 1-row reduction; the anti join against orders is the
+    only shuffle (orders projected to its key).
+    """
+    keys = [3, 7, 13, 17, 21]
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(keys)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("bal_c"),
+    )
+    thresh = F.broadcast(
+        cust.filter(F.col("bal_c") > 0).agg(
+            F.sum("bal_c").alias("sum_c"), F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(thresh)
+        .filter(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH cust AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer WHERE c_nationkey IN (3, 7, 13, 17, 21)
+), thresh AS (
+    SELECT SUM(bal_c) AS sum_c, COUNT(*) AS cnt FROM cust WHERE bal_c > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+FROM cust, thresh
+WHERE bal_c * cnt > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES.update(
+    {
+        "tpch_q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
+        "tpch_q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL),
+        "tpch_q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
+        "tpch_q12_ship_mode_delay": QuerySpec(q12_ship_mode_delay, Q12_SQL),
+        "tpch_q13_customer_distribution": QuerySpec(
+            q13_customer_distribution, Q13_SQL
+        ),
+        "tpch_q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL),
+        "tpch_q17_small_quantity_revenue": QuerySpec(
+            q17_small_quantity_revenue, Q17_SQL
+        ),
+        "tpch_q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
+        "tpch_q21_suppliers_kept_waiting": QuerySpec(
+            q21_suppliers_kept_waiting, Q21_SQL
+        ),
+        "tpch_q22_global_sales_opportunity": QuerySpec(
+            q22_global_sales_opportunity, Q22_SQL
+        ),
+    }
+)
