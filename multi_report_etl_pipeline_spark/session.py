@@ -60,19 +60,29 @@ def get_spark(
         # matches DuckDB's ns->us cast.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # Split parquet scans finer than the 128m default: the local
-        # fixtures are single files, and a task only reads the row
-        # groups whose MIDPOINT falls in its byte range — sf1 events
-        # (12.3 MB, 9 row groups) was one task at 16m, serializing
-        # every scan-side projection/partial-agg. 2m was measured best
-        # across the scan-agg family at sf1 (windowed_counts 0.46 s ->
-        # 0.26 s, top_customers 0.68 -> 0.53, q1 0.50 -> 0.40; 1m adds
-        # only empty ranges between row-group midpoints). On a real
-        # cluster raise this back toward 128m-256m — scan task count
-        # there is file-count-dominated and 2m would over-schedule.
+        # Scan-split sizing. Spark splits files at
+        #   min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))
+        # so the SCALE-ADAPTIVE lever is openCostInBytes, not a small
+        # maxPartitionBytes cap: lowering openCost to 1m lets small local
+        # fixtures (sf1 events, 12.3 MB single file) split to ~1m ranges
+        # — a task only reads row groups whose MIDPOINT falls in its
+        # range, so this recovers per-row-group parallelism — while big
+        # inputs still split at bytesPerCore (sf10 lineitem 1.39 GB / 32
+        # cores -> ~43m). The previous fixed 2m cap bought the same
+        # small-file parallelism but forced ~700 splits on sf10 lineitem;
+        # the round-6 interleaved tri-scale A/B (scripts/ab_sf10_conf.py,
+        # BASELINE.md round-6 entry) measured the cap pathological there:
+        # B(2m cap) vs E(128m+1m openCost) totals 3.03/2.97 s at sf0.1,
+        # 6.67/6.06 at sf1, 39.34/25.35 at sf10 — E wins at every scale
+        # (sf10 q3 9.87 -> 2.59 s). On a real cluster these are also the
+        # defaults to keep; scan task count is file-count-dominated.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "1m"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")

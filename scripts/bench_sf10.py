@@ -56,22 +56,21 @@ LEDGER = [
 
 def main() -> None:
     import duckdb
-    from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod
     from multi_report_etl_pipeline_spark.io import TABLES
+    from multi_report_etl_pipeline_spark.session import get_spark
 
     reg = entry_mod.queries()
     osql = entry_mod.oracle_sql()
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.cpu_count()}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "48g")
-        .config("spark.sql.adaptive.enabled", "true")
-        .appName("bench_sf10")
-        .getOrCreate()
-    )
+    # The engine's own session factory — the first sf10 sitting built a
+    # bare session here and so measured Spark's DEFAULT 10 MB broadcast
+    # threshold: at sf10 the 14 MB customer build side fell back to full
+    # shuffle joins in q3/q10/q5, which is exactly what get_spark's 64 MB
+    # threshold exists to prevent. Benchmarks must run the shipped config.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(app_name="bench_sf10")
     spark.sparkContext.setLogLevel("ERROR")
 
     spark_t: dict[str, float] = {}
