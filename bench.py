@@ -73,6 +73,11 @@ HEADLINE = [
     "lineitem_regression_stats",
     "docs_triangle_stats",
     "tpch_q18_large_volume_customers",
+    # round-6 TPC-H completion batch, heaviest four shapes
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_suppliers_kept_waiting",
 ]
 
 

@@ -146,11 +146,12 @@ _WINDOW = (
     "tpch_q19_disjunctive_revenue",
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_global_sales_opportunity",
-    # rule 5 — second-consecutive-round keeps (one per still-unrepresented
-    # extension family; the other ten r5-green keeps were demoted mid-round
-    # to make room for the rule-2 TPC-H batch — all remain pytest-oracled)
-    "docs_simhash_near_dup",
-    "emb_int8_topk",
+    # rule 2 — round-6 warehouse-maintenance additions
+    "events_user_scd2",
+    "orders_column_profile",
+    # rule 5 — second-consecutive-round keeps (the other twelve r5-green
+    # keeps were demoted mid-round to make room for the rule-2 batches —
+    # all remain pytest-oracled every round)
     "docs_bloom_decontaminate",
     "streaming_doc_perplexity",
 )

@@ -1495,3 +1495,69 @@ QUERIES.update(
         ),
     }
 )
+
+
+def user_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from an event stream: per-user
+    event_type history as [valid_from, valid_to) validity ranges with an
+    is_current flag — the standard warehouse change-capture operator
+    (detect changes with LAG, close ranges with LEAD).
+
+    Scale: both windows partition on user_id and the second runs over
+    CHANGE rows only (already collapsed), so the expensive pass is one
+    shuffle + per-user sort of (user_id, ts, event_id, type) — the
+    narrowest projection possible. Per-user data is human-scale by
+    domain; a pathological hot user would need the same range-join
+    salting as any single-key window. Microsecond-precision formatting
+    keeps the oracle string-exact.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+), changes AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered
+    WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+       STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       STRFTIME(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           AS is_current
+FROM changes
+"""
+
+
+QUERIES.update(
+    {
+        "events_user_scd2": QuerySpec(user_scd2_history, SCD2_SQL),
+    }
+)

@@ -2387,3 +2387,96 @@ QUERIES.update(
         ),
     }
 )
+
+
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: one row per column of orders with row
+    count, null count, exact distinct count, and min/max rendered as
+    strings — the table-summary primitive every warehouse exposes.
+
+    Plan: one scan, one aggregate (Spark plans the six COUNT DISTINCTs
+    via a single Expand — x6 row multiplication but still one pass, one
+    exchange of partial states), then a driver-tiny stack() of the 1-row
+    result into the long form. Exact distinct is the point of the oracle
+    row; at 100 TB you'd swap in the portable HLL sketch already in the
+    registry (lineitem_hll_distinct) per column. The double column is
+    printf-formatted on both engines — raw double-to-string rendering is
+    NOT engine-portable, shortest-round-trip rules differ.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_totalprice", F.format_string("%.2f", F.col("o_totalprice"))),
+        ("o_orderdate", F.col("o_orderdate").cast("string")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, rendered in cols:
+        aggs += [
+            F.count(F.col(name)).alias(f"{name}__nn"),
+            F.countDistinct(F.col(name)).alias(f"{name}__nd"),
+            F.min(rendered).alias(f"{name}__mn"),
+            F.max(rendered).alias(f"{name}__mx"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nn, {name}__nd, {name}__mn, {name}__mx"
+        for name, _ in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_notnull, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_notnull")).alias("n_null"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )
+
+
+COLUMN_PROFILE_SQL = """
+WITH agg AS (
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS k_nn, COUNT(DISTINCT o_orderkey) AS k_nd,
+           MIN(CAST(o_orderkey AS VARCHAR)) AS k_mn,
+           MAX(CAST(o_orderkey AS VARCHAR)) AS k_mx,
+           COUNT(o_custkey) AS c_nn, COUNT(DISTINCT o_custkey) AS c_nd,
+           MIN(CAST(o_custkey AS VARCHAR)) AS c_mn,
+           MAX(CAST(o_custkey AS VARCHAR)) AS c_mx,
+           COUNT(o_orderstatus) AS s_nn, COUNT(DISTINCT o_orderstatus) AS s_nd,
+           MIN(o_orderstatus) AS s_mn, MAX(o_orderstatus) AS s_mx,
+           COUNT(o_totalprice) AS t_nn, COUNT(DISTINCT o_totalprice) AS t_nd,
+           MIN(printf('%.2f', o_totalprice)) AS t_mn,
+           MAX(printf('%.2f', o_totalprice)) AS t_mx,
+           COUNT(o_orderdate) AS d_nn, COUNT(DISTINCT o_orderdate) AS d_nd,
+           MIN(CAST(o_orderdate AS VARCHAR)) AS d_mn,
+           MAX(CAST(o_orderdate AS VARCHAR)) AS d_mx,
+           COUNT(o_orderpriority) AS p_nn,
+           COUNT(DISTINCT o_orderpriority) AS p_nd,
+           MIN(o_orderpriority) AS p_mn, MAX(o_orderpriority) AS p_mx
+    FROM orders
+)
+SELECT u.column_name, agg.n_rows,
+       agg.n_rows - u.n_notnull AS n_null,
+       u.n_distinct, u.min_value, u.max_value
+FROM agg, LATERAL (
+    VALUES ('o_orderkey', k_nn, k_nd, k_mn, k_mx),
+           ('o_custkey', c_nn, c_nd, c_mn, c_mx),
+           ('o_orderstatus', s_nn, s_nd, s_mn, s_mx),
+           ('o_totalprice', t_nn, t_nd, t_mn, t_mx),
+           ('o_orderdate', d_nn, d_nd, d_mn, d_mx),
+           ('o_orderpriority', p_nn, p_nd, p_mn, p_mx)
+) AS u(column_name, n_notnull, n_distinct, min_value, max_value)
+"""
+
+
+QUERIES["orders_column_profile"] = QuerySpec(
+    orders_column_profile, COLUMN_PROFILE_SQL
+)
