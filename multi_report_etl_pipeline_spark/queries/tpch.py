@@ -1326,7 +1326,9 @@ LIMIT 20
 QUERIES["tpch_q10_returned_items"] = QuerySpec(q10_returned_items, Q10_SQL)
 
 
-def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_rfm_segments(
+    spark: SparkSession, sf_dir: str, strategy: str | None = None
+) -> DataFrame:
     """RFM segmentation — the classic customer-analytics composition:
     per-customer Recency (days since last order at the corpus max
     date), Frequency (order count), Monetary (exact cents spend), each
@@ -1336,13 +1338,36 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     chaining on one shuffle key change.
 
     Scale: the per-customer aggregate is one partial-agg pass over
-    orders; the three NTILEs sort the |customers|-row aggregate (not
-    the fact table), but each global NTILE is a single-task sort — fine
-    to ~10M customers, and beyond that the quartile assignment swaps to
-    approxQuantile boundaries + width_bucket (the layout.zorder_key
-    bucketing shape, no global sort) at the cost of boundary-exactness;
-    the exact-NTILE form is kept here because it is the oracle-checkable
-    one. The final segment rollup is a 64-group agg."""
+    orders. The three quartile scores have two value-identical physical
+    strategies, picked from the input's file size (the stats-based
+    planner decision a real engine makes):
+
+    - ``window`` (inputs under ~1 GB of orders): plain NTILE over an
+      unpartitioned window. Single-task sort, but of the |customers|-row
+      AGGREGATE, and measured FASTER than the distributed form at every
+      locally testable scale (sf1 1.50 vs 4.24 s, sf10 7.03 vs 8.41 s,
+      interleaved min-of-3 — the orders aggregation dominates, and the
+      distributed form's 8 extra jobs/checkpoints are pure overhead).
+    - ``distributed`` (beyond): operators.ranking.global_ntile — exact
+      parallel range-sort ranking, no Exchange SinglePartition anywhere,
+      because a billion-customer sort through one task is the wall the
+      window form hits at ~100x sf10. Equality of the two strategies is
+      pinned by tests/test_ranking.py and the A/B above (equal=True at
+      sf1 and sf10).
+
+    The final segment rollup is a 64-group agg either way."""
+    import os as _os
+
+    from multi_report_etl_pipeline_spark.operators.ranking import global_ntile
+
+    if strategy is None:
+        try:
+            big = _os.path.getsize(
+                _os.path.join(sf_dir, "orders.parquet")
+            ) > 1_000_000_000
+        except OSError:
+            big = False
+        strategy = "distributed" if big else "window"
     ord_ = read_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
     per = ord_.groupBy("o_custkey").agg(
@@ -1351,30 +1376,51 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).alias("monetary_cents"),
     )
     mx = per.agg(F.max("last_order").alias("mx"))
-    scored = (
-        per.join(F.broadcast(mx))
-        .withColumn(
-            "recency_days", F.datediff(F.col("mx"), F.col("last_order"))
-        )
-        .withColumn(
-            "r_score",
-            F.ntile(4).over(
-                Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-            ),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(4).over(
-                Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-            ),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(4).over(
-                Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
-            ),
-        )
+    base = per.join(F.broadcast(mx)).withColumn(
+        "recency_days", F.datediff(F.col("mx"), F.col("last_order"))
     )
+    if strategy == "window":
+        scored = (
+            base.withColumn(
+                "r_score",
+                F.ntile(4).over(
+                    Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+                ),
+            )
+            .withColumn(
+                "f_score",
+                F.ntile(4).over(
+                    Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+                ),
+            )
+            .withColumn(
+                "m_score",
+                F.ntile(4).over(
+                    Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+                ),
+            )
+        )
+    else:
+        narrow = base.select(
+            "o_custkey", "recency_days", "frequency", "monetary_cents"
+        ).localCheckpoint()  # 3 ranking passes read this once, not 3x
+        n_cust = narrow.count()
+        r = global_ntile(
+            narrow.select("o_custkey", "recency_days"),
+            [F.asc("recency_days"), F.asc("o_custkey")],
+            4, "r_score", n_rows=n_cust,
+        ).select("o_custkey", "r_score")
+        f = global_ntile(
+            narrow.select("o_custkey", "frequency"),
+            [F.desc("frequency"), F.asc("o_custkey")],
+            4, "f_score", n_rows=n_cust,
+        ).select("o_custkey", "f_score")
+        m = global_ntile(
+            narrow.select("o_custkey", "monetary_cents"),
+            [F.desc("monetary_cents"), F.asc("o_custkey")],
+            4, "m_score", n_rows=n_cust,
+        ).select("o_custkey", "m_score", "monetary_cents")
+        scored = m.join(r, "o_custkey").join(f, "o_custkey")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

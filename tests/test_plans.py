@@ -651,3 +651,21 @@ def test_q19_envelope_pushed_to_scan(spark):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan[:3000]
     assert "LessThanOrEqual(l_quantity,30.0)" in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_rfm_distributed_strategy_has_no_single_partition_exchange(spark):
+    """customer_rfm_segments' scale strategy (auto-picked when orders
+    outgrows ~1 GB): the quartile scores run through operators.ranking
+    (parallel range sort + offsets) — that plan must not funnel
+    customers through an Exchange SinglePartition window. The small-
+    scale strategy deliberately keeps the plain window form (measured
+    faster below the threshold; equality of both pinned in
+    tests/test_ranking.py and the sf1/sf10 A/B in BASELINE.md)."""
+    from multi_report_etl_pipeline_spark.queries.tpch import (
+        customer_rfm_segments,
+    )
+
+    plan = physical_plan(
+        customer_rfm_segments(spark, SF_DIR, strategy="distributed")
+    )
+    assert "Exchange SinglePartition" not in plan, plan[:3000]

@@ -1,0 +1,97 @@
+"""Distributed ranking operator: exactness vs the single-task window
+forms it replaces."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from multi_report_etl_pipeline_spark.operators.ranking import (
+    global_ntile,
+    ntile_from_rank,
+    with_global_rank,
+)
+
+
+def test_global_rank_equals_window_row_number(spark):
+    """Range-sort + offset rank must equal ROW_NUMBER over the global
+    order, row for row, including across partition boundaries."""
+    df = spark.range(0, 9973).select(
+        F.col("id"),
+        (F.hash(F.col("id")) % 1000).alias("key"),
+    )
+    got = {
+        (r["id"], r["global_rank"])
+        for r in with_global_rank(
+            df, [F.asc("key"), F.asc("id")], num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy(F.asc("key"), F.asc("id"))
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize(("n", "k"), [(6, 4), (5, 4), (4, 4), (3, 4), (100, 7), (9973, 4)])
+def test_ntile_piecewise_matches_sql_ntile(spark, n, k):
+    """The piecewise rank->bucket arithmetic must equal SQL NTILE for
+    awkward n/k (the closed form floor((i-1)k/n)+1 fails at n=6,k=4)."""
+    df = spark.range(1, n + 1).select(F.col("id").alias("rank"))
+    got = [
+        r["b"]
+        for r in df.select(
+            "rank", ntile_from_rank(F.col("rank"), n, k).alias("b")
+        ).orderBy("rank").collect()
+    ]
+    want = [
+        r["b"]
+        for r in df.select(
+            "rank", F.ntile(k).over(Window.orderBy("rank")).alias("b")
+        ).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
+def test_global_ntile_equals_window_ntile(spark):
+    """End-to-end: distributed NTILE(4) over a non-trivially-ordered
+    frame equals the window form."""
+    df = spark.range(0, 2003).select(
+        F.col("id"),
+        (F.hash(F.col("id") * 7) % 100).alias("score"),
+    )
+    order = [F.desc("score"), F.asc("id")]
+    got = {
+        (r["id"], r["bucket"])
+        for r in global_ntile(df, order, 4, "bucket", num_partitions=5).collect()
+    }
+    want = {
+        (r["id"], r["bucket"])
+        for r in df.withColumn(
+            "bucket", F.ntile(4).over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rfm_strategies_agree(spark):
+    """The window and distributed RFM strategies must be value-identical
+    — the stats-based auto-pick can never change results."""
+    from tests.conftest import SF_DIR
+
+    from multi_report_etl_pipeline_spark.queries.tpch import (
+        customer_rfm_segments,
+    )
+
+    a = sorted(
+        map(tuple, customer_rfm_segments(spark, SF_DIR, strategy="window").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            customer_rfm_segments(spark, SF_DIR, strategy="distributed").collect(),
+        )
+    )
+    assert a == b
