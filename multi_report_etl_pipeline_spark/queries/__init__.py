@@ -149,10 +149,10 @@ _WINDOW = (
     # rule 2 — round-6 warehouse-maintenance additions
     "events_user_scd2",
     "orders_column_profile",
-    # rule 5 — second-consecutive-round keeps (the other twelve r5-green
+    "streaming_user_scd2",
+    # rule 5 — second-consecutive-round keep (the other thirteen r5-green
     # keeps were demoted mid-round to make room for the rule-2 batches —
     # all remain pytest-oracled every round)
-    "docs_bloom_decontaminate",
     "streaming_doc_perplexity",
 )
 

@@ -1561,3 +1561,42 @@ QUERIES.update(
         "events_user_scd2": QuerySpec(user_scd2_history, SCD2_SQL),
     }
 )
+
+
+def streaming_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_user_scd2: SCD type-2 change capture as
+    an arbitrary-stateful operator (streaming.scd2_stream — per-user
+    state is the one OPEN validity interval, closed intervals are
+    emitted append-mode as they materialize). Drained with availableNow;
+    the drained intervals must equal the batch LAG/LEAD build restricted
+    to CLOSED intervals (the open interval per user IS the state, and an
+    append sink can only carry immutable facts — so the oracle filters
+    valid_to IS NOT NULL and is_current is identically false here)."""
+    from multi_report_etl_pipeline_spark import streaming
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.scd2_stream(st), "q_stream_scd2", "append"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return spark.table("q_stream_scd2").select(
+        "user_id",
+        "event_type",
+        F.date_format(F.timestamp_micros("valid_from_us"), fmt).alias("valid_from"),
+        F.date_format(F.timestamp_micros("valid_to_us"), fmt).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+
+
+STREAM_SCD2_SQL = (
+    "SELECT user_id, event_type, valid_from, valid_to, is_current FROM ("
+    + SCD2_SQL
+    + ") WHERE valid_to IS NOT NULL"
+)
+
+
+QUERIES.update(
+    {
+        "streaming_user_scd2": QuerySpec(streaming_user_scd2, STREAM_SCD2_SQL),
+    }
+)

@@ -641,3 +641,86 @@ def read_orders_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "orders.parquet")
         .parquet(sf_dir)
     )
+
+
+SCD2_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),
+    ]
+)
+
+SCD2_STATE = StructType(
+    [
+        StructField("open_from_us", LongType()),
+        StructField("open_event_id", LongType()),
+        StructField("open_type", StringType()),
+    ]
+)
+
+
+def _update_scd2(key, pdf_iter, state):
+    """Streaming SCD type-2 change capture: per-user state is the OPEN
+    validity interval — (valid_from, tiebreak event_id, type) of the
+    segment the user is currently in. Each micro-batch sorts its rows by
+    (ts, event_id), chains them onto the open interval, and emits every
+    interval that CLOSED (a row whose type differs from its
+    predecessor's closes the predecessor's interval at its ts). The open
+    interval is never emitted — it is exactly the state, and append-mode
+    correctness demands emitting only immutable facts. State is O(1) per
+    user; in-batch work is one sort of that user's batch rows.
+
+    Same cross-batch ordering contract as ``_update_transitions``
+    (event-time order per user across batches; the availableNow drain
+    and log-structured landing zones satisfy it, fully out-of-order
+    streams would add a watermark buffer)."""
+    import pandas as pd  # noqa: PLC0415
+
+    pdfs = [p for p in pdf_iter if len(p)]
+    if not pdfs:
+        yield pd.DataFrame(
+            {"user_id": [], "event_type": [], "valid_from_us": [], "valid_to_us": []}
+        )
+        return
+    (user_id,) = key
+    pdf = pd.concat(pdfs, ignore_index=True).sort_values(["ts", "event_id"])
+    ts_us = [int(v) // 1000 for v in pdf["ts"].astype("int64").tolist()]
+    eids = [int(v) for v in pdf["event_id"].tolist()]
+    types = pdf["event_type"].tolist()
+    if state.exists:
+        open_from, open_eid, open_type = state.get
+        changes = [(int(open_from), int(open_eid), str(open_type))]
+    else:
+        changes = []
+    for t, e, ty in zip(ts_us, eids, types):
+        if not changes or ty != changes[-1][2]:
+            changes.append((t, e, ty))
+    state.update(changes[-1])
+    closed = changes[:-1]
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "event_type": [c[2] for c in closed],
+            "valid_from_us": [c[0] for c in closed],
+            "valid_to_us": [n[0] for n in changes[1:]],
+        }
+    )
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """SCD type-2 history build as an arbitrary-stateful streaming op:
+    the streaming twin of events.user_scd2_history's LAG/LEAD windows,
+    emitting closed validity intervals as they materialize."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_scd2,
+            outputStructType=SCD2_OUTPUT,
+            stateStructType=SCD2_STATE,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -511,3 +511,74 @@ def test_quality_counters_resume_from_checkpoint(spark, tmp_path):
     got2 = drain()
     # counters span both phases via the recovered state store
     assert got2 == {"n": 4, "bad_status": 2, "nonpositive_price": 1}
+
+
+def test_scd2_stream_closes_intervals_across_restart(spark, tmp_path):
+    """The open-interval state must survive a restart: an interval whose
+    change point arrived before the kill and whose closing change
+    arrives after must be emitted exactly once, with valid_from from the
+    pre-kill batch. Total output equals the batch LAG/LEAD build over
+    the full input, restricted to closed intervals."""
+    import pandas as pd
+
+    in_dir, ck = str(tmp_path / "ev_landing"), str(tmp_path / "ev_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def ts(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    batch1 = [
+        (1, ts("2024-01-01 00:00:00"), 1, "view"),
+        (2, ts("2024-01-01 00:10:00"), 1, "view"),
+        (3, ts("2024-01-01 00:20:00"), 1, "click"),
+        (4, ts("2024-01-01 00:05:00"), 2, "signup"),
+    ]
+    batch2 = [
+        (5, ts("2024-01-01 00:30:00"), 1, "view"),
+        (6, ts("2024-01-01 00:40:00"), 2, "purchase"),
+        (7, ts("2024-01-01 00:50:00"), 2, "purchase"),
+        (8, ts("2024-01-01 01:00:00"), 2, "error"),
+    ]
+
+    out_dir = str(tmp_path / "scd2_out")
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        # file sink, not memory: the memory sink cannot recover an
+        # append query from a checkpoint — and a parquet landing zone is
+        # the production shape for emitted SCD2 facts anyway
+        q = (
+            streaming.scd2_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.event_type, r.valid_from_us, r.valid_to_us)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got1 = drain(batch1)
+    # user 1: view[00:00 -> 00:20) closed by the click; click still open.
+    # user 2: signup still open. Nothing else may be emitted.
+    us = lambda s: int(pd.Timestamp(s).value // 1000)  # noqa: E731
+    assert got1 == {
+        (1, "view", us("2024-01-01 00:00:00"), us("2024-01-01 00:20:00")),
+    }
+
+    got2 = drain(batch2)
+    # restart: user 1's open click (from pre-kill state) closes at 00:30;
+    # user 2's open signup closes at 00:40, purchase run closes at 01:00.
+    # (the file sink accumulates, so phase-1's interval is still there)
+    assert got2 == got1 | {
+        (1, "click", us("2024-01-01 00:20:00"), us("2024-01-01 00:30:00")),
+        (2, "signup", us("2024-01-01 00:05:00"), us("2024-01-01 00:40:00")),
+        (2, "purchase", us("2024-01-01 00:40:00"), us("2024-01-01 01:00:00")),
+    }
