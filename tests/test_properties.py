@@ -905,3 +905,48 @@ def test_session_paths_matches_bruteforce_reference(events):
         counts[path] = counts.get(path, 0) + 1
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=11),
+)
+def test_global_ntile_matches_python_reference(values, k, nparts):
+    """Distributed NTILE must equal the Python reference bucketing
+    (first n%k buckets get one extra row) for ANY value multiset, bucket
+    count, and partition count — including n < k, all-equal values
+    (custkey-style tiebreak makes the order total), and single rows."""
+    from multi_report_etl_pipeline_spark.operators.ranking import global_ntile
+    from pyspark.sql import functions as F
+
+    spark = _shared_spark["spark"]
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["bucket"]
+        for r in global_ntile(
+            df, [F.asc("v"), F.asc("id")], k, "bucket", num_partitions=nparts
+        ).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    n = len(order)
+    q, r = divmod(n, k)
+    want = {}
+    pos = 0
+    for b in range(1, k + 1):
+        size = q + (1 if b <= r else 0)
+        for _ in range(size):
+            if pos < n:
+                want[order[pos][0]] = b
+                pos += 1
+    assert got == want
