@@ -69,17 +69,17 @@ def with_global_rank(
         r[_PID]: r["cnt"]
         for r in ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets: dict[int, int] = {}
+    # prefix-sum the counts into a dense 1-indexed array literal — a
+    # single element_at lookup stays flat at any partition count, where
+    # a chained WHEN would nest nparts conditionals in codegen
+    offsets_arr = []
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_expr = F.lit(0)
-    for pid, off in offsets.items():
-        if off:
-            offset_expr = F.when(F.col(_PID) == pid, F.lit(off)).otherwise(
-                offset_expr
-            )
+    for pid in range(nparts):
+        offsets_arr.append(acc)
+        acc += counts.get(pid, 0)
+    offset_expr = F.element_at(
+        F.array(*[F.lit(o) for o in offsets_arr]), F.col(_PID) + 1
+    )
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     return (
         ranged.withColumn(
