@@ -52,7 +52,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10m STATIC broadcast threshold, kept on purpose:
+        # raising it to 64m made Catalyst statically broadcast any dim
+        # whose FILE is under the bar — at sf10 the 14 MB customer file
+        # deserializes into a ~1.5M-row driver-built hash relation per
+        # execution, measured as the dominant regression in the round-6
+        # interleaved ledger A/B (sf10 totals 41.8 s at 10m vs 50.9 s at
+        # 64m; q7 1.70 vs 6.77 s, rfm 6.94 vs 9.15; sf1 dead even 7.16
+        # vs 7.07). AQE converts shuffle joins to broadcasts from ACTUAL
+        # runtime sizes, which is both faster here and the only
+        # behavior that stays safe when dims grow 100x.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "10m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so
