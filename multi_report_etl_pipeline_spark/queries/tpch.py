@@ -2294,9 +2294,18 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
-    stats = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    # two-stage dedup agg, NOT a double countDistinct: two DISTINCT
+    # aggregates plan an Expand that doubles the joined stream before
+    # its exchange, while (orderkey, suppkey) -> max(late) followed by a
+    # plain per-order count/sum keeps every row single-width and both
+    # aggs map-side partial (interleaved A/B: 10.81 -> 7.47 s at sf10,
+    # 1.96 -> 1.81 at sf1, value-identical)
+    pairs = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    stats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
     )
     nat4_supp = F.broadcast(
         read_table(spark, sf_dir, "supplier")
