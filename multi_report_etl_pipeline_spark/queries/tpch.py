@@ -1338,36 +1338,44 @@ def customer_rfm_segments(
     chaining on one shuffle key change.
 
     Scale: the per-customer aggregate is one partial-agg pass over
-    orders. The three quartile scores have two value-identical physical
-    strategies, picked from the input's file size (the stats-based
-    planner decision a real engine makes):
+    orders. The three quartile scores have three value-identical
+    physical strategies, picked from the input's file size (the
+    stats-based planner decision a real engine makes), each fastest in
+    its measured regime (interleaved min-of-3 A/Bs, BASELINE.md):
 
-    - ``window`` (inputs under ~1 GB of orders): plain NTILE over an
-      unpartitioned window. Single-task sort, but of the |customers|-row
-      AGGREGATE, and measured FASTER than the distributed form at every
-      locally testable scale (sf1 1.50 vs 4.24 s, sf10 7.03 vs 8.41 s,
-      interleaved min-of-3 — the orders aggregation dominates, and the
-      distributed form's 8 extra jobs/checkpoints are pure overhead).
+    - ``window`` (orders under ~50 MB): three NTILE windows chained on
+      the full-width aggregate. Single-task sorts, but of a small
+      |customers|-row frame with zero materialization overhead
+      (sf1: 1.09 s vs narrow 1.33 s).
+    - ``narrow`` (to ~5 GB): same single-task NTILE sorts but each over
+      a 2-column per-metric projection of a checkpointed base, re-joined
+      on custkey — the sort pays for row width (sf10: 4.57 s vs chained
+      6.13 s, vs global_ntile 8.41 s).
     - ``distributed`` (beyond): operators.ranking.global_ntile — exact
       parallel range-sort ranking, no Exchange SinglePartition anywhere,
-      because a billion-customer sort through one task is the wall the
-      window form hits at ~100x sf10. Equality of the two strategies is
-      pinned by tests/test_ranking.py and the A/B above (equal=True at
-      sf1 and sf10).
+      because a billion-customer sort through one task is the wall both
+      window forms eventually hit. Slower at every locally testable
+      scale (its ~8 extra jobs), kept as the only shape that survives
+      extreme scale.
 
-    The final segment rollup is a 64-group agg either way."""
+    Equality of all strategies is pinned by tests/test_ranking.py and
+    the A/Bs (equal=True at sf1 and sf10). The final segment rollup is
+    a 64-group agg in every strategy."""
     import os as _os
 
     from multi_report_etl_pipeline_spark.operators.ranking import global_ntile
 
     if strategy is None:
         try:
-            big = _os.path.getsize(
-                _os.path.join(sf_dir, "orders.parquet")
-            ) > 1_000_000_000
+            sz = _os.path.getsize(_os.path.join(sf_dir, "orders.parquet"))
         except OSError:
-            big = False
-        strategy = "distributed" if big else "window"
+            sz = 0
+        if sz > 5_000_000_000:
+            strategy = "distributed"
+        elif sz > 50_000_000:
+            strategy = "narrow"
+        else:
+            strategy = "window"
     ord_ = read_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
     per = ord_.groupBy("o_custkey").agg(
@@ -1379,7 +1387,35 @@ def customer_rfm_segments(
     base = per.join(F.broadcast(mx)).withColumn(
         "recency_days", F.datediff(F.col("mx"), F.col("last_order"))
     )
-    if strategy == "window":
+    if strategy == "narrow":
+        # single-task NTILE sorts, but over per-metric 2-column frames
+        # off a checkpointed base instead of chaining three sorts of the
+        # full-width frame: 6.13 -> 4.57 s at sf10 (the sort pays for
+        # row WIDTH); at sf1 the checkpoint overhead inverts it
+        # (1.09 -> 1.33 s), hence the size tiers.
+        narrow = base.select(
+            "o_custkey", "recency_days", "frequency", "monetary_cents"
+        ).localCheckpoint()
+        r = narrow.select("o_custkey", "recency_days").withColumn(
+            "r_score",
+            F.ntile(4).over(
+                Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+            ),
+        ).select("o_custkey", "r_score")
+        f = narrow.select("o_custkey", "frequency").withColumn(
+            "f_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+            ),
+        ).select("o_custkey", "f_score")
+        m = narrow.select("o_custkey", "monetary_cents").withColumn(
+            "m_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+            ),
+        )
+        scored = m.join(r, "o_custkey").join(f, "o_custkey")
+    elif strategy == "window":
         scored = (
             base.withColumn(
                 "r_score",

@@ -95,3 +95,20 @@ def test_rfm_strategies_agree(spark):
         )
     )
     assert a == b
+
+
+def test_rfm_narrow_strategy_agrees(spark):
+    """The middle (narrow-join) tier must also be value-identical."""
+    from tests.conftest import SF_DIR
+
+    from multi_report_etl_pipeline_spark.queries.tpch import (
+        customer_rfm_segments,
+    )
+
+    a = sorted(
+        map(tuple, customer_rfm_segments(spark, SF_DIR, strategy="window").collect())
+    )
+    b = sorted(
+        map(tuple, customer_rfm_segments(spark, SF_DIR, strategy="narrow").collect())
+    )
+    assert a == b
