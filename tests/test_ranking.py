@@ -112,3 +112,13 @@ def test_rfm_narrow_strategy_agrees(spark):
         map(tuple, customer_rfm_segments(spark, SF_DIR, strategy="narrow").collect())
     )
     assert a == b
+
+
+def test_global_ntile_empty_input(spark):
+    """Zero rows must produce zero rows, not a planning error (offsets
+    array is built dense over the partition range, counts all zero)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
+    out = global_ntile(df, [F.asc("v"), F.asc("id")], 4, "bucket", num_partitions=3)
+    assert out.count() == 0
