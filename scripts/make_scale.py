@@ -104,8 +104,11 @@ def main() -> None:
         )
         print(t, "copied")
     for t, tmpl in REPLICATED.items():
-        body = tmpl.format(**OFF).replace(
-            "FROM t", f"FROM '{args.src}/{t}.parquet', range({args.n}) r(i)"
+        # EXCLUDE the replica counter from the output: a bare SELECT *
+        # over the cross join leaks r.i as a trailing column (caught in
+        # round 6 when a second-level scale-up hit the ambiguous name)
+        body = tmpl.format(**OFF).replace("SELECT * ", "SELECT t.* ").replace(
+            "FROM t", f"FROM '{args.src}/{t}.parquet' t, range({args.n}) r(i)"
         )
         con.execute(
             f"COPY ({body}) TO '{args.dst}/{t}.parquet' (FORMAT PARQUET)"
