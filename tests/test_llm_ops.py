@@ -1264,3 +1264,33 @@ def test_substring_clean_consistent_with_runs(spark):
             assert doc not in clean
         else:
             assert clean[doc] == want, (doc, n, cut, clean.get(doc))
+
+
+def test_hll_log2_rank_boundary_exact(spark):
+    """The floor(log2)+1 bit-length used for the keyed HLL's rank must
+    equal the string-CONV bit-length it replaced at EVERY power-of-two
+    boundary of the 40-bit suffix domain (float log2 only rounds up to
+    k when the input is within ulps of 2^k — impossible below 2^52)."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        _HLL_SUFFIX_BITS as w,
+    )
+
+    vals = [0, 1, 2, 3] + [
+        2**k + d for k in range(2, w + 1) for d in (-1, 0, 1)
+    ]
+    df = spark.createDataFrame(
+        [(v,) for v in sorted(set(x for x in vals if 0 <= x < 2**w))],
+        "low long",
+    )
+    bad = df.select(
+        "low",
+        F.when(F.col("low") == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.conv(F.col("low"), 10, 2)))
+        .alias("conv_rank"),
+        F.when(F.col("low") == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - (F.floor(F.log2("low")) + 1).cast("int"))
+        .alias("log_rank"),
+    ).filter("conv_rank <> log_rank").collect()
+    assert bad == [], bad
