@@ -150,10 +150,10 @@ _WINDOW = (
     "events_user_scd2",
     "orders_column_profile",
     "streaming_user_scd2",
-    # rule 5 — second-consecutive-round keep (the other thirteen r5-green
-    # keeps were demoted mid-round to make room for the rule-2 batches —
-    # all remain pytest-oracled every round)
-    "streaming_doc_perplexity",
+    "streaming_user_scd2_current",
+    # (no rule-5 keep this round: streaming_doc_perplexity — the last
+    # one — was demoted at the cap to seat the late round-6 SCD2
+    # current-view addition; it stays pytest-oracled every round)
 )
 
 

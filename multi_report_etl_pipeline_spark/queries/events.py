@@ -1600,3 +1600,56 @@ QUERIES.update(
         "streaming_user_scd2": QuerySpec(streaming_user_scd2, STREAM_SCD2_SQL),
     }
 )
+
+
+def streaming_user_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of streaming_user_scd2: the live dimension view.
+    streaming.scd2_current_stream re-emits each user's OPEN validity
+    interval (update mode) whenever a batch changes it; an
+    update-capable sink keeps only the newest row per user. The memory
+    sink drained here is append-only, so the query applies the sink-side
+    fold explicitly: max_by over (valid_from_us, from_event_id) — valid
+    because a segment start only moves forward per user, making "latest"
+    a deterministic max, not a sink-order artifact. Oracle: the batch
+    LAG/LEAD SCD2 build restricted to the is_current row per user."""
+    from multi_report_etl_pipeline_spark import streaming
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.scd2_current_stream(st), "q_stream_scd2_cur", "update"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    latest = (
+        spark.table("q_stream_scd2_cur")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("valid_from_us", "event_type"),
+                F.struct("valid_from_us", "from_event_id"),
+            ).alias("cur")
+        )
+    )
+    return latest.select(
+        "user_id",
+        F.col("cur.event_type").alias("event_type"),
+        F.date_format(
+            F.timestamp_micros(F.col("cur.valid_from_us")), fmt
+        ).alias("valid_from"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+STREAM_SCD2_CURRENT_SQL = (
+    "SELECT user_id, event_type, valid_from, is_current FROM ("
+    + SCD2_SQL
+    + ") WHERE valid_to IS NULL"
+)
+
+
+QUERIES.update(
+    {
+        "streaming_user_scd2_current": QuerySpec(
+            streaming_user_scd2_current, STREAM_SCD2_CURRENT_SQL
+        ),
+    }
+)

@@ -661,29 +661,24 @@ SCD2_STATE = StructType(
 )
 
 
-def _update_scd2(key, pdf_iter, state):
-    """Streaming SCD type-2 change capture: per-user state is the OPEN
-    validity interval — (valid_from, tiebreak event_id, type) of the
-    segment the user is currently in. Each micro-batch sorts its rows by
-    (ts, event_id), chains them onto the open interval, and emits every
-    interval that CLOSED (a row whose type differs from its
-    predecessor's closes the predecessor's interval at its ts). The open
-    interval is never emitted — it is exactly the state, and append-mode
-    correctness demands emitting only immutable facts. State is O(1) per
-    user; in-batch work is one sort of that user's batch rows.
+def _scd2_chain(key, pdf_iter, state):
+    """Shared SCD2 state transition: sort this user's micro-batch rows
+    by (ts, event_id), chain them onto the open interval carried in
+    ``state``, update the state to the new open interval, and return
+    ``(user_id, changes)`` where ``changes`` is the ordered list of
+    (valid_from_us, event_id, type) segment starts seen this batch —
+    the last element is the (still open) current segment. Returns
+    ``None`` when the batch carried no rows for this key.
 
-    Same cross-batch ordering contract as ``_update_transitions``
-    (event-time order per user across batches; the availableNow drain
-    and log-structured landing zones satisfy it, fully out-of-order
-    streams would add a watermark buffer)."""
+    Cross-batch ordering contract as ``_update_transitions`` (event-time
+    order per user across batches; the availableNow drain and
+    log-structured landing zones satisfy it, fully out-of-order streams
+    would add a watermark buffer)."""
     import pandas as pd  # noqa: PLC0415
 
     pdfs = [p for p in pdf_iter if len(p)]
     if not pdfs:
-        yield pd.DataFrame(
-            {"user_id": [], "event_type": [], "valid_from_us": [], "valid_to_us": []}
-        )
-        return
+        return None
     (user_id,) = key
     pdf = pd.concat(pdfs, ignore_index=True).sort_values(["ts", "event_id"])
     ts_us = [int(v) // 1000 for v in pdf["ts"].astype("int64").tolist()]
@@ -698,6 +693,28 @@ def _update_scd2(key, pdf_iter, state):
         if not changes or ty != changes[-1][2]:
             changes.append((t, e, ty))
     state.update(changes[-1])
+    return user_id, changes
+
+
+def _update_scd2(key, pdf_iter, state):
+    """Streaming SCD type-2 change capture: per-user state is the OPEN
+    validity interval — (valid_from, tiebreak event_id, type) of the
+    segment the user is currently in. Each micro-batch chains its rows
+    onto the open interval and emits every interval that CLOSED (a row
+    whose type differs from its predecessor's closes the predecessor's
+    interval at its ts). The open interval is never emitted — it is
+    exactly the state, and append-mode correctness demands emitting only
+    immutable facts. State is O(1) per user; in-batch work is one sort
+    of that user's batch rows."""
+    import pandas as pd  # noqa: PLC0415
+
+    res = _scd2_chain(key, pdf_iter, state)
+    if res is None:
+        yield pd.DataFrame(
+            {"user_id": [], "event_type": [], "valid_from_us": [], "valid_to_us": []}
+        )
+        return
+    user_id, changes = res
     closed = changes[:-1]
     yield pd.DataFrame(
         {
@@ -705,6 +722,40 @@ def _update_scd2(key, pdf_iter, state):
             "event_type": [c[2] for c in closed],
             "valid_from_us": [c[0] for c in closed],
             "valid_to_us": [n[0] for n in changes[1:]],
+        }
+    )
+
+
+def _update_scd2_current(key, pdf_iter, state):
+    """The dual of ``_update_scd2``: emit the OPEN interval — the
+    user's CURRENT dimension row — once per batch the user had activity
+    in, update-mode style. The newest emission per user supersedes the
+    older ones; downstream (an update-capable sink: compacted topic,
+    MERGE target, or the max_by fold the registered query applies after
+    an availableNow drain) keeps only the latest. valid_from only moves
+    forward, so "latest" is recoverable deterministically as the max
+    (valid_from_us, event_id) per user — no reliance on sink order."""
+    import pandas as pd  # noqa: PLC0415
+
+    res = _scd2_chain(key, pdf_iter, state)
+    if res is None:
+        yield pd.DataFrame(
+            {
+                "user_id": [],
+                "event_type": [],
+                "valid_from_us": [],
+                "from_event_id": [],
+            }
+        )
+        return
+    user_id, changes = res
+    cur = changes[-1]
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [cur[2]],
+            "valid_from_us": [cur[0]],
+            "from_event_id": [cur[1]],
         }
     )
 
@@ -721,6 +772,41 @@ def scd2_stream(events: DataFrame) -> DataFrame:
             outputStructType=SCD2_OUTPUT,
             stateStructType=SCD2_STATE,
             outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+SCD2_CURRENT_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from_us", LongType()),
+        # two segments of one user CAN share valid_from_us (same-ts
+        # events, different event_id, split across a batch boundary) —
+        # the change row's event_id makes "latest emission" a total
+        # order for the sink-side fold
+        StructField("from_event_id", LongType()),
+    ]
+)
+
+
+def scd2_current_stream(events: DataFrame) -> DataFrame:
+    """The live dimension-table view of the SCD2 build: per user, the
+    OPEN validity interval (type + valid_from of the segment the user is
+    currently in), re-emitted update-mode whenever it changes. Shares
+    the chain/state logic (and the state schema, so a checkpoint serves
+    either view) with ``scd2_stream``; the two differ only in which side
+    of the closed/open divide they emit. State is O(users); per-batch
+    output is O(active users)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_scd2_current,
+            outputStructType=SCD2_CURRENT_OUTPUT,
+            stateStructType=SCD2_STATE,
+            outputMode="update",
             timeoutConf="NoTimeout",
         )
     )

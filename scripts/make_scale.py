@@ -11,6 +11,15 @@ the same per-replica offset as its parent (orderkey, custkey, partkey,
 suppkey, user_id). region/nation are fixed-cardinality dimensions and
 are NOT replicated (duplicating them would corrupt the dim joins).
 
+Second-level scale-ups (e.g. sf100 = sf10 x 10) must pass --key-scale
+so the per-replica offsets clear the already-offset key ranges of the
+source: sf10's max custkey is ~99 x 100_000 + base, so scaling it
+again with the raw offsets would collide replica keys. --key-scale 100
+multiplies every offset by 100 (the source's own replica count),
+keeping the composed key spaces disjoint. --tables restricts output to
+a subset (a TPC-H-only sf100 is ~16 GB; documents/embeddings add
+little to the join-ledger probe but gigabytes of regexp work).
+
 Two columns are additionally PERTURBED per replica, deterministically,
 so similarity structure scales the way a real corpus does:
 
@@ -93,21 +102,29 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/testdata_sf1")
     ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--key-scale", type=int, default=1)
+    ap.add_argument("--tables", default=None, help="comma-separated subset")
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
+    off = {k: v * args.key_scale for k, v in OFF.items()}
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
     for t in COPY_AS_IS:
+        if only is not None and t not in only:
+            continue
         con.execute(
             f"COPY (SELECT * FROM '{args.src}/{t}.parquet') "
             f"TO '{args.dst}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(t, "copied")
     for t, tmpl in REPLICATED.items():
+        if only is not None and t not in only:
+            continue
         # EXCLUDE the replica counter from the output: a bare SELECT *
         # over the cross join leaks r.i as a trailing column (caught in
         # round 6 when a second-level scale-up hit the ambiguous name)
-        body = tmpl.format(**OFF).replace("SELECT * ", "SELECT t.* ").replace(
+        body = tmpl.format(**off).replace("SELECT * ", "SELECT t.* ").replace(
             "FROM t", f"FROM '{args.src}/{t}.parquet' t, range({args.n}) r(i)"
         )
         con.execute(

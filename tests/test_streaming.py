@@ -582,3 +582,76 @@ def test_scd2_stream_closes_intervals_across_restart(spark, tmp_path):
         (2, "signup", us("2024-01-01 00:05:00"), us("2024-01-01 00:40:00")),
         (2, "purchase", us("2024-01-01 00:40:00"), us("2024-01-01 01:00:00")),
     }
+
+
+def test_scd2_current_stream_recovers_open_segment_start(spark, tmp_path):
+    """The CURRENT-view twin must carry the open segment's start across
+    a restart: a user whose post-restart rows have the SAME type as the
+    pre-kill open interval must keep the pre-kill valid_from (state
+    loss would restart the segment at the new batch's first ts). The
+    emissions land in an append log (the production shape for an
+    update stream without an update-capable sink) and the latest row
+    per user is recovered with the same deterministic
+    (valid_from_us, from_event_id) max the registered query uses."""
+    import pandas as pd
+
+    in_dir, ck = str(tmp_path / "ev_landing"), str(tmp_path / "ev_ckpt")
+    out_dir = str(tmp_path / "cur_out")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def ts(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    batch1 = [
+        (1, ts("2024-01-01 00:00:00"), 1, "view"),
+        (2, ts("2024-01-01 00:20:00"), 1, "click"),
+        (3, ts("2024-01-01 00:07:00"), 3, "browse"),
+    ]
+    batch2 = [
+        # same type as user 3's open interval: valid_from must stay 00:07
+        (4, ts("2024-01-01 00:45:00"), 3, "browse"),
+        # new type for user 1: segment restarts at 00:30
+        (5, ts("2024-01-01 00:30:00"), 1, "view"),
+    ]
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+
+        def sink(bdf, _bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            streaming.scd2_current_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        log = spark.read.parquet(out_dir)
+        latest = log.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("valid_from_us", "event_type"),
+                F.struct("valid_from_us", "from_event_id"),
+            ).alias("cur")
+        )
+        return {
+            (r.user_id, r.cur.event_type, r.cur.valid_from_us)
+            for r in latest.collect()
+        }
+
+    us = lambda s: int(pd.Timestamp(s).value // 1000)  # noqa: E731
+    got1 = drain(batch1)
+    assert got1 == {
+        (1, "click", us("2024-01-01 00:20:00")),
+        (3, "browse", us("2024-01-01 00:07:00")),
+    }
+    got2 = drain(batch2)
+    assert got2 == {
+        (1, "view", us("2024-01-01 00:30:00")),
+        (3, "browse", us("2024-01-01 00:07:00")),  # pre-kill start kept
+    }
