@@ -2303,18 +2303,26 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     Substitution: "late" (pristine l_receiptdate > l_commitdate) becomes
     l_shipdate > o_orderdate + 60 days.
 
-    Physical strategy: both correlated probes FOLD INTO ONE PER-ORDER
-    AGGREGATE instead of running as semi + anti joins. For a late line
-    of supplier s on order o: EXISTS another supplier's line on o
+    Physical strategy: both correlated probes AND the waiting
+    supplier's identity fold into ONE PER-ORDER AGGREGATE, so the
+    600M-row joined-lines frame is consumed exactly once. For a late
+    line of supplier s on order o: EXISTS another supplier's line on o
     <=> countDistinct(suppkey) >= 2, and NOT EXISTS another supplier's
     late line <=> countDistinct(suppkey WHERE late) == 1 (s itself is
-    late, so "exactly one late supplier" means "only s"). The stats agg
-    and the qualifying semi join both key on l_orderkey, so the joined
-    lines frame shuffles ONCE and every downstream step reuses that
-    partitioning — versus three orderkey shuffles for the semi + anti
-    form (measured 2.39 -> 2.00 s at sf1, value-identical; the gap
-    widens with fact size since the probes re-shuffle the whole fact).
-    Nation pruning broadcasts ~1/25 of suppliers. Top-100 runs as
+    late, so "exactly one late supplier" means "only s") — and under
+    that n_late == 1 predicate, max(when(late, suppkey)) IS the
+    waiting supplier, and max(when(late, late_lines)) its line-granular
+    wait count (q21 counts l1 ROWS, so a supplier with two late lines
+    on one order waits twice; the per-pair line count carries that
+    through the dedup agg). The previous shape re-joined the late
+    lines against the per-order stats with a semi join, which
+    re-executed the lineitem⋈F-orders join as a second consumer —
+    at sf100 that plus the 145M-row probe was the difference between
+    246 s and the single-pass form (interleaved A/B in BASELINE.md).
+    The pair agg and the order agg both cluster on l_orderkey, so the
+    one exchange that feeds the join serves every downstream step.
+    Nation pruning broadcasts ~1/25 of suppliers POST-aggregation
+    (|qualifying orders| rows, not |late lines|). Top-100 runs as
     TakeOrderedAndProject with suppkey tiebreak.
     """
     orders = read_table(spark, sf_dir, "orders").filter(
@@ -2337,11 +2345,18 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggs map-side partial (interleaved A/B: 10.81 -> 7.47 s at sf10,
     # 1.96 -> 1.81 at sf1, value-identical)
     pairs = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late")
+        F.max("late").alias("late"),
+        F.sum(F.col("late").cast("int")).alias("late_lines"),
     )
-    stats = pairs.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.col("late").cast("int")).alias("n_late"),
+    qualifying = (
+        pairs.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("late").cast("int")).alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+            F.max(F.when(F.col("late"), F.col("late_lines"))).alias("wait_lines"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     nat4_supp = F.broadcast(
         read_table(spark, sf_dir, "supplier")
@@ -2356,15 +2371,9 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        lines.filter(F.col("late"))
-        .join(nat4_supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(
-            stats.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-            "l_orderkey",
-            "left_semi",
-        )
-        .groupBy(F.col("l_suppkey").alias("s_suppkey"), F.col("s_name").alias("s_name"))
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        qualifying.join(nat4_supp, F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum("wait_lines").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(100)
     )

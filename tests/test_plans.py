@@ -613,19 +613,21 @@ def test_q4_decorrelates_without_semi_shuffle(spark):
     assert "HashAggregate" in plan, plan[:3000]
 
 
-def test_q21_probes_fold_into_one_stats_agg(spark):
-    """tpch_q21: the EXISTS / NOT EXISTS probes fold into one per-order
-    countDistinct stats aggregate joined back semi on orderkey — no
-    cartesian/nested-loop expansion, no anti join re-shuffling the fact,
-    and the top-100 runs as TakeOrderedAndProject."""
+def test_q21_single_pass_over_the_fact(spark):
+    """tpch_q21: the EXISTS / NOT EXISTS probes AND the waiting
+    supplier's identity fold into one per-order aggregate, so the
+    lineitem⋈orders frame is consumed exactly ONCE — one lineitem scan,
+    no semi/anti join re-walking the fact, no cartesian/nested-loop
+    expansion, top-100 as TakeOrderedAndProject."""
     from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
 
     plan = physical_plan(QUERIES["tpch_q21_suppliers_kept_waiting"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
-    assert "LeftSemi" in plan, plan[:3000]
+    assert "LeftSemi" not in plan, plan[:3000]
     assert "LeftAnti" not in plan, plan[:3000]
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
 
 
 def test_q17_avg_threshold_reuses_partkey_partitioning(spark):
