@@ -51,6 +51,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle at 8x the target parallelism and let AQE
+        # coalesce back down. shuffle.partitions pinned at ~cores makes
+        # per-task sort/agg payloads grow LINEARLY with data — at sf100
+        # q21's 600M-row join sorts ~9M rows/task and spills (the whole
+        # query was spill-bound: interleaved A/B 106 -> 40 s; q18
+        # 72 -> 49 s). Small shuffles coalesce to the same post-AQE
+        # sizes either way, so sf0.1/sf1 are unharmed (ABBA A/Bs over
+        # the 10-query bench slice: 9.81 -> 9.48 s and 23.60 -> 22.75 s
+        # — BASELINE.md round-6). On a real cluster this is the same
+        # recipe the AQE docs prescribe: initialPartitionNum well above
+        # cores, advisory size doing the sizing.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INIT_PARTITIONS",
+                str(8 * (shuffle_partitions or max(cpus, 8))),
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Spark's default 10m STATIC broadcast threshold, kept on purpose:
         # raising it to 64m made Catalyst statically broadcast any dim
