@@ -643,6 +643,18 @@ def train_centroids_portable(
     if not sample:
         raise ValueError("empty corpus: cannot train a quantizer")
     m = np.stack([r["v"] for r in sample]).astype("float64")
+    return _portable_lloyd(m, n_cells, iters)
+
+
+def _portable_lloyd(m, n_cells: int, iters: int):
+    """The engine-portable Lloyd loop shared by
+    ``train_centroids_portable`` (IVF coarse quantizer) and
+    ``train_pq_codebooks_portable`` (per-subspace PQ codebooks):
+    lowest-row-order init, argmin squared-L2 with ties to the lowest
+    cid, member-mean update rounded HALF-UP to 6 decimals (= F.round /
+    DuckDB ROUND), empty clusters drop with surviving cids keeping
+    their original labels. Returns ``(cids, centroids)``."""
+    import numpy as np  # noqa: PLC0415
 
     def round_half_up_6(x: "np.ndarray") -> "np.ndarray":
         return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
@@ -663,6 +675,234 @@ def train_centroids_portable(
         cids = new_cids
         cents = np.stack(new_cents)
     return np.asarray(cids, dtype="int64"), cents
+
+
+def train_pq_codebooks_portable(
+    corpus: DataFrame,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 20000,
+):
+    """Product-quantization codebook training, engine-portable so the
+    whole PQ pipeline (``pq_topk``) sits under the value-level DuckDB
+    oracle: the vector space splits into ``m_sub`` contiguous equal
+    subspaces and each trains an independent ``n_codes``-codeword
+    quantizer with the SAME portable Lloyd loop the IVF oracle already
+    replicates (``_portable_lloyd``: lowest-id init, lowest-cid ties,
+    6dp half-up centroid rounding, fixed ``iters``).
+
+    The sample is collected ONCE (bounded by contract: the
+    ``train_sample`` lowest-id vectors — codebook quality saturates far
+    below corpus size) and sliced per subspace driver-side; training
+    cost never touches the full corpus. Returns a list of
+    ``(cids, centroids)`` pairs, one per subspace in order.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    sample = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(train_sample)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("empty corpus: cannot train PQ codebooks")
+    m = np.stack([r["v"] for r in sample]).astype("float64")
+    dim = m.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible into {m_sub} subspaces")
+    sub = dim // m_sub
+    return [
+        _portable_lloyd(m[:, j * sub : (j + 1) * sub], n_codes, iters)
+        for j in range(m_sub)
+    ]
+
+
+def _dot_cols(a, b):
+    """Sequential index-order dot product over two array<double>
+    Columns — the Column-argument form of the ``DOT`` template, same
+    fold order as DuckDB's ``list_dot_product`` (proven bit-stable by
+    the cosine/IVF/PCA oracle rows)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    codebooks=None,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    n_cand: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_rows: list | None = None,
+    max_q: int = 4096,
+    train_sample: int = 20000,
+) -> DataFrame:
+    """Product-quantization ANN: encode every corpus vector as ``m_sub``
+    small codes (one per subspace, 1 byte each at n_codes<=256 — a
+    64-dim f32 vector compresses 256 B -> 4 B), scan the CODES with a
+    per-query ADC (asymmetric distance computation) lookup table to
+    pick ``n_cand`` candidates, then exact-cosine rescore only those.
+    This is the classic Jegou et al. 2011 serving shape and the memory-
+    bound complement to IVF's compute cut: at 100 TB the ADC scan reads
+    the 4-byte code column instead of the 256-byte vector column — a
+    ~60x scan-bandwidth cut — and the full vectors are touched only for
+    |Q| x n_cand candidate rows.
+
+    Scale/exactness split, mirroring ``brute_topk``:
+
+    - the Arrow ``mapInPandas`` pass encodes each corpus batch against
+      the broadcast codebooks (one GEMM per subspace), folds the ADC
+      scores through the per-query numpy LUT, and emits only each
+      query's per-batch top-(n_cand+8) candidate ids — the margin
+      absorbs numpy-vs-JVM float-associativity noise at the candidate
+      boundary;
+    - the CANDIDATE ranking recomputes the ADC score in the JVM with
+      the exact term order the DuckDB oracle uses (per-subspace
+      ``ldp(s,s) - 2*ldp(s,c) + ldp(c,c)``, left-associative sum over
+      subspaces, codeword fetched from a literal cid->centroid map), so
+      the kept candidate set is engine-reproducible;
+    - the final top-``k`` is an exact JVM cosine over the candidates'
+      full vectors (carried through the Arrow pass — no corpus
+      join-back), ties to the lowest candidate id.
+
+    The query side is bounded by the same ``max_q`` broadcast contract
+    as ``brute_topk`` (fixed-size by construction, loud failure
+    otherwise). Recall vs brute force is gated in tests; the VALUE
+    oracle (queries/llm_ops._pq_sql) unrolls training + encoding + ADC
+    + rescore choice-for-choice.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks_portable(
+            corpus, m_sub, n_codes, iters, id_col, vec_col, train_sample
+        )
+    m_sub = len(codebooks)
+    cents = [np.asarray(c, dtype="float64") for _, c in codebooks]
+    cid_arrs = [np.asarray(cid, dtype="int64") for cid, _ in codebooks]
+    sub = cents[0].shape[1]
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    if q_rows is None:
+        q_rows = q.limit(max_q + 1).collect()
+    if len(q_rows) > max_q:
+        raise ValueError(
+            f"pq_topk query set has {len(q_rows)} rows, over the "
+            f"max_q={max_q} broadcast bound — pass a fixed-size query "
+            "frame (LIMIT by construction) or chunk and union"
+        )
+    q_ids = np.array([r["q_id"] for r in q_rows], dtype="int64")
+    q_mat = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
+    # per-subspace ADC lookup tables: |Q| x n_codes squared-L2 partials
+    luts = []
+    for j in range(m_sub):
+        qs = q_mat[:, j * sub : (j + 1) * sub]
+        luts.append(
+            (qs * qs).sum(axis=1)[:, None]
+            - 2.0 * (qs @ cents[j].T)
+            + (cents[j] * cents[j]).sum(axis=1)[None, :]
+        )
+    n_take = n_cand + 8
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf["c_vec"].to_numpy()
+            m = np.stack(vecs).astype("float64")
+            ids = pdf["c_id"].to_numpy()
+            adc = np.zeros((len(q_ids), len(ids)))
+            code_cols = []
+            for j in range(m_sub):
+                ms = m[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (ms * ms).sum(axis=1)[:, None]
+                    - 2.0 * (ms @ cents[j].T)
+                    + (cents[j] * cents[j]).sum(axis=1)[None, :]
+                )
+                pos = d2.argmin(axis=1)  # first min = lowest cid on ties
+                code_cols.append(cid_arrs[j][pos])
+                adc += luts[j][:, pos]
+            adc[q_ids[:, None] == ids[None, :]] = np.inf  # self-matches
+            take = min(n_take, adc.shape[1])
+            top = np.argpartition(adc, take - 1, axis=1)[:, :take].reshape(-1)
+            out = {
+                "q_id": np.repeat(q_ids, take),
+                "c_id": ids[top],
+                "c_vec": [vecs[j] for j in top],
+            }
+            for j in range(m_sub):
+                out[f"k{j}"] = code_cols[j][top]
+            yield pd.DataFrame(out)
+
+    schema = "q_id long, c_id long, c_vec array<float>, " + ", ".join(
+        f"k{j} int" for j in range(m_sub)
+    )
+    cand = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    ).mapInPandas(adc_scan, schema)
+
+    # JVM ADC re-rank: exact oracle term order, codewords from literal
+    # cid -> centroid maps (cids survive empty-cluster drop-out)
+    cb_maps = [
+        F.map_from_arrays(
+            F.array(*[F.lit(int(c)) for c in cid_arrs[j]]),
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in row])
+                    for row in cents[j]
+                ]
+            ),
+        )
+        for j in range(m_sub)
+    ]
+    q_d = F.col("q_vec").cast("array<double>")
+    adc_col = None
+    for j in range(m_sub):
+        s_j = F.slice(q_d, j * sub + 1, sub)
+        c_j = F.element_at(cb_maps[j], F.col(f"k{j}"))
+        term = (
+            _dot_cols(s_j, s_j)
+            - F.lit(2.0) * _dot_cols(s_j, c_j)
+            + _dot_cols(c_j, c_j)
+        )
+        adc_col = term if adc_col is None else adc_col + term
+    pairs = (
+        cand.join(F.broadcast(q), "q_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("adc", adc_col)
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id").asc())
+    shortlist = pairs.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= n_cand
+    )
+    sim = F.expr(DOT.format(a="q_vec", b="c_vec")) / (
+        F.sqrt(F.expr(DOT.format(a="q_vec", b="q_vec")))
+        * F.sqrt(F.expr(DOT.format(a="c_vec", b="c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        shortlist.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", F.round("sim", 6).alias("cosine_sim"))
+    )
 
 
 def kmeans_cells(

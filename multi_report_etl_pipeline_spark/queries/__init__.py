@@ -8,7 +8,7 @@ ROTATION POLICY (the driver audit window)
 
 The verification driver audits the registry in iteration order and caps
 at ``DRIVER_AUDIT_CAP`` (50) entries per round; entries past the cap get
-no driver CORRECTNESS row that round. The registry holds 156 queries —
+no driver CORRECTNESS row that round. The registry holds 160 queries —
 more than 3 windows' worth — so window membership is ROTATED each round
 under these rules, in priority order:
 
@@ -44,10 +44,18 @@ Round-6 window derivation:
 - rule 2: emb_blocked_near_dup (the near-dup scale path that replaced
   the retired quadratic emb_near_dup_pairs registry entry), plus the
   10-query TPC-H completion batch (q4/q7/q8/q12/q13/q15/q17/q19/q21/
-  q22 — every remaining dbgen query expressible without partsupp).
+  q22 — every remaining dbgen query expressible without partsupp),
+  plus the late-round additions emb_pq_topk (product-quantization ANN
+  under the full training-unrolled oracle), docs_heavy_terms
+  (Misra-Gries + exact-verify heavy hitters), docs_lang_divergence
+  (TV-distance drift in exact integer arithmetic).
 - rule 3: the 25 round-5 additions the round-5 window couldn't hold
   (judge-validated 25/25 OK in VERDICT.md round 5; driver rows this
-  round).
+  round) — minus docs_dedup_sample, docs_minhash_estimate and
+  orders_price_ntiles, pushed to the round-7 overflow when the three
+  late rule-2 additions landed (their families stay represented:
+  docs_minhash_near_dup, orders_running_balance/trailing_30d are
+  in-window; all three remain pytest-oracle-checked every round).
 - rule 5: 14 round-5-green keeps, one per §2.9 extension family where
   possible (ER, float-agg, SimHash, SemDeDup, LM-quality, DSIR, int8
   ANN, BPE, in-engine training, PCA, decontamination, HLL, histogram
@@ -121,13 +129,10 @@ _WINDOW = (
     "customer_abc_analysis",
     "docs_hashed_ngram_logreg",
     "docs_canonical_selection",
-    "docs_dedup_sample",
-    "docs_minhash_estimate",
     "docs_substring_clean",
     "orders_quality_checks",
     "orders_first_last_nth",
     "orders_trailing_30d_stats",
-    "orders_price_ntiles",
     "orders_running_balance",
     "events_hourly_unique_users",
     "events_hourly_top_users",
@@ -151,6 +156,14 @@ _WINDOW = (
     "orders_column_profile",
     "streaming_user_scd2",
     "streaming_user_scd2_current",
+    # rule 2 — late round-6 additions (PQ ANN, MG heavy hitters,
+    # TV-distance drift); seats freed by pushing three rule-3 entries
+    # (docs_dedup_sample, docs_minhash_estimate, orders_price_ntiles —
+    # all judge-green r5, families still represented in-window) to the
+    # round-7 overflow
+    "emb_pq_topk",
+    "docs_heavy_terms",
+    "docs_lang_divergence",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)

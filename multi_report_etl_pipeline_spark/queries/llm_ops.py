@@ -1463,6 +1463,174 @@ QUERIES.update(
 )
 
 
+_PQ_SUBS, _PQ_CODES, _PQ_ITERS, _PQ_SAMPLE, _PQ_CAND = 8, 64, 2, 20000, 100
+
+
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): 8 subspaces x 64
+    codewords trained by the portable Lloyd loop, corpus encoded to 8
+    small codes per vector, ADC-scanned for 100 candidates per query,
+    exact-cosine rescored to top-10 (0.92 mean recall on the worst-case
+    near-random fixture; 4x16/50 measured 0.52). The compressed-scan
+    complement to emb_ivf_topk's probe cut and emb_int8_topk's
+    per-vector quantization: the ADC pass reads ~8 B/vector instead of
+    256 B, and the candidate count is ABSOLUTE (100 per query at any
+    corpus size, not a fraction). The
+    ENTIRE pipeline — subspace codebook training included — is under
+    the value-level DuckDB oracle (_pq_sql unrolls per-subspace
+    training, encoding, ADC candidate ranking and the rescore); mean
+    top-10 recall vs brute force is additionally gated in
+    tests/test_llm_ops.py. Query set bounded by the same LIMIT-by-
+    construction broadcast contract as emb_cosine_topk."""
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_TOPK_MAX_Q)
+    )
+    key = ("pq_codebooks", sf_dir)
+    if key not in _CONSTRUCT_CACHE:
+        _CONSTRUCT_CACHE[key] = similarity.train_pq_codebooks_portable(
+            emb,
+            m_sub=_PQ_SUBS,
+            n_codes=_PQ_CODES,
+            iters=_PQ_ITERS,
+            train_sample=_PQ_SAMPLE,
+        )
+    return similarity.pq_topk(
+        emb,
+        queries,
+        k=10,
+        codebooks=_CONSTRUCT_CACHE[key],
+        n_cand=_PQ_CAND,
+        max_q=_TOPK_MAX_Q,
+    )
+
+
+def _pq_sql(
+    m_sub: int = _PQ_SUBS,
+    n_codes: int = _PQ_CODES,
+    iters: int = _PQ_ITERS,
+    train_sample: int = _PQ_SAMPLE,
+    n_cand: int = _PQ_CAND,
+    k: int = 10,
+) -> str:
+    """Unroll the ENTIRE PQ pipeline as one DuckDB query, mirroring
+    train_pq_codebooks_portable + pq_topk choice-for-choice: per
+    subspace, the id-ordered LIMIT sample / lowest-id init / ``iters``
+    Lloyd rounds with 6dp half-up rounding and lowest-cid ties (the
+    _ivf_sql technique applied to each slice), then full-corpus
+    encoding, per-(query, codeword) ADC partials with the exact
+    ``ldp(s,s) - 2*ldp(s,c) + ldp(c,c)`` term order the JVM re-rank
+    uses, candidate rank by (adc ASC, c_id ASC), exact-cosine rescore
+    by (sim DESC, c_id ASC). Subspace slice bounds derive from the
+    data (``len(v) // m_sub``), never hard-coded."""
+
+    def sl(j: int) -> str:
+        return (
+            f"v[({j} * (len(v) // {m_sub}) + 1)"
+            f":({j + 1} * (len(v) // {m_sub}))]"
+        )
+
+    def dist(row: str, cent: str) -> str:
+        return (
+            f"list_dot_product({row}.v, {row}.v)"
+            f" - 2 * list_dot_product({row}.v, {cent}.c)"
+            f" + list_dot_product({cent}.c, {cent}.c)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"s AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {train_sample})",
+    ]
+    for j in range(m_sub):
+        parts += [
+            f"s{j} AS (SELECT vec_id, {sl(j)} AS v FROM s)",
+            f"init{j} AS (SELECT vec_id, v FROM s{j} ORDER BY vec_id"
+            f" LIMIT {n_codes})",
+            f"c{j}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,"
+            f" v AS c FROM init{j})",
+        ]
+        for t in range(1, iters + 1):
+            parts.append(
+                f"a{j}_{t} AS (SELECT vec_id, cid FROM ("
+                f"SELECT s{j}.vec_id, c.cid, ROW_NUMBER() OVER ("
+                f"PARTITION BY s{j}.vec_id ORDER BY {dist(f's{j}', 'c')}, c.cid)"
+                f" AS rn FROM s{j} CROSS JOIN c{j}_{t - 1} AS c) WHERE rn = 1)"
+            )
+            parts.append(
+                f"c{j}_{t} AS (SELECT cid, list(m ORDER BY i) AS c FROM ("
+                f"SELECT cid, i, ROUND(AVG(x), 6) AS m FROM ("
+                f"SELECT a{j}_{t}.cid, generate_subscripts(s{j}.v, 1) AS i,"
+                f" unnest(s{j}.v) AS x"
+                f" FROM a{j}_{t} JOIN s{j} USING (vec_id))"
+                f" GROUP BY cid, i) GROUP BY cid)"
+            )
+        parts += [
+            f"e{j} AS (SELECT vec_id, {sl(j)} AS v FROM e)",
+            f"enc{j} AS (SELECT vec_id, cid FROM ("
+            f"SELECT e{j}.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY e{j}.vec_id ORDER BY {dist(f'e{j}', 'c')}, c.cid)"
+            f" AS rn FROM e{j} CROSS JOIN c{j}_{iters} AS c) WHERE rn = 1)",
+        ]
+    enc_joins = " ".join(f"JOIN enc{j} USING (vec_id)" for j in range(m_sub))
+    enc_cols = ", ".join(f"enc{j}.cid AS k{j}" for j in range(m_sub))
+    parts.append(
+        f"enc AS (SELECT e.vec_id, {enc_cols} FROM e {enc_joins})"
+    )
+    parts.append(
+        "q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0"
+        f" ORDER BY vec_id LIMIT {_TOPK_MAX_Q})"
+    )
+    for j in range(m_sub):
+        parts += [
+            f"q{j} AS (SELECT q_id, {sl(j)} AS v FROM q)",
+            f"lut{j} AS (SELECT q{j}.q_id, c.cid,"
+            f" {dist(f'q{j}', 'c')} AS pd"
+            f" FROM q{j} CROSS JOIN c{j}_{iters} AS c)",
+        ]
+    adc = " + ".join(f"l{j}.pd" for j in range(m_sub))
+    lut_joins = "JOIN lut0 l0 ON l0.cid = enc.k0 " + " ".join(
+        f"JOIN lut{j} l{j} ON l{j}.cid = enc.k{j} AND l{j}.q_id = l0.q_id"
+        for j in range(1, m_sub)
+    )
+    parts.append(
+        f"cand AS (SELECT q_id, c_id FROM ("
+        f"SELECT l0.q_id, enc.vec_id AS c_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY l0.q_id ORDER BY {adc} ASC, enc.vec_id ASC) AS rn"
+        f" FROM enc {lut_joins}"
+        f" WHERE enc.vec_id <> l0.q_id) WHERE rn <= {n_cand})"
+    )
+    parts.append(
+        "sims AS (SELECT cand.q_id, cand.c_id,"
+        " list_dot_product(qv.v, e.v)"
+        " / (sqrt(list_dot_product(qv.v, qv.v))"
+        " * sqrt(list_dot_product(e.v, e.v))) AS sim"
+        " FROM cand JOIN q AS qv USING (q_id)"
+        " JOIN e ON e.vec_id = cand.c_id)"
+    )
+    tail = f"""SELECT q_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+            AS INTEGER) AS rank,
+       c_id,
+       ROUND(sim, 6) AS cosine_sim
+FROM sims
+QUALIFY rank <= {k}"""
+    # MATERIALIZED: with default CTE inlining DuckDB's join-order
+    # planner sees every subspace training chain duplicated under the
+    # 8-lut candidate join and blows up combinatorially (the plain form
+    # did not finish in 240 s at sf0.001; materialized runs in ~2 s).
+    parts = [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+QUERIES.update(
+    {
+        "emb_pq_topk": QuerySpec(emb_pq_topk, _pq_sql()),
+    }
+)
+
+
 # ----------------------------------------------- repetition / clustering ---
 
 
@@ -3511,6 +3679,146 @@ QUERIES.update(
     {
         "events_hourly_unique_users": QuerySpec(
             events_hourly_unique_users, HOURLY_UNIQUES_SQL
+        ),
+    }
+)
+
+
+# ------------------------------------------------- exact heavy hitters ---
+
+
+def docs_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter terms (count > 0.2% of all token occurrences)
+    via bounded-state Misra-Gries candidates + exact verify
+    (operators/frequent.py) — the shuffle-free-keyspace alternative to
+    a full groupBy-HAVING: per-partition sketch state <= capacity
+    counters, then ONE candidate-tagged counting pass whose aggregate
+    holds <= candidates+1 groups. Output is EXACT (integer cross-
+    multiplication threshold, no division), so it sits under the full
+    value oracle; the sketch only proposes a superset. The fixture's
+    31-token vocabulary cannot force MG pruning (capacity 1000) — the
+    planted-skew property test in tests/test_frequent.py exercises the
+    decrement path and the superset guarantee at cardinality >>
+    capacity."""
+    from multi_report_etl_pipeline_spark.operators import frequent  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    tok = docs.select(F.explode(text.words("text")).alias("token"))
+    return frequent.heavy_hitters(tok, "token", k_inv=500, capacity=1000)
+
+
+HEAVY_TERMS_SQL = f"""
+WITH tok AS (SELECT unnest({_WORDS}) AS token FROM documents),
+t AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1)
+SELECT token, cnt FROM t WHERE cnt * 500 > (SELECT COUNT(*) FROM tok)
+"""
+
+
+QUERIES.update(
+    {
+        "docs_heavy_terms": QuerySpec(docs_heavy_terms, HEAVY_TERMS_SQL),
+    }
+)
+
+
+# --------------------------------------------- distribution divergence ---
+
+
+def docs_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor: per-language total-variation distance
+    between the language's unigram distribution and the corpus-wide
+    one, plus the single most-drifted token — the slice-vs-corpus drift
+    check a training-data pipeline runs before reweighting a mixture.
+
+    TV = 0.5 * sum_t |p_l(t) - p(t)| is computed in EXACT integer
+    arithmetic (|c_lt * n - c_t * n_l| — cross-multiplied, no division
+    until the final rounded emit), so the result is bit-reproducible
+    and sits under the full value oracle; log-based divergences (KL)
+    would put libm inside the hash. int64 headroom: the products stay
+    under 2^63 through sf100-scale corpora (~1e7 tokens squared =
+    1e14); a deployment beyond that flips the same expressions to
+    DOUBLE, trading bitwise oracle equality for scale — divergence is a
+    statistic, not an accounting number.
+
+    100 TB shape: ONE explode + partial-agg shuffle keyed
+    (lang, token); everything downstream (corpus counts, language
+    totals, the langs x vocab completion for tokens absent in a
+    language, the argmax) derives from that vocabulary-sized aggregate,
+    never rescanning the corpus."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    clt = (
+        docs.select("lang", F.explode(text.words("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c_lt"))
+    )
+    ct = clt.groupBy("token").agg(F.sum("c_lt").alias("c_t"))
+    nl = clt.groupBy("lang").agg(F.sum("c_lt").alias("n_l"))
+    n = F.sum("c_t").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    full = (
+        nl.crossJoin(ct.withColumn("n", n))
+        .join(clt, ["lang", "token"], "left")
+        .withColumn("c_lt", F.coalesce("c_lt", F.lit(0)))
+        .withColumn(
+            "drift",
+            F.abs(F.col("c_lt") * F.col("n") - F.col("c_t") * F.col("n_l")),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("drift").desc(), F.col("token").asc()
+    )
+    return (
+        full.withColumn("rn", F.row_number().over(w))
+        .groupBy("lang")
+        .agg(
+            F.max("n_l").alias("n_tokens"),
+            F.round(
+                F.sum("drift").cast("double")
+                / (F.lit(2.0) * F.max("n_l") * F.max("n")),
+                6,
+            ).alias("tv_distance"),
+            F.max(F.when(F.col("rn") == 1, F.col("token"))).alias(
+                "top_drift_token"
+            ),
+        )
+    )
+
+
+LANG_DIVERGENCE_SQL = f"""
+WITH tok AS (SELECT lang, unnest({_WORDS}) AS token FROM documents),
+clt AS (SELECT lang, token, COUNT(*) AS c_lt FROM tok GROUP BY 1, 2),
+ct AS (SELECT token, CAST(SUM(c_lt) AS BIGINT) AS c_t FROM clt GROUP BY 1),
+nl AS (SELECT lang, CAST(SUM(c_lt) AS BIGINT) AS n_l FROM clt GROUP BY 1),
+n AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct),
+filled AS (
+    SELECT nl.lang, ct.token, nl.n_l, ct.c_t, n.n,
+           COALESCE(clt.c_lt, 0) AS c_lt,
+           ABS(COALESCE(clt.c_lt, 0) * n.n - ct.c_t * nl.n_l) AS drift
+    FROM nl CROSS JOIN ct CROSS JOIN n
+    LEFT JOIN clt ON clt.lang = nl.lang AND clt.token = ct.token
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY drift DESC, token ASC) AS rn
+    FROM filled
+)
+SELECT lang,
+       MAX(n_l) AS n_tokens,
+       ROUND(CAST(CAST(SUM(drift) AS BIGINT) AS DOUBLE) / (2.0 * MAX(n_l) * MAX(n)), 6)
+           AS tv_distance,
+       MAX(CASE WHEN rn = 1 THEN token END) AS top_drift_token
+FROM ranked
+GROUP BY lang
+"""
+
+
+QUERIES.update(
+    {
+        "docs_lang_divergence": QuerySpec(
+            docs_lang_divergence, LANG_DIVERGENCE_SQL
         ),
     }
 )

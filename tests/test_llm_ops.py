@@ -290,6 +290,68 @@ def test_ivf_topk_recall_vs_brute(spark):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
+def test_pq_topk_recall_vs_brute(spark):
+    """PQ (8x64 codebooks, 100 ADC candidates — absolute, so 20% of
+    the 500-vector fixture but a vanishing fraction at scale) must
+    recover >=0.7 of the exact top-10 on average — near-random
+    embeddings are the worst case for subspace quantization (simulated:
+    0.92 at 8x64/100 vs 0.52 at 4x16/50); every emitted similarity is
+    exact (rescored), which the registry-wide oracle row already
+    pins."""
+    brute = QUERIES["emb_cosine_topk"].fn(spark, SF_DIR).collect()
+    pq = QUERIES["emb_pq_topk"].fn(spark, SF_DIR).collect()
+    brute_top10, pq_sets = {}, {}
+    for r in brute:
+        brute_top10.setdefault(r.q_id, set()).add(r.c_id)
+    for r in pq:
+        pq_sets.setdefault(r.q_id, set()).add(r.c_id)
+    assert set(brute_top10) == set(pq_sets)
+    recalls = [
+        len(brute_top10[q] & pq_sets[q]) / len(brute_top10[q]) for q in brute_top10
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_pq_codebook_shapes(spark):
+    """Codebook training: m_sub independent (cids, centroids) pairs,
+    each <= n_codes codewords of dim/m_sub width; cids ascend (survivor
+    labels keep their original ids through empty-cluster drop-out)."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.similarity import (
+        train_pq_codebooks_portable,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    books = train_pq_codebooks_portable(emb, m_sub=4, n_codes=16, iters=2)
+    assert len(books) == 4
+    for cids, cents in books:
+        assert cents.shape[1] == 16  # 64 / 4
+        assert 1 <= len(cids) <= 16
+        assert list(cids) == sorted(cids)
+        assert len(cids) == cents.shape[0]
+
+
+def test_pq_full_candidate_set_is_exact(spark):
+    """With n_cand >= corpus size the ADC prune cannot drop anything, so
+    PQ must return the brute-force result EXACTLY (same ids, same
+    rounded sims) — pins the rescore path independently of codebook
+    quality."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks_portable,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter((emb.vec_id % 100) == 0).orderBy("vec_id").limit(500)
+    books = train_pq_codebooks_portable(emb, m_sub=4, n_codes=8, iters=1)
+    pq = pq_topk(emb, queries, k=10, codebooks=books, n_cand=1000)
+    brute = QUERIES["emb_cosine_topk"].fn(spark, SF_DIR)
+    got = {(r.q_id, r.rank, r.c_id, r.cosine_sim) for r in pq.collect()}
+    want = {(r.q_id, r.rank, r.c_id, r.cosine_sim) for r in brute.collect()}
+    assert got == want
+
+
 def test_dedup_groups_are_consistent_with_pairs(spark):
     """Every near-dup pair lands in one group; groups are closed."""
     pairs = QUERIES["docs_ngram_jaccard"].fn(spark, SF_DIR).collect()
