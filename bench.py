@@ -78,6 +78,10 @@ HEADLINE = [
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_suppliers_kept_waiting",
+    # late round-6 additions
+    "emb_pq_topk",
+    "docs_heavy_terms",
+    "docs_lang_divergence",
 ]
 
 

@@ -673,3 +673,63 @@ def test_rfm_distributed_strategy_has_no_single_partition_exchange(spark):
         customer_rfm_segments(spark, SF_DIR, strategy="distributed")
     )
     assert "Exchange SinglePartition" not in plan, plan[:3000]
+
+
+def test_pq_topk_no_cartesian_and_bounded_final_ranks(spark):
+    """emb_pq_topk: the ADC scan is ONE Arrow pass over the corpus
+    (mapInPandas) feeding a BROADCAST join with the bounded query frame
+    — no cartesian/nested-loop join may appear, and the only window
+    ranks run over the per-query candidate shortlist."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["emb_pq_topk"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "MapInPandas" in plan, plan[:3000]
+
+
+def test_heavy_hitters_candidate_join_broadcasts(spark):
+    """docs_heavy_terms: the verify pass tags candidates through a
+    BROADCAST left join (candidate set is bounded by partitions x
+    capacity, never key-cardinality) and counts with a map-side partial
+    aggregate; the full key space must not hash-exchange — the only
+    shuffle of raw tokens allowed is none at all (tokens fold into
+    <= candidates+1 groups before the exchange)."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_heavy_terms"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "partial_count" in plan, plan[:3000]
+    # no hashpartitioning exchange keyed on the raw token column except
+    # the candidate distinct (whose input is the bounded MG output)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        key = m.group(1)
+        # allowed: fan_out's doc_id input spread (local-fixture
+        # parallelism lever), the MG candidate distinct on token
+        # (bounded by partitions x capacity), and the
+        # _groupingexpression = when(cand, token) fold key, exchanged
+        # AFTER the partial agg (<= candidates+1 groups per task)
+        assert (
+            "token" in key
+            or "_k" in key
+            or "_groupingexpression" in key
+            or "doc_id" in key
+        ), m.group(0)
+
+
+def test_lang_divergence_single_corpus_shuffle(spark):
+    """docs_lang_divergence: one explode + partial agg keyed
+    (lang, token) is the only corpus-sized exchange; corpus counts and
+    language totals re-aggregate the vocabulary-sized frame."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_lang_divergence"].fn(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:3000]
+    assert "Generate explode" in plan, plan[:3000]
+    # the explode feeds exactly one hash exchange (lang+token); every
+    # later exchange reprocesses the bounded aggregate
+    gen_pos = plan.index("Generate explode")
+    assert plan[:gen_pos].count("Generate explode") == 0
