@@ -8,7 +8,7 @@ ROTATION POLICY (the driver audit window)
 
 The verification driver audits the registry in iteration order and caps
 at ``DRIVER_AUDIT_CAP`` (50) entries per round; entries past the cap get
-no driver CORRECTNESS row that round. The registry holds 160 queries —
+no driver CORRECTNESS row that round. The registry holds 161 queries —
 more than 3 windows' worth — so window membership is ROTATED each round
 under these rules, in priority order:
 
@@ -48,14 +48,18 @@ Round-6 window derivation:
   plus the late-round additions emb_pq_topk (product-quantization ANN
   under the full training-unrolled oracle), docs_heavy_terms
   (Misra-Gries + exact-verify heavy hitters), docs_lang_divergence
-  (TV-distance drift in exact integer arithmetic).
+  (TV-distance drift in exact integer arithmetic), streaming_ann_topk
+  (the ANN serving loop: streamed query vectors answered per
+  micro-batch against the static int8 index via foreachBatch, same
+  value oracle as the batch twin).
 - rule 3: the 25 round-5 additions the round-5 window couldn't hold
   (judge-validated 25/25 OK in VERDICT.md round 5; driver rows this
-  round) — minus docs_dedup_sample, docs_minhash_estimate and
-  orders_price_ntiles, pushed to the round-7 overflow when the three
-  late rule-2 additions landed (their families stay represented:
-  docs_minhash_near_dup, orders_running_balance/trailing_30d are
-  in-window; all three remain pytest-oracle-checked every round).
+  round) — minus docs_dedup_sample, docs_minhash_estimate,
+  orders_price_ntiles and events_daily_type_unpivot, pushed to the
+  round-7 overflow when the four late rule-2 additions landed (their
+  families stay represented: docs_minhash_near_dup,
+  orders_running_balance/trailing_30d and the events window family are
+  in-window; all four remain pytest-oracle-checked every round).
 - rule 5: 14 round-5-green keeps, one per §2.9 extension family where
   possible (ER, float-agg, SimHash, SemDeDup, LM-quality, DSIR, int8
   ANN, BPE, in-engine training, PCA, decontamination, HLL, histogram
@@ -137,7 +141,6 @@ _WINDOW = (
     "events_hourly_unique_users",
     "events_hourly_top_users",
     "events_session_paths",
-    "events_daily_type_unpivot",
     "lineitem_grouping_sets",
     "streaming_quality_checks",
     # rule 2 — the round-6 TPC-H completion batch (new this round)
@@ -157,13 +160,14 @@ _WINDOW = (
     "streaming_user_scd2",
     "streaming_user_scd2_current",
     # rule 2 — late round-6 additions (PQ ANN, MG heavy hitters,
-    # TV-distance drift); seats freed by pushing three rule-3 entries
-    # (docs_dedup_sample, docs_minhash_estimate, orders_price_ntiles —
-    # all judge-green r5, families still represented in-window) to the
-    # round-7 overflow
+    # TV-distance drift, ANN serving loop); seats freed by pushing four
+    # rule-3 entries (docs_dedup_sample, docs_minhash_estimate,
+    # orders_price_ntiles, events_daily_type_unpivot — all judge-green
+    # r5, families still represented in-window) to the round-7 overflow
     "emb_pq_topk",
     "docs_heavy_terms",
     "docs_lang_divergence",
+    "streaming_ann_topk",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)

@@ -1653,3 +1653,40 @@ QUERIES.update(
         ),
     }
 )
+
+
+def streaming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of emb_int8_topk — the ANN SERVING loop: query
+    vectors arrive as a file stream and are answered per micro-batch
+    against the static int8-quantized corpus (the frozen index side,
+    fully distributed — nothing about the corpus crosses the driver).
+    foreachBatch runs the exact batch pipeline per arrival batch
+    (streaming.ann_serving_drain), so the drained union of per-batch
+    answers is bit-identical to the batch query and sits under the SAME
+    value oracle; per-batch independence (each query answered once, in
+    whichever batch it arrives) is additionally pinned by the two-file
+    split test in tests/test_streaming.py."""
+    from multi_report_etl_pipeline_spark import streaming  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.io import fan_out, read_table  # noqa: PLC0415
+
+    corpus = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    q_stream = streaming.read_embeddings_stream(spark, sf_dir).filter(
+        (F.col("vec_id") % 100) == 0
+    )
+    pdf = streaming.ann_serving_drain(q_stream, corpus, k=10)
+    return spark.createDataFrame(
+        pdf, schema="q_id long, rank int, c_id long, cosine_sim double"
+    )
+
+
+def _stream_ann_oracle_sql() -> str:
+    from multi_report_etl_pipeline_spark.queries import llm_ops  # noqa: PLC0415
+
+    return llm_ops.INT8_TOPK_SQL  # same oracle as the batch twin
+
+
+QUERIES.update(
+    {
+        "streaming_ann_topk": QuerySpec(streaming_ann_topk, _stream_ann_oracle_sql()),
+    }
+)

@@ -84,6 +84,28 @@ def get_spark(
             "spark.sql.autoBroadcastJoinThreshold",
             os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "10m"),
         )
+        # Runtime bloom-filter join pruning (semi-join reduction): Spark
+        # injects a bloom built from the selective side of a shuffle
+        # join into the big side's scan, pruning BEFORE the shuffle. On
+        # by default but dormant under a 10 GB application-side scan, so
+        # mid-size runs never see the plan a 100 TB run gets; lowering
+        # the application threshold to 64m aligns them. Round-6 quiet
+        # interleaved A/Bs (scripts/ab_bloom.py, BASELINE.md): the only
+        # two injecting queries both win at sf10 (q10 4.63 -> 2.77 s,
+        # q21 10.08 -> 7.81 s); at sf1 and below nothing injects (post-
+        # pruning scans are under the bar) and the arms are identical —
+        # a free knob locally, and the cluster-default behavior made
+        # observable at test scale. Creation side raised to 100m so a
+        # filter may be BUILT from a mid-size filtered dim (the 4M
+        # maxNumItems row cap still gates selectivity).
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_APP_THRESHOLD", "64m"),
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_CREATION_THRESHOLD", "100m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -86,6 +87,72 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+    )
+
+
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming query-vector landing zone: arriving embedding rows are
+    retrieval REQUESTS to serve against a frozen corpus index (the ANN
+    serving shape)."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def ann_serving_drain(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+) -> "pd.DataFrame":
+    """Serve streamed query vectors against a STATIC int8-quantized
+    corpus — the online half of the ANN index lifecycle (build offline,
+    serve requests as they arrive). Runs under ``foreachBatch``: the
+    per-batch plan needs a per-query top-k window, which Structured
+    Streaming forbids on unbounded frames but is exact batch semantics
+    inside the sink hook — the idiomatic escape hatch for
+    per-micro-batch plans. Each batch executes the FULL distributed
+    int8 pipeline (Arrow GEMM prune over corpus partitions + exact
+    integer JVM rescore, operators/similarity.int8_topk), so
+    stream-vs-batch parity is bit-exact by construction and the drained
+    union sits under the SAME value oracle as ``emb_int8_topk``.
+
+    Scale: the corpus side stays fully distributed (nothing about it
+    crosses the driver); each micro-batch's query set is a serving
+    request batch — bounded by trigger sizing, the contract
+    ``int8_topk`` enforces via ``max_q``. Returns the driver-side
+    concatenation of per-batch results (|Q| x k rows — the same bound
+    the driver pays to collect any top-k result)."""
+    from multi_report_etl_pipeline_spark.operators import similarity  # noqa: PLC0415
+
+    results: list[pd.DataFrame] = []
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = similarity.int8_topk(corpus, batch_df, k=k)
+        results.append(res.toPandas())
+
+    q = (
+        query_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        pd.concat(results, ignore_index=True)
+        if results
+        else pd.DataFrame(columns=["q_id", "rank", "c_id", "cosine_sim"])
     )
 
 

@@ -655,3 +655,33 @@ def test_scd2_current_stream_recovers_open_segment_start(spark, tmp_path):
         (1, "view", us("2024-01-01 00:30:00")),
         (3, "browse", us("2024-01-01 00:07:00")),  # pre-kill start kept
     }
+
+
+def test_ann_serving_two_batch_parity(spark, tmp_path):
+    """ANN serving loop: the query census landed as TWO files (forced
+    one-file micro-batches) must produce exactly the batch int8 top-k —
+    each query answered once, in whichever batch it arrives, against
+    the same static corpus."""
+    from multi_report_etl_pipeline_spark.operators.similarity import int8_topk
+    from multi_report_etl_pipeline_spark.streaming import (
+        EMBEDDINGS_SCHEMA,
+        ann_serving_drain,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter((F.col("vec_id") % 100) == 0)
+    zone = str(tmp_path / "zone")
+    queries.filter("vec_id < 200").coalesce(1).write.parquet(zone)
+    queries.filter("vec_id >= 200").coalesce(1).write.mode("append").parquet(zone)
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(zone)
+    )
+    pdf = ann_serving_drain(stream, emb, k=10)
+    got = sorted(map(tuple, pdf.astype(str).to_numpy().tolist()))
+    want = _rows(int8_topk(emb, queries, k=10), ["q_id", "rank", "c_id", "cosine_sim"])
+    # pandas stringification of floats matches collect()'s repr for
+    # 6dp-rounded doubles; compare on the rounded string forms
+    assert len(got) == len(want) > 0
+    assert got == want
