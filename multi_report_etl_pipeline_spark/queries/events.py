@@ -1675,7 +1675,7 @@ def streaming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pdf = streaming.ann_serving_drain(q_stream, corpus, k=10)
     return spark.createDataFrame(
-        pdf, schema="q_id long, rank int, c_id long, cosine_sim double"
+        pdf, schema="q_id long, rank int, c_id long, int8_cosine double"
     )
 
 

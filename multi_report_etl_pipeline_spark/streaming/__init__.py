@@ -152,7 +152,7 @@ def ann_serving_drain(
     return (
         pd.concat(results, ignore_index=True)
         if results
-        else pd.DataFrame(columns=["q_id", "rank", "c_id", "cosine_sim"])
+        else pd.DataFrame(columns=["q_id", "rank", "c_id", "int8_cosine"])
     )
 
 

@@ -680,7 +680,7 @@ def test_ann_serving_two_batch_parity(spark, tmp_path):
     )
     pdf = ann_serving_drain(stream, emb, k=10)
     got = sorted(map(tuple, pdf.astype(str).to_numpy().tolist()))
-    want = _rows(int8_topk(emb, queries, k=10), ["q_id", "rank", "c_id", "cosine_sim"])
+    want = _rows(int8_topk(emb, queries, k=10), ["q_id", "rank", "c_id", "int8_cosine"])
     # pandas stringification of floats matches collect()'s repr for
     # 6dp-rounded doubles; compare on the rounded string forms
     assert len(got) == len(want) > 0
