@@ -135,13 +135,17 @@ _WINDOW = (
     "docs_canonical_selection",
     "docs_substring_clean",
     "orders_quality_checks",
-    "orders_first_last_nth",
     "orders_trailing_30d_stats",
     "orders_running_balance",
     "events_hourly_unique_users",
     "events_hourly_top_users",
-    "events_session_paths",
     "lineitem_grouping_sets",
+    # rule 1 — two-stage grouping-set rewrite changed these plans late
+    # in round 6 (seats freed by pushing orders_first_last_nth and
+    # events_session_paths — judge-green r5, families represented by
+    # the neighboring orders_/events_ rows — to the round-7 overflow)
+    "lineitem_rollup",
+    "lineitem_cube",
     "streaming_quality_checks",
     # rule 2 — the round-6 TPC-H completion batch (new this round)
     "tpch_q4_order_priority",

@@ -431,14 +431,24 @@ WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate ASC, l_linenumber ASC)
 
 
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over (returnflag, linestatus): subtotal/grand-total rows."""
+    """ROLLUP over (returnflag, linestatus): subtotal/grand-total rows.
+
+    Two-stage shape: ONE plain hash aggregate at the finest grain
+    first, then the rollup Expand runs over the |groups|-row aggregate
+    instead of the corpus. Spark expands BEFORE the partial agg, so the
+    naive form pushes |sets| x corpus rows through the aggregation
+    loop; pre-aggregating cuts that to 1x + |sets| x |groups|
+    (value-identical: COUNT re-aggregates as SUM of counts, SUM of
+    exact decimals is associative — oracle row pins it; sf10 A/B in
+    BASELINE.md round-6 late)."""
     li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        )
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_dec("l_quantity")).alias("_q"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("cnt"),
+        F.sum("_q").cast("double").alias("sum_qty"),
     )
 
 
@@ -450,11 +460,17 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus): all grouping-set combinations."""
+    """CUBE over (returnflag, linestatus): all grouping-set combinations.
+    Same two-stage finest-grain pre-aggregation as lineitem_rollup (the
+    cube's 4-way Expand runs over the tiny aggregate, not the corpus)."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_dec("l_extendedprice")).alias("_p"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("cnt"),
+        F.sum("_p").cast("double").alias("sum_price"),
     )
 
 
@@ -1052,13 +1068,23 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(GROUPING_SETS_SQL)
 
 
+# Two-stage form: the GROUPING SETS Expand runs over the finest-grain
+# aggregate (|groups| rows), not the corpus — Spark expands before the
+# partial agg, so the one-stage form pushes |sets| x corpus rows through
+# the aggregation loop. COUNT re-aggregates as SUM; the exact long-cent
+# sums are associative, so every slice is value-identical (oracle-pinned).
 GROUPING_SETS_SQL = """
+WITH base AS (
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS cents
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag) AS g_flag,
        GROUPING(l_linestatus) AS g_status,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_qty
-FROM lineitem
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(cents) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_qty
+FROM base
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY g_flag, g_status, l_returnflag, l_linestatus
 """

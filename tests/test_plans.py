@@ -733,3 +733,17 @@ def test_lang_divergence_single_corpus_shuffle(spark):
     # later exchange reprocesses the bounded aggregate
     gen_pos = plan.index("Generate explode")
     assert plan[:gen_pos].count("Generate explode") == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["lineitem_grouping_sets", "lineitem_rollup", "lineitem_cube"]
+)
+def test_grouping_sets_expand_runs_over_preaggregate(spark, name):
+    """Two-stage grouping-set shape: the Expand (which multiplies its
+    input by |sets|) must sit ABOVE a hash aggregate, i.e. run over the
+    finest-grain aggregate, never over the corpus scan — the one-stage
+    form pushes |sets| x corpus rows through the aggregation loop."""
+    plan = physical_plan(TPCH_QUERIES[name].fn(spark, SF_DIR))
+    assert "Expand" in plan, plan[:2000]
+    below_expand = plan.split("Expand", 1)[1]
+    assert "HashAggregate" in below_expand, plan[:3000]
