@@ -154,6 +154,28 @@ def _md5_48(col) -> F.Column:
     )
 
 
+def _minhash_signatures(
+    df: DataFrame, text_col: str, n: int, num_hash_tables: int
+) -> DataFrame:
+    """Per-doc MinHash state in ONE partial agg: the hashed-shingle set
+    (``hset``, for exact-Jaccard verification) plus ``num_hash_tables``
+    minhash values (m_t = min over shingles of (a_t*h + b_t) mod 2^48 —
+    the classic universal-hash permutation family, map-side combine)."""
+    perms = MINHASH_PERMS[:num_hash_tables]
+    hs = shingles(df, text_col, n).select(
+        "doc_id", _md5_48(F.col("shingle")).alias("h")
+    )
+    return hs.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hset"),
+        *(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
+                f"m{t}"
+            )
+            for t, (a, b) in enumerate(perms)
+        ),
+    )
+
+
 def _minhash_banded_pairs(
     df: DataFrame,
     text_col: str,
@@ -165,8 +187,7 @@ def _minhash_banded_pairs(
     ``minhash_near_dup_pairs`` for the guarded public entry):
       1. shingle -> 48-bit md5 hash per (doc, shingle);
       2. ``num_hash_tables`` minhash values per doc in ONE partial agg
-         (m_t = min over shingles of (a_t*h + b_t) mod 2^48 — the
-         classic universal-hash permutation family, map-side combine);
+         (``_minhash_signatures``);
       3. candidates = docs sharing any (table, minhash) key: explode the
          signature, slim self-join on the band key (OR-amplification,
          r=1, b=num_hash_tables, same scheme Spark ML uses);
@@ -177,19 +198,7 @@ def _minhash_banded_pairs(
     exactly like any LSH — PROVIDED the input has no large groups of
     identical texts (the caller's job; identical docs share every band
     key, so a group of m copies is m^2 candidate rows in ALL b bands)."""
-    perms = MINHASH_PERMS[:num_hash_tables]
-    hs = shingles(df, text_col, n).select(
-        "doc_id", _md5_48(F.col("shingle")).alias("h")
-    )
-    docs = hs.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hset"),
-        *(
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
-                f"m{t}"
-            )
-            for t, (a, b) in enumerate(perms)
-        ),
-    )
+    docs = _minhash_signatures(df, text_col, n, num_hash_tables)
     bands = docs.select(
         "doc_id",
         F.explode(
@@ -312,6 +321,71 @@ def minhash_near_dup_pairs(
     return cross.unionByName(intra)
 
 
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: (corpus doc, benchmark doc) pairs
+    whose n-gram Jaccard >= threshold, candidates generated by banded
+    MinHash ACROSS the two corpora. The near-duplicate generalization of
+    ``contamination_flags`` — exact n-gram overlap misses lightly
+    paraphrased eval leakage (reordered sentences, small edits), which is
+    exactly what near-dup contamination scans in LLM training reports
+    target; same md5-48 + (a*h+b) mod 2^48 permutation family as
+    ``_minhash_banded_pairs``, so the WHOLE pipeline (signatures, band
+    join, exact-Jaccard verify) is engine-portable integer arithmetic
+    under the DuckDB value oracle.
+
+    Scale shape: each side reduces to one signature row per doc (partial
+    agg); the band join is corpus-bands x benchmark-bands on (table,
+    minhash) — join volume is bounded by candidate matches, never
+    |corpus| x |benchmark|, and the benchmark side (millions of rows vs
+    a 100 TB corpus) typically broadcasts. No self-join anywhere, so the
+    identical-copy band pathology of the self-dedup case cannot go
+    quadratic: m byte-equal corpus copies of one benchmark doc emit m
+    candidate rows (output-proportional), not m^2."""
+    sig_c = _minhash_signatures(corpus, text_col, n, num_hash_tables)
+    sig_b = _minhash_signatures(benchmark, text_col, n, num_hash_tables)
+
+    def _bands(sigs: DataFrame, id_alias: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                F.array(
+                    *(
+                        F.struct(F.lit(t).alias("t"), F.col(f"m{t}").alias("v"))
+                        for t in range(num_hash_tables)
+                    )
+                )
+            ).alias("band"),
+        ).select(id_alias, F.col("band.t").alias("t"), F.col("band.v").alias("v"))
+
+    cand = (
+        _bands(sig_c, "doc_id")
+        .join(_bands(sig_b, "bench_doc_id"), ["t", "v"])
+        .select("doc_id", "bench_doc_id")
+        .distinct()
+    )
+    h_c = sig_c.select("doc_id", F.col("hset").alias("hs1"))
+    h_b = sig_b.select(
+        F.col("doc_id").alias("bench_doc_id"), F.col("hset").alias("hs2")
+    )
+    jac = F.size(F.array_intersect("hs1", "hs2")).cast("double") / F.size(
+        F.array_union("hs1", "hs2")
+    ).cast("double")
+    return (
+        cand.join(h_c, "doc_id")
+        .join(h_b, "bench_doc_id")
+        .withColumn("est_jaccard", F.round(jac, 6))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("doc_id", "bench_doc_id", "est_jaccard")
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: sign-sum of the md5(token) bits.
 
@@ -369,14 +443,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select("doc_id", "sig_lo", "sig_hi", packed.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+def hamming_banded_pairs(
+    sigs: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
-    """Candidate pairs whose SimHash Hamming distance <= max_hamming,
-    found by banding the 64-bit signature into 4 x 16-bit keys (any pair
-    within distance 3 collides on >=1 band). Scale: 4 narrow self-joins
-    on short keys instead of a full cross join."""
-    sigs = simhash_signatures(df, text_col)
+    """Pairs of 64-bit signatures within ``max_hamming`` bits, banded:
+    input is (doc_id, sig_lo, sig_hi) — two non-negative 32-bit halves —
+    and the signature is split into 4 x 16-bit band keys, so any pair
+    within Hamming distance 3 collides on >= 1 untouched band
+    (pigeonhole-complete for max_hamming <= 3). Scale: 4 narrow
+    self-joins on short keys instead of a full cross join; the exact
+    Hamming verify is two XOR+popcounts in codegen. Shared by SimHash
+    text near-dup and dHash image near-dup."""
     bands = sigs.select(
         "doc_id",
         "sig_lo",
@@ -414,6 +491,14 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate pairs whose SimHash Hamming distance <= max_hamming
+    (``hamming_banded_pairs`` over ``simhash_signatures``)."""
+    return hamming_banded_pairs(simhash_signatures(df, text_col), max_hamming)
 
 
 def near_dup_components(

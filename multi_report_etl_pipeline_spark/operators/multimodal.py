@@ -819,6 +819,92 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ]
+)
+
+
+def dhash_array(arr) -> tuple[int, int]:
+    """64-bit difference hash (dHash) of a decoded pixel array, in EXACT
+    integer arithmetic so any engine walking the same pixels derives the
+    same bits:
+
+    - multi-channel images reduce to per-pixel channel SUMS (not means —
+      adjacent-box comparisons are invariant to the common x-channels
+      factor, so no division enters);
+    - the image is area-downsampled to a 9 (wide) x 8 (tall) grid of box
+      SUMS: row band r covers rows [floor(r*h/8), floor((r+1)*h/8)), col
+      band i covers cols [floor(i*w/9), floor((i+1)*w/9));
+    - bit k = 8*r + i (k in 0..63) is set iff box (r,i) has strictly
+      greater MEAN brightness than box (r,i+1), decided by integer
+      cross-multiplication s[r,i]*c[r,i+1] > s[r,i+1]*c[r,i] (c = pixel
+      count) — no float division anywhere.
+
+    Returns the two non-negative 32-bit halves (hi = bits 32..63,
+    lo = bits 0..31) — the same two-halves convention as
+    dedup.simhash_signatures, signed-shift-free on every engine.
+    Requires w >= 9 and h >= 8 (each box must be non-empty);
+    smaller images raise ValueError (DECODE_ERRORS)."""
+    import numpy as np  # noqa: PLC0415
+
+    if arr.ndim == 3:
+        arr = arr.astype(np.int64).sum(axis=2)
+    h, w = arr.shape
+    if w < 9 or h < 8:
+        raise ValueError(f"dhash needs >=9x8 pixels, got {w}x{h}")
+    px = arr.astype(np.int64)
+    rb = [(r * h) // 8 for r in range(9)]
+    cb = [(i * w) // 9 for i in range(10)]
+    s = np.empty((8, 9), dtype=np.int64)
+    c = np.empty((8, 9), dtype=np.int64)
+    for r in range(8):
+        rows = px[rb[r] : rb[r + 1]]
+        for i in range(9):
+            s[r, i] = rows[:, cb[i] : cb[i + 1]].sum()
+            c[r, i] = (rb[r + 1] - rb[r]) * (cb[i + 1] - cb[i])
+    hi = lo = 0
+    for r in range(8):
+        for i in range(8):
+            if int(s[r, i]) * int(c[r, i + 1]) > int(s[r, i + 1]) * int(c[r, i]):
+                k = 8 * r + i
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual hash per image through the REAL decode path: decode
+    pixels (PPM/PGM/BMP/PNG/JPEG native), compute ``dhash_array``, emit
+    the two 32-bit halves. Near-identical images (recompression, small
+    edits, brightness-preserving noise) land within a few Hamming bits —
+    the standard image near-dup primitive in web-scale multimodal
+    curation (LAION-style pipelines hash every image before dedup).
+    Undecodable or sub-9x8 payloads null their own row, never the batch
+    (same poison-pill isolation as ``image_stats``)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "dhash_hi": [], "dhash_lo": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    hi, lo = dhash_array(decode_image(bytes(p)))
+                    out["dhash_hi"].append(hi)
+                    out["dhash_lo"].append(lo)
+                except DECODE_ERRORS:
+                    out["dhash_hi"].append(None)
+                    out["dhash_lo"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
 def resize_image_array(arr, target_w: int, target_h: int):
     """Nearest-neighbor resize of a decoded pixel array — pure numpy
     index selection, exact and deterministic (no interpolation kernel to

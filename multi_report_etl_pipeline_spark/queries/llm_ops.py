@@ -325,6 +325,51 @@ WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.8
 """
 
 
+def docs_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (operators/dedup.fuzzy_contamination_pairs):
+    (train doc, benchmark doc) pairs with 3-gram Jaccard >= 0.5, banded
+    MinHash across the same %50 corpus/benchmark split as
+    docs_contamination. Catches the paraphrased eval leakage the exact
+    4-gram flags and the Bloom pre-screen both miss; together the three
+    form the standard decontamination ladder (exact-ngram -> Bloom at
+    scale -> near-dup). All integer md5 arithmetic — full value oracle."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.fuzzy_contamination_pairs(corpus, bench, jaccard_threshold=0.5)
+
+
+# Twin of MINHASH_SQL split across the corpus/benchmark boundary: same
+# signature CTEs, band join ACROSS sides instead of a self-join, exact
+# hashed-shingle Jaccard verify at 0.5.
+FUZZY_CONTAMINATION_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+f AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(words) - 2),
+           i -> array_to_string(words[i + 1:i + 3], ' ')))) AS shingle FROM f),
+e AS (SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h FROM sh),
+perms AS (SELECT * FROM (VALUES {_MINHASH_CONSTS}) AS v(t, a, b)),
+sig AS (SELECT doc_id, t, MIN((a * h + b) % {dedup.MINHASH_MOD}) AS m
+        FROM e CROSS JOIN perms GROUP BY 1, 2),
+cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_doc_id
+         FROM sig c JOIN sig b ON c.t = b.t AND c.m = b.m
+         WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+common AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_doc_id, COUNT(*) AS cm
+           FROM e c JOIN e b ON c.h = b.h
+           WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+           GROUP BY 1, 2)
+SELECT doc_id, bench_doc_id,
+       ROUND(CAST(cm AS DOUBLE) / (s1.n + s2.n - cm), 6) AS est_jaccard
+FROM cand
+JOIN common USING (doc_id, bench_doc_id)
+JOIN sizes s1 ON doc_id = s1.doc_id
+JOIN sizes s2 ON bench_doc_id = s2.doc_id
+WHERE ROUND(CAST(cm AS DOUBLE) / (s1.n + s2.n - cm), 6) >= 0.5
+"""
+
+
 def docs_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash as an ESTIMATOR, not just a candidate filter: for every
     banded candidate pair, the signature-agreement fraction (matching
@@ -757,6 +802,206 @@ FROM documents
 """
 
 
+def _dhash_frame(spark: SparkSession, sf_dir: str, with_twins: bool = False):
+    """Shared front half of the dHash queries: reshape each document's
+    bytes into an 8-row grayscale PGM (w = floor(bytes/8) columns, the
+    first 8w bytes as the raster — docs under 72 bytes are skipped, a
+    9x8 downsample grid needs at least that), run the NATIVE decode ->
+    ``multimodal.image_dhash`` Arrow path, return (doc_id, dhash_hi,
+    dhash_lo). Everything after the decoder is exact integer arithmetic
+    (box sums + cross-multiplied comparisons), so DuckDB derives the
+    identical 64 bits straight from the characters.
+
+    ``with_twins`` adds the near-identical-image fixture the dedup
+    fixtures lack (text near-dups SHIFT pixels, so their images land
+    >= 12 Hamming bits apart): every image also arrives as a
+    corrupted-tail twin (doc_id + 10^9) whose final column box of the
+    final row band — raster bytes [7w + floor(8w/9), 8w) — is
+    overwritten with 'z'. Only bit 63 compares that box, so each twin
+    sits within Hamming 1 of its original: the recompressed/damaged
+    re-crawl duplicate every image-dedup pipeline exists to catch."""
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    w = F.floor(F.octet_length("text") / 8).cast("int")
+    eligible = (
+        docs.withColumn("w", w)
+        .filter(F.col("w") >= 9)
+        .select("doc_id", "text", "w")
+    )
+    if with_twins:
+        cut = F.col("w") * 7 + F.floor(F.col("w") * 8 / 9).cast("int")
+        twin_text = F.concat(
+            F.substring("text", F.lit(1), cut),
+            F.repeat(F.lit("z"), (F.col("w") * 8 - cut).cast("int")),
+        )
+        eligible = eligible.unionByName(
+            eligible.select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                twin_text.alias("text"),
+                "w",
+            )
+        )
+    header = F.concat(
+        F.lit("P5\n"), F.col("w").cast("string"), F.lit(" 8\n255\n")
+    )
+    media = eligible.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(header, "UTF-8"),
+            F.encode(F.substring("text", F.lit(1), F.col("w") * 8), "UTF-8"),
+        ).alias("payload"),
+    )
+    return multimodal.image_dhash(media).select(
+        F.col("media_id").alias("doc_id"), "dhash_hi", "dhash_lo"
+    )
+
+
+def docs_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (dHash) through the REAL codec path +
+    exact-duplicate grouping: per doc, the 64-bit difference hash of its
+    text-as-8-row-image (two 32-bit halves) and the canonical
+    representative (min doc_id) of its identical-hash group — the
+    primitive every web-scale multimodal pipeline runs before image
+    dedup. The decode->downsample->compare pipeline is exact integer
+    arithmetic end-to-end (multimodal.dhash_array), so the ENTIRE
+    operator — including the native PGM decode — sits under the DuckDB
+    value oracle computing the same box sums from the characters.
+
+    Scale: one narrow Arrow decode pass (bytes cross once per batch),
+    one hash-keyed window for the group representative; nothing wide
+    shuffles (the image bytes never leave the map side)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    hashes = _dhash_frame(spark, sf_dir)
+    return hashes.withColumn(
+        "rep_id",
+        F.min("doc_id").over(Window.partitionBy("dhash_hi", "dhash_lo")),
+    )
+
+
+# The hash-derivation CTE chain, parameterized over the raw-text source
+# CTE (`{src}` must provide doc_id, text): exact integer box sums over
+# the 9x8 downsample grid, cross-multiplied comparisons, 64 bits packed
+# into two 32-bit halves — the SQL twin of multimodal.dhash_array
+# specialized to the 8-row text-raster images _dhash_frame builds.
+_DHASH_HASHES_CTES = """
+b AS (
+    SELECT doc_id,
+           [ord(c) for c in string_split_regex(text, '')] AS px,
+           octet_length(encode(text)) // 8 AS w
+    FROM {src}
+), f AS (SELECT * FROM b WHERE w >= 9),
+cells AS (
+    SELECT doc_id, r.r AS r, i.i AS i,
+           list_aggregate(
+               px[r.r * w + (i.i * w) // 9 + 1 : r.r * w + ((i.i + 1) * w) // 9],
+               'sum') AS s,
+           ((i.i + 1) * w) // 9 - (i.i * w) // 9 AS c
+    FROM f,
+         (SELECT unnest(range(0, 8)) AS r) r,
+         (SELECT unnest(range(0, 9)) AS i) i
+),
+bits AS (
+    SELECT a.doc_id, a.r, a.i,
+           CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+    FROM cells a
+    JOIN cells b ON a.doc_id = b.doc_id AND a.r = b.r AND b.i = a.i + 1
+    WHERE a.i < 8
+),
+hashes AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN 8 * r + i >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << (8 * r + i - 32))
+                         ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(SUM(CASE WHEN 8 * r + i < 32
+                         THEN bit * (CAST(1 AS BIGINT) << (8 * r + i))
+                         ELSE 0 END) AS BIGINT) AS dhash_lo
+    FROM bits GROUP BY doc_id
+)
+"""
+
+IMAGE_DHASH_SQL = (
+    "WITH "
+    + _DHASH_HASHES_CTES.format(src="documents")
+    + """
+SELECT doc_id, dhash_hi, dhash_lo,
+       MIN(doc_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS rep_id
+FROM hashes
+"""
+)
+
+
+def docs_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over the dHash: DISTINCT-hash
+    groups (min-id representative + member count) paired when their
+    64-bit hashes sit within Hamming distance 3, candidates from the
+    same pigeonhole-complete 4x16-bit banding as SimHash
+    (dedup.hamming_banded_pairs). Grouping BEFORE banding is the
+    hot-group guard by construction — byte-identical images share a
+    hash, so the band join sees each distinct hash once and the m^2
+    identical-copy pathology cannot reach it; group sizes ride along so
+    doc-level pair counts reconstruct without materializing them.
+
+    The corpus includes each image's corrupted-tail twin (see
+    ``_dhash_frame``): the operator must recover every (original, twin)
+    pair at Hamming <= 1 while unrelated images sit >= 12 bits apart —
+    planted-recovery is value-checked, not just thresholded."""
+    hashes = _dhash_frame(spark, sf_dir, with_twins=True)
+    groups = hashes.groupBy("dhash_hi", "dhash_lo").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+    sigs = groups.select(
+        F.col("rep_id").alias("doc_id"),
+        F.col("dhash_lo").alias("sig_lo"),
+        F.col("dhash_hi").alias("sig_hi"),
+    )
+    pairs = dedup.hamming_banded_pairs(sigs, max_hamming=3).select(
+        F.col("doc_id_1").alias("rep_id_1"),
+        F.col("doc_id_2").alias("rep_id_2"),
+        "hamming",
+    )
+    n1 = groups.select(
+        F.col("rep_id").alias("rep_id_1"), F.col("n_docs").alias("n_docs_1")
+    )
+    n2 = groups.select(
+        F.col("rep_id").alias("rep_id_2"), F.col("n_docs").alias("n_docs_2")
+    )
+    return pairs.join(n1, "rep_id_1").join(n2, "rep_id_2").select(
+        "rep_id_1", "rep_id_2", "hamming", "n_docs_1", "n_docs_2"
+    )
+
+
+DHASH_NEAR_DUP_SQL = (
+    """
+WITH src AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000000,
+           substr(text, 1, 7 * w + (8 * w) // 9)
+               || repeat('z', 8 * w - (7 * w + (8 * w) // 9))
+    FROM (SELECT doc_id, text, octet_length(encode(text)) // 8 AS w
+          FROM documents)
+    WHERE w >= 9
+),
+"""
+    + _DHASH_HASHES_CTES.format(src="src")
+    + """,
+groups AS (
+    SELECT dhash_hi, dhash_lo, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+    FROM hashes GROUP BY 1, 2
+)
+SELECT a.rep_id AS rep_id_1, b.rep_id AS rep_id_2,
+       CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+            + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER) AS hamming,
+       a.n_docs AS n_docs_1, b.n_docs AS n_docs_2
+FROM groups a JOIN groups b ON a.rep_id < b.rep_id
+WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+      + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+"""
+)
+
+
 def docs_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WAV codec under the oracle gate: each document's bytes become
     the PCM data chunk of a genuine 8-bit mono 8 kHz WAV (RIFF headers
@@ -1158,6 +1403,9 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_exact_dedup": QuerySpec(docs_exact_dedup, EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
     "docs_contamination": QuerySpec(docs_contamination, CONTAMINATION_SQL),
+    "docs_fuzzy_contamination": QuerySpec(
+        docs_fuzzy_contamination, FUZZY_CONTAMINATION_SQL
+    ),
     "docs_minhash_near_dup": QuerySpec(docs_minhash_near_dup, MINHASH_SQL),
     "docs_minhash_estimate": QuerySpec(docs_minhash_estimate, MINHASH_ESTIMATE_SQL),
     "docs_simhash_near_dup": QuerySpec(docs_simhash_near_dup, SIMHASH_SQL),
@@ -1168,6 +1416,8 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_label_centroids": QuerySpec(emb_label_centroids, CENTROIDS_SQL),
     "docs_media_features": QuerySpec(docs_media_features, MEDIA_FEATURES_SQL),
     "docs_image_decode": QuerySpec(docs_image_decode, IMAGE_DECODE_SQL),
+    "docs_image_dhash": QuerySpec(docs_image_dhash, IMAGE_DHASH_SQL),
+    "docs_dhash_near_dup": QuerySpec(docs_dhash_near_dup, DHASH_NEAR_DUP_SQL),
     "docs_audio_decode": QuerySpec(docs_audio_decode, AUDIO_DECODE_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
