@@ -51,7 +51,11 @@ Round-6 window derivation:
   (TV-distance drift in exact integer arithmetic), streaming_ann_topk
   (the ANN serving loop: streamed query vectors answered per
   micro-batch against the static int8 index via foreachBatch, same
-  value oracle as the batch twin).
+  value oracle as the batch twin), plus the final round-6 batch
+  docs_fuzzy_contamination (cross-corpus banded MinHash — near-dup
+  eval-leakage), docs_image_dhash (perceptual hash through the native
+  decode, exact-dup groups) and docs_dhash_near_dup (Hamming-banded
+  image near-dup with planted corrupted-tail twins).
 - rule 3: the 25 round-5 additions the round-5 window couldn't hold
   (judge-validated 25/25 OK in VERDICT.md round 5; driver rows this
   round) — minus docs_dedup_sample, docs_minhash_estimate,
@@ -75,7 +79,10 @@ streaming_vocabulary, streaming_doc_curation, docs_weighted_sample,
 docs_bpe_tokenize, docs_cms_frequencies, docs_duplicate_runs,
 docs_hash_embed_topk, streaming_quality_logreg,
 streaming_weighted_sample, events_gap_filled_hourly,
-events_transition_matrix, events_ewma_anomaly.
+events_transition_matrix, events_ewma_anomaly, and — freeing seats for
+the final round-6 additions — tpch_q6_forecast_revenue,
+docs_substring_clean, events_hourly_top_users (all r5/judge-green,
+families still represented in-window).
 """
 
 from __future__ import annotations
@@ -128,17 +135,14 @@ _WINDOW = (
     "streaming_transition_matrix",
     "tpch_q18_large_volume_customers",
     "tpch_q10_returned_items",
-    "tpch_q6_forecast_revenue",
     "customer_rfm_segments",
     "customer_abc_analysis",
     "docs_hashed_ngram_logreg",
     "docs_canonical_selection",
-    "docs_substring_clean",
     "orders_quality_checks",
     "orders_trailing_30d_stats",
     "orders_running_balance",
     "events_hourly_unique_users",
-    "events_hourly_top_users",
     "lineitem_grouping_sets",
     # rule 1 — two-stage grouping-set rewrite changed these plans late
     # in round 6 (seats freed by pushing orders_first_last_nth and
@@ -172,6 +176,15 @@ _WINDOW = (
     "docs_heavy_terms",
     "docs_lang_divergence",
     "streaming_ann_topk",
+    # rule 2 — final round-6 additions (fuzzy decontamination +
+    # perceptual-hash image dedup); seats freed by pushing three
+    # rule-3 entries to the round-7 overflow (tpch_q6, docs_substring_
+    # clean, events_hourly_top_users — all r5/judge-green, their
+    # families still in-window via the q4-q22 batch, docs_canonical_
+    # selection, and events_hourly_unique_users)
+    "docs_fuzzy_contamination",
+    "docs_image_dhash",
+    "docs_dhash_near_dup",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)

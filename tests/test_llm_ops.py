@@ -1356,3 +1356,72 @@ def test_hll_log2_rank_boundary_exact(spark):
         .alias("log_rank"),
     ).filter("conv_rank <> log_rank").collect()
     assert bad == [], bad
+
+
+def test_fuzzy_contamination_finds_planted_paraphrase(spark):
+    """fuzzy_contamination_pairs must flag (a) a verbatim eval copy in
+    the training corpus (identical shingle sets share every band — found
+    with certainty, est_jaccard 1.0) and (b) a light paraphrase that
+    exact n-gram containment treats as distinct; and must emit nothing
+    for unrelated docs below the threshold."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.dedup import (
+        fuzzy_contamination_pairs,
+    )
+
+    base = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    eval_text = "the quick brown fox jumps over the lazy dog near the river bank"
+    # paraphrase: one word swapped — 3-gram Jaccard stays well over 0.5
+    para = eval_text.replace("lazy", "sleepy")
+    bench = spark.createDataFrame([(1, eval_text)], "doc_id long, text string")
+    corpus = base.filter(F.col("doc_id") < 50).unionByName(
+        spark.createDataFrame(
+            [(800_001, eval_text), (800_002, para)], "doc_id long, text string"
+        )
+    )
+    pairs = {
+        (r.doc_id, r.bench_doc_id): r.est_jaccard
+        for r in fuzzy_contamination_pairs(
+            corpus, bench, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert pairs[(800_001, 1)] == 1.0
+    assert (800_002, 1) in pairs and pairs[(800_002, 1)] >= 0.5
+    # nothing else in the tiny fixture slice should clear 0.5 vs this text
+    assert all(d >= 800_000 for d, _ in pairs)
+
+
+def test_dhash_near_dup_recovers_planted_twins(spark):
+    """Every corrupted-tail twin must pair with its original at
+    Hamming <= 1 — either as an explicit banded pair or by collapsing
+    into the same exact-hash group when the corruption didn't flip
+    bit 63."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        QUERIES as LLM_QUERIES,
+        _dhash_frame,
+    )
+
+    hashes = {
+        r.doc_id: (r.dhash_hi, r.dhash_lo)
+        for r in _dhash_frame(spark, SF_DIR, with_twins=True).collect()
+    }
+    originals = [d for d in hashes if d < 1_000_000_000]
+    assert originals, "fixture should produce eligible images"
+    pair_df = LLM_QUERIES["docs_dhash_near_dup"].fn(spark, SF_DIR)
+    pairs = {(r.rep_id_1, r.rep_id_2) for r in pair_df.collect()}
+    # rep of each hash group
+    rep = {}
+    for d, h in hashes.items():
+        rep[h] = min(rep.get(h, d), d)
+    found = 0
+    for d in originals:
+        twin = d + 1_000_000_000
+        h_o, h_t = hashes[d], hashes[twin]
+        if h_o == h_t:
+            continue  # same group — collapsed, nothing to pair
+        r1, r2 = sorted((rep[h_o], rep[h_t]))
+        assert (r1, r2) in pairs, (d, twin)
+        found += 1
+    assert found > 100  # the fixture plants hundreds of 1-bit twins

@@ -798,3 +798,94 @@ def test_jpeg_rejects_unsupported_variants():
     with _pytest.raises(ValueError):
         encode_jpeg_gray(np.zeros((8, 8, 3), np.uint8))
     assert struct.unpack_from(">H", good, sof_at + 7)[0] == 8  # sanity: w=8
+
+
+def test_dhash_array_matches_brute_reference():
+    """dhash_array vs an independent brute-force reference on random
+    arrays (gray + RGB, non-divisible dims), plus the size contract."""
+    import numpy as np
+    import pytest as _pytest
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import dhash_array
+
+    def brute(arr):
+        a = arr.astype(object)
+        if a.ndim == 3:
+            a = a.sum(axis=2)
+        h, w = a.shape
+        hi = lo = 0
+        for r in range(8):
+            for i in range(8):
+                def box(rr, ii):
+                    rows = range((rr * h) // 8, ((rr + 1) * h) // 8)
+                    cols = range((ii * w) // 9, ((ii + 1) * w) // 9)
+                    vals = [int(a[y][x]) for y in rows for x in cols]
+                    return sum(vals), len(vals)
+                s1, c1 = box(r, i)
+                s2, c2 = box(r, i + 1)
+                if s1 * c2 > s2 * c1:
+                    k = 8 * r + i
+                    if k < 32:
+                        lo |= 1 << k
+                    else:
+                        hi |= 1 << (k - 32)
+        return hi, lo
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 9), (8, 72), (17, 23), (64, 64), (10, 100, 3)]:
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert dhash_array(arr) == brute(arr), shape
+    # halves are non-negative 32-bit
+    hi, lo = dhash_array(rng.randint(0, 256, size=(33, 57)).astype(np.uint8))
+    assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+    with _pytest.raises(ValueError):
+        dhash_array(np.zeros((7, 9), np.uint8))
+    with _pytest.raises(ValueError):
+        dhash_array(np.zeros((8, 8), np.uint8))
+
+
+def test_dhash_brightness_shift_invariance_and_sensitivity():
+    """The hash must be invariant to global brightness scaling (the
+    comparisons are ratios of box means) and must move only locally
+    under a localized edit — the properties that make it a perceptual
+    hash rather than a checksum."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import dhash_array
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(40, 120, size=(32, 45)).astype(np.uint8)
+    assert dhash_array(base) == dhash_array((base * 2).astype(np.uint8))
+    # corrupt only the last column box of the last row band: every box
+    # it does not touch keeps its sums, so only bit 63 may differ
+    edited = base.copy()
+    edited[(7 * 32) // 8 :, (8 * 45) // 9 :] = 255
+    hi0, lo0 = dhash_array(base)
+    hi1, lo1 = dhash_array(edited)
+    assert lo0 == lo1
+    assert (hi0 ^ hi1) & ~(1 << 31) == 0
+
+
+def test_image_dhash_poison_rows_null_not_fail(spark):
+    """Undecodable and sub-grid payloads null their own row through the
+    Arrow path; good rows in the same batch still hash."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        dhash_array,
+        encode_png,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(3)
+    good = rng.randint(0, 256, size=(8, 16)).astype(np.uint8)
+    rows = [
+        (1, encode_png(good)),
+        (2, b"not an image at all"),
+        (3, b"P5\n4 4\n255\n" + bytes(16)),  # decodes but under 9x8
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.dhash_hi, r.dhash_lo) for r in image_dhash(media).collect()}
+    assert got[1] == dhash_array(good)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)

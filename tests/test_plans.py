@@ -747,3 +747,32 @@ def test_grouping_sets_expand_runs_over_preaggregate(spark, name):
     assert "Expand" in plan, plan[:2000]
     below_expand = plan.split("Expand", 1)[1]
     assert "HashAggregate" in below_expand, plan[:3000]
+
+
+def test_fuzzy_contamination_is_banded_equi_joins(spark):
+    """docs_fuzzy_contamination: candidates come from the cross-corpus
+    band equi-join, verification from hash-set equi-joins — no
+    cartesian/nested-loop pair generation, no Python nodes, and the
+    signature aggregation keeps its map-side partial."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_fuzzy_contamination"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "partial_min" in plan, plan[:3000]
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+
+
+def test_dhash_near_dup_bands_distinct_hashes(spark):
+    """docs_dhash_near_dup: the image bytes stay inside the Arrow decode
+    pass (MapInPandas); pairing happens on distinct-hash groups via band
+    equi-joins — never a cartesian/nested-loop join, and the group
+    collapse keeps its map-side partial aggregate."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_dhash_near_dup"].fn(spark, SF_DIR))
+    assert "MapInPandas" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "partial_min" in plan or "partial_count" in plan, plan[:3000]
