@@ -198,7 +198,18 @@ def _minhash_banded_pairs(
     exactly like any LSH — PROVIDED the input has no large groups of
     identical texts (the caller's job; identical docs share every band
     key, so a group of m copies is m^2 candidate rows in ALL b bands)."""
-    docs = _minhash_signatures(df, text_col, n, num_hash_tables)
+    sigs = _minhash_signatures(df, text_col, n, num_hash_tables)
+    return _banded_pairs_from_sigs(sigs, jaccard_threshold, num_hash_tables)
+
+
+def _banded_pairs_from_sigs(
+    docs: DataFrame, jaccard_threshold: float, num_hash_tables: int
+) -> DataFrame:
+    """Steps 3-4 over a precomputed ``_minhash_signatures`` frame. The
+    signature aggregate's exchange is referenced three times here (band
+    explode + both verify sides) and Spark's ReusedExchange serves all
+    three from one execution — which is also why the guarded caller can
+    hang its shingled-rep probe off the same frame for free."""
     bands = docs.select(
         "doc_id",
         F.explode(
@@ -279,9 +290,10 @@ def minhash_near_dup_pairs(
         "doc_id", fingerprint(text_col).alias("fp")
     ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("fp")))
     reps = members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
-    rep_pairs = _minhash_banded_pairs(
-        df.join(reps, "doc_id"), text_col, n, jaccard_threshold, num_hash_tables
+    sigs = _minhash_signatures(
+        df.join(reps, "doc_id"), text_col, n, num_hash_tables
     )
+    rep_pairs = _banded_pairs_from_sigs(sigs, jaccard_threshold, num_hash_tables)
     m1 = members.select(
         F.col("rep_id").alias("doc_id_1"), F.col("doc_id").alias("d1")
     )
@@ -300,13 +312,13 @@ def minhash_near_dup_pairs(
     if jaccard_threshold > 1.0:
         return cross
     # intra-group pairs exist only where the rep has >= 1 shingle (docs
-    # under n words never enter the unguarded pipeline); probe that with
-    # the same >= n-words predicate instead of re-running shingling
-    shingled = (
-        df.join(reps, "doc_id")
-        .filter(F.size(F.split(normalized(text_col), " ")) >= n)
-        .select(F.col("doc_id").alias("rep_id"))
-    )
+    # under n words never enter the unguarded pipeline). The signature
+    # frame's doc_ids ARE that set (shingles() drops sub-n-word docs
+    # before the agg), and its exchange is already reused three times by
+    # the banded pipeline, so this fourth reference costs no extra scan —
+    # measured 3.14 -> 2.13 s at sf0.1 vs re-splitting the rep texts
+    # (BASELINE.md round-6 final)
+    shingled = sigs.select(F.col("doc_id").alias("rep_id"))
     mm = members.join(shingled, "rep_id").select("rep_id", "doc_id")
     intra = (
         mm.alias("x")
