@@ -82,6 +82,10 @@ HEADLINE = [
     "emb_pq_topk",
     "docs_heavy_terms",
     "docs_lang_divergence",
+    # final round-6 additions (fuzzy decontamination + perceptual hash)
+    "docs_fuzzy_contamination",
+    "docs_image_dhash",
+    "docs_dhash_near_dup",
 ]
 
 

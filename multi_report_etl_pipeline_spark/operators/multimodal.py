@@ -857,24 +857,18 @@ def dhash_array(arr) -> tuple[int, int]:
     if w < 9 or h < 8:
         raise ValueError(f"dhash needs >=9x8 pixels, got {w}x{h}")
     px = arr.astype(np.int64)
-    rb = [(r * h) // 8 for r in range(9)]
-    cb = [(i * w) // 9 for i in range(10)]
-    s = np.empty((8, 9), dtype=np.int64)
-    c = np.empty((8, 9), dtype=np.int64)
-    for r in range(8):
-        rows = px[rb[r] : rb[r + 1]]
-        for i in range(9):
-            s[r, i] = rows[:, cb[i] : cb[i + 1]].sum()
-            c[r, i] = (rb[r + 1] - rb[r]) * (cb[i + 1] - cb[i])
-    hi = lo = 0
-    for r in range(8):
-        for i in range(8):
-            if int(s[r, i]) * int(c[r, i + 1]) > int(s[r, i + 1]) * int(c[r, i]):
-                k = 8 * r + i
-                if k < 32:
-                    lo |= 1 << k
-                else:
-                    hi |= 1 << (k - 32)
+    rb = np.array([(r * h) // 8 for r in range(9)])
+    cb = np.array([(i * w) // 9 for i in range(10)])
+    # two reduceat passes replace 72 Python-level slice sums (measured
+    # ~2x on the sf1 decode+hash pass); exact int64 sums either way
+    s = np.add.reduceat(np.add.reduceat(px, rb[:8], axis=0), cb[:9], axis=1)
+    c = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+    left = s[:, :8] * c[:, 1:]
+    right = s[:, 1:] * c[:, :8]
+    bits = (left > right).ravel()  # bit k = 8*r + i
+    weights = 1 << np.arange(32, dtype=np.int64)
+    lo = int(bits[:32] @ weights)
+    hi = int(bits[32:] @ weights)
     return hi, lo
 
 
