@@ -823,6 +823,15 @@ def _dhash_frame(spark: SparkSession, sf_dir: str, with_twins: bool = False):
     from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
 
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    return multimodal.image_dhash(_dhash_media(docs, with_twins)).select(
+        F.col("media_id").alias("doc_id"), "dhash_hi", "dhash_lo"
+    )
+
+
+def _dhash_media(docs, with_twins: bool = False):
+    """The in-plan text->8-row-PGM image construction over any (doc_id,
+    text) frame — batch or STREAMING (pure narrow expressions, so it
+    composes under readStream too)."""
     w = F.floor(F.octet_length("text") / 8).cast("int")
     eligible = (
         docs.withColumn("w", w)
@@ -845,15 +854,12 @@ def _dhash_frame(spark: SparkSession, sf_dir: str, with_twins: bool = False):
     header = F.concat(
         F.lit("P5\n"), F.col("w").cast("string"), F.lit(" 8\n255\n")
     )
-    media = eligible.select(
+    return eligible.select(
         F.col("doc_id").alias("media_id"),
         F.concat(
             F.encode(header, "UTF-8"),
             F.encode(F.substring("text", F.lit(1), F.col("w") * 8), "UTF-8"),
         ).alias("payload"),
-    )
-    return multimodal.image_dhash(media).select(
-        F.col("media_id").alias("doc_id"), "dhash_hi", "dhash_lo"
     )
 
 
@@ -998,6 +1004,45 @@ SELECT a.rep_id AS rep_id_1, b.rep_id AS rep_id_2,
 FROM groups a JOIN groups b ON a.rep_id < b.rep_id
 WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
       + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+"""
+)
+
+
+def streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of docs_image_dhash's group election: document
+    images arrive as a file stream (the crawler landing-zone shape),
+    each micro-batch runs the SAME in-plan PGM construction + Arrow
+    decode->dHash pass (mapInPandas composes under readStream), and the
+    per-hash group state — (min doc_id representative, member count) —
+    is maintained incrementally in complete mode, drained with
+    availableNow and hash-checked against the batch grouping oracle.
+    State is one narrow row per DISTINCT image hash (the same state
+    class as streaming_vocabulary's per-token counts); the drain is
+    bounded to 8 shuffle partitions like the sketch streams."""
+    from multi_report_etl_pipeline_spark import streaming  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = streaming.read_documents_stream(spark, sf_dir)
+    groups = (
+        multimodal.image_dhash(_dhash_media(docs))
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.min("media_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    streaming.run_available_now(
+        groups, "q_stream_img_dedup", "complete", shuffle_partitions=8
+    )
+    return spark.table("q_stream_img_dedup")
+
+
+STREAM_IMAGE_DEDUP_SQL = (
+    "WITH "
+    + _DHASH_HASHES_CTES.format(src="documents")
+    + """
+SELECT dhash_hi, dhash_lo, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+FROM hashes GROUP BY 1, 2
 """
 )
 
@@ -1418,6 +1463,9 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_image_decode": QuerySpec(docs_image_decode, IMAGE_DECODE_SQL),
     "docs_image_dhash": QuerySpec(docs_image_dhash, IMAGE_DHASH_SQL),
     "docs_dhash_near_dup": QuerySpec(docs_dhash_near_dup, DHASH_NEAR_DUP_SQL),
+    "streaming_image_dedup": QuerySpec(
+        streaming_image_dedup, STREAM_IMAGE_DEDUP_SQL
+    ),
     "docs_audio_decode": QuerySpec(docs_audio_decode, AUDIO_DECODE_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
