@@ -129,11 +129,11 @@ _WINDOW = (
     "emb_cosine_topk",
     "emb_blocked_near_dup",
     "streaming_hll_distinct",
-    "streaming_cms_frequencies",
-    # (streaming_binned_percentiles shares these two rows' identical
-    # one-line drain change and was judge-green x3 in round 5; its seat
-    # went to the new streaming_image_dedup below, and it rotates back
-    # in the round-7 window)
+    # (streaming_cms_frequencies and streaming_binned_percentiles share
+    # streaming_hll_distinct's identical one-line drain change and were
+    # judge-green x3 in round 5; their seats went to the new
+    # streaming_image_dedup and docs_curriculum_order below, and they
+    # rotate back in the round-7 window)
     # rule 3 — round-5 additions owed a driver row
     "streaming_transition_matrix",
     "tpch_q18_large_volume_customers",
@@ -189,6 +189,7 @@ _WINDOW = (
     "docs_image_dhash",
     "docs_dhash_near_dup",
     "streaming_image_dedup",
+    "docs_curriculum_order",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)

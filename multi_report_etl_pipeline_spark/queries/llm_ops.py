@@ -123,6 +123,67 @@ FROM feats
 """
 
 
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: every document's exact GLOBAL training
+    position under (quality DESC, doc_id) plus its 4-stage curriculum
+    bucket — the quality-first ordering curriculum pretraining feeds a
+    trainer. The total order comes from operators/ranking.py's
+    parallel range sort (repartitionByRange + per-partition row_number
+    + broadcast prefix offsets — n_partitions longs cross the driver),
+    NEVER a single-task global window; the stage is the SQL-exact
+    piecewise NTILE arithmetic over the same rank. This is the
+    distributed-ranking operator's registry row: RFM's strategy picker
+    chooses the window form at driver-testable scales, so the >100M-row
+    path is value-checked here."""
+    from multi_report_etl_pipeline_spark.operators.ranking import (  # noqa: PLC0415
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    scored = docs.select(
+        "doc_id", text.quality_score("text").alias("quality")
+    )
+    n_rows = docs.count()
+    ranked = with_global_rank(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        out_col="position",
+    )
+    return ranked.select(
+        "doc_id",
+        "quality",
+        "position",
+        ntile_from_rank(F.col("position"), n_rows, 4).alias("stage"),
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH feats AS (
+    SELECT doc_id,
+           ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS DOUBLE)
+                 / CAST(len({_WORDS}) AS DOUBLE), 6) AS stopword_ratio,
+           len({_WORDS}) AS n_tokens
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           ROUND(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * least(stopword_ratio * 5, 1.0), 6) AS quality
+    FROM feats
+)
+SELECT doc_id, quality,
+       CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+           AS position,
+       CAST(NTILE(4) OVER (ORDER BY quality DESC, doc_id) AS INTEGER)
+           AS stage
+FROM scored
+"""
+
+
 def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (text.scrub_pii) + per-class audit counts.
 
@@ -1442,6 +1503,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_token_stats": QuerySpec(docs_token_stats, TOKEN_STATS_SQL),
     "docs_language_id": QuerySpec(docs_language_id, _lang_id_sql()),
     "docs_text_quality": QuerySpec(docs_text_quality, TEXT_QUALITY_SQL),
+    "docs_curriculum_order": QuerySpec(docs_curriculum_order, CURRICULUM_SQL),
     "docs_pii_scrub": QuerySpec(docs_pii_scrub, _pii_sql()),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FINGERPRINT_SQL),
     "docs_rolling_fingerprint": QuerySpec(docs_rolling_fingerprint, ROLLING_FP_SQL),
