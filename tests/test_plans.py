@@ -776,3 +776,19 @@ def test_dhash_near_dup_bands_distinct_hashes(spark):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "partial_min" in plan or "partial_count" in plan, plan[:3000]
+
+
+def test_curriculum_order_is_range_sorted_not_single_partition(spark):
+    """docs_curriculum_order: the global total order comes from a
+    parallel range sort (Exchange rangepartitioning) — the plan must
+    never contain the SinglePartition exchange an unpartitioned
+    row_number window would force."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    plan = physical_plan(QUERIES["docs_curriculum_order"].fn(spark, SF_DIR))
+    # the range exchange itself sits behind the localCheckpoint (the
+    # returned plan reads the checkpointed RDD), so what must be visible
+    # is the per-partition window keyed by the partition id — and no
+    # SinglePartition exchange anywhere
+    assert "windowspecdefinition(__rank_pid" in plan, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]
