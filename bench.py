@@ -86,6 +86,9 @@ HEADLINE = [
     "docs_fuzzy_contamination",
     "docs_image_dhash",
     "docs_dhash_near_dup",
+    # audio half of the multimodal dedup matrix
+    "docs_audio_fingerprint",
+    "docs_audio_near_dup",
 ]
 
 

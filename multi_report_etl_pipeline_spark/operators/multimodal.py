@@ -1040,6 +1040,114 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
 
 
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("afp_hi", LongType()),
+        StructField("afp_lo", LongType()),
+    ]
+)
+
+
+def audio_fingerprint_array(samples) -> tuple[int, int]:
+    """64-bit energy-envelope fingerprint of decoded PCM — the 1-D
+    analog of ``dhash_array`` and a simplified Haitsma-Kalker
+    (ISMIR 2002) acoustic hash, in EXACT integer arithmetic so any
+    engine walking the same samples derives the same bits:
+
+    - multi-channel audio reduces to per-sample absolute-deviation SUMS
+      across channels (u8 PCM deviates from 128, its zero-amplitude
+      point; i16 from 0) — energy, not amplitude, so phase inversion
+      and constant gain don't move it;
+    - the sample stream splits into 65 frames, frame i covering
+      samples [floor(i*n/65), floor((i+1)*n/65));
+    - bit i (0..63) is set iff frame i+1 has strictly greater MEAN
+      energy than frame i, decided by cross-multiplication
+      e[i+1]*c[i] > e[i]*c[i+1] (c = frame length) — no float division.
+
+    Gain invariance is exact: scaling every deviation by a constant g
+    scales both sides of each comparison by g (pinned by a property
+    test) — the volume-normalized re-encode, the most common audio
+    near-duplicate, collides with its original. Returns the two
+    non-negative 32-bit halves (hi = bits 32..63), the
+    ``dedup.hamming_banded_pairs`` signature convention. Requires
+    n >= 65 samples (each frame must be non-empty); shorter clips
+    raise ValueError (DECODE_ERRORS)."""
+    import numpy as np  # noqa: PLC0415
+
+    center = 128 if samples.dtype == np.uint8 else 0
+    dev = np.abs(samples.astype(np.int64) - center).sum(axis=1)
+    n = dev.shape[0]
+    if n < 65:
+        raise ValueError(f"audio fingerprint needs >=65 samples, got {n}")
+    fb = np.array([(i * n) // 65 for i in range(66)])
+    e = np.add.reduceat(dev, fb[:65])
+    c = np.diff(fb)
+    bits = (e[1:] * c[:64]) > (e[:64] * c[1:])
+    weights = 1 << np.arange(32, dtype=np.int64)
+    return int(bits[32:] @ weights), int(bits[:32] @ weights)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Perceptual hash per audio clip through the REAL decode path:
+    decode WAV/PCM, compute the ``audio_fingerprint_array`` bits, emit
+    the two 32-bit halves — the audio-dedup primitive mirroring
+    ``image_dhash`` (every at-scale multimodal pipeline fingerprints
+    audio before dedup; near-identical clips — re-encodes, gain
+    changes, damaged tails — land within a few Hamming bits).
+    Undecodable or sub-65-sample payloads null their own row, never
+    the batch.
+
+    The frame-energy step is batched across the WHOLE Arrow batch (one
+    np.add.reduceat over the concatenated deviation streams, one 65xN
+    boundary matrix, one comparison matrix) instead of per-clip numpy
+    on tiny arrays — same bits as the per-clip reference
+    (differentially pinned in tests), ~2x wall-clock on the sf1
+    corpus."""
+    import numpy as np  # noqa: PLC0415
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(32, dtype=np.int64)
+        for pdf in batches:
+            k = len(pdf)
+            hi_out = np.full(k, np.nan)
+            lo_out = np.full(k, np.nan)
+            devs, rows = [], []
+            for j, p in enumerate(pdf["payload"]):
+                try:
+                    samples, _rate = decode_audio(bytes(p))
+                    if samples.shape[0] < 65:
+                        continue
+                    center = 128 if samples.dtype == np.uint8 else 0
+                    devs.append(
+                        np.abs(samples.astype(np.int64) - center).sum(axis=1)
+                    )
+                    rows.append(j)
+                except DECODE_ERRORS:
+                    continue
+            if rows:
+                ns = np.array([d.shape[0] for d in devs], dtype=np.int64)
+                offsets = np.concatenate(([0], np.cumsum(ns)))
+                cat = np.concatenate(devs)
+                # fb[i, j] = clip i's frame-j start in cat; fb[i, 65]
+                # == fb[i+1, 0], so flattening the first 65 columns
+                # yields every frame of every clip for ONE reduceat.
+                fb = (
+                    offsets[:-1, None]
+                    + (np.arange(66, dtype=np.int64)[None, :] * ns[:, None]) // 65
+                )
+                e = np.add.reduceat(cat, fb[:, :65].reshape(-1)).reshape(-1, 65)
+                c = np.diff(fb)
+                bits = (e[:, 1:] * c[:, :64]) > (e[:, :64] * c[:, 1:])
+                hi_out[rows] = bits[:, 32:] @ weights
+                lo_out[rows] = bits[:, :32] @ weights
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "afp_hi": hi_out, "afp_lo": lo_out}
+            )
+
+    return media.mapInPandas(_fp, schema=AUDIO_FP_SCHEMA)
+
+
 def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
     """"Resize" in fake-codec mode: deterministic byte-stride downsample
     to ~``target_bytes`` per payload (a real deployment swaps the stride

@@ -8,7 +8,7 @@ ROTATION POLICY (the driver audit window)
 
 The verification driver audits the registry in iteration order and caps
 at ``DRIVER_AUDIT_CAP`` (50) entries per round; entries past the cap get
-no driver CORRECTNESS row that round. The registry holds 161 queries —
+no driver CORRECTNESS row that round. The registry holds 168 queries —
 more than 3 windows' worth — so window membership is ROTATED each round
 under these rules, in priority order:
 
@@ -55,7 +55,12 @@ Round-6 window derivation:
   docs_fuzzy_contamination (cross-corpus banded MinHash — near-dup
   eval-leakage), docs_image_dhash (perceptual hash through the native
   decode, exact-dup groups) and docs_dhash_near_dup (Hamming-banded
-  image near-dup with planted corrupted-tail twins).
+  image near-dup with planted corrupted-tail twins), plus the audio
+  half of the multimodal dedup matrix: docs_audio_fingerprint
+  (Haitsma-Kalker-style energy-envelope hash through the native WAV
+  decode) and docs_audio_near_dup (Hamming-banded with planted
+  damaged-tail twins) — seated by pushing orders_running_balance and
+  customer_abc_analysis to the round-7 overflow.
 - rule 3: the 25 round-5 additions the round-5 window couldn't hold
   (judge-validated 25/25 OK in VERDICT.md round 5; driver rows this
   round) — minus docs_dedup_sample, docs_minhash_estimate,
@@ -139,12 +144,10 @@ _WINDOW = (
     "tpch_q18_large_volume_customers",
     "tpch_q10_returned_items",
     "customer_rfm_segments",
-    "customer_abc_analysis",
     "docs_hashed_ngram_logreg",
     "docs_canonical_selection",
     "orders_quality_checks",
     "orders_trailing_30d_stats",
-    "orders_running_balance",
     "events_hourly_unique_users",
     "lineitem_grouping_sets",
     # rule 1 — two-stage grouping-set rewrite changed these plans late
@@ -190,6 +193,14 @@ _WINDOW = (
     "docs_dhash_near_dup",
     "streaming_image_dedup",
     "docs_curriculum_order",
+    # rule 2 — the audio half of the multimodal dedup matrix (acoustic
+    # fingerprint through the native WAV decode + Hamming-banded near
+    # dup with planted damaged-tail twins); seats freed by pushing two
+    # rule-3 entries to the round-7 overflow (orders_running_balance,
+    # customer_abc_analysis — both judge-green r5, their families still
+    # in-window via orders_trailing_30d_stats and customer_rfm_segments)
+    "docs_audio_fingerprint",
+    "docs_audio_near_dup",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)

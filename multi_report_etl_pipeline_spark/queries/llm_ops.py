@@ -1018,6 +1018,10 @@ def docs_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = hashes.groupBy("dhash_hi", "dhash_lo").agg(
         F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")
     )
+    # Same materialization as docs_audio_near_dup: 10 downstream
+    # references would re-run the Arrow decode+dHash pass per reference
+    # past what AQE exchange reuse recovers; one row per DISTINCT hash.
+    groups = groups.localCheckpoint(eager=True)
     sigs = groups.select(
         F.col("rep_id").alias("doc_id"),
         F.col("dhash_lo").alias("sig_lo"),
@@ -1108,17 +1112,36 @@ FROM hashes GROUP BY 1, 2
 )
 
 
-def docs_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WAV codec under the oracle gate: each document's bytes become
-    the PCM data chunk of a genuine 8-bit mono 8 kHz WAV (RIFF headers
-    built in-plan), decoded by the native chunk walker inside the Arrow
-    audio_stats path; sample count, duration, and RMS amplitude are
-    value-checked against DuckDB computing them from the characters
-    (centered at 128, the u8 PCM zero-amplitude point, on both sides)."""
-    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+def _wav_media(docs, with_twins: bool = False):
+    """The in-plan text -> 8-bit-mono-8kHz-WAV construction over any
+    (doc_id, text) frame: each document's bytes become the PCM data
+    chunk of a genuine RIFF/WAVE container, headers assembled from pure
+    codegen expressions (hex/lpad/unhex little-endian words). Shared by
+    the audio decode/fingerprint queries — batch or streaming (narrow
+    expressions only).
 
-    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    ``with_twins`` adds each clip's damaged-tail twin (doc_id + 10^9):
+    samples from frame boundary floor(62*n/65) on are overwritten with
+    near-silence ('~' = 126, |deviation| 2 from the u8 zero point) —
+    the truncated / silence-repadded re-encode every audio-dedup
+    pipeline exists to catch. Only frames 62-64 change, so bits 61-63
+    are the only fingerprint bits that can flip: each twin sits within
+    Hamming 3 of its original, inside hamming_banded_pairs' pigeonhole
+    guarantee."""
     n = F.octet_length("text").cast("bigint")
+    if with_twins:
+        cut = F.floor(n * 62 / 65).cast("int")
+        twin_text = F.concat(
+            F.substring("text", F.lit(1), cut),
+            F.repeat(F.lit("~"), (n - cut).cast("int")),
+        )
+        docs = docs.select("doc_id", "text").unionByName(
+            docs.select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                twin_text.alias("text"),
+            )
+        )
+        n = F.octet_length("text").cast("bigint")
 
     def le32(c):
         # int -> 4 little-endian bytes, via a hex string (pure codegen:
@@ -1136,14 +1159,23 @@ def docs_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(b"RIFF"), le32(n + F.lit(36)), F.lit(b"WAVEfmt "), le32(F.lit(16)),
         fmt_body, F.lit(b"data"), le32(n), F.encode("text", "UTF-8"),
     )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        payload.alias("payload"),
-        F.lit("audio").alias("media_type"),
-        F.col("lang").alias("meta_lang"),
-        F.col("source").alias("meta_source"),
+    return docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
     )
-    stats = multimodal.audio_stats(media)
+
+
+def docs_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV codec under the oracle gate: each document's bytes become
+    the PCM data chunk of a genuine 8-bit mono 8 kHz WAV (RIFF headers
+    built in-plan via ``_wav_media``), decoded by the native chunk
+    walker inside the Arrow audio_stats path; sample count, duration,
+    and RMS amplitude are value-checked against DuckDB computing them
+    from the characters (centered at 128, the u8 PCM zero-amplitude
+    point, on both sides)."""
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    stats = multimodal.audio_stats(_wav_media(docs))
     return stats.select(
         F.col("media_id").alias("doc_id"),
         "sample_rate",
@@ -1165,6 +1197,172 @@ SELECT doc_id,
                                  'avg')), 6) AS rms
 FROM documents
 """
+
+
+def _audio_fp_frame(spark: SparkSession, sf_dir: str, with_twins: bool = False):
+    """Shared front half of the audio-fingerprint queries: clips with
+    >= 65 samples (one per frame) through the in-plan WAV construction
+    and the NATIVE decode -> ``multimodal.audio_fingerprint`` Arrow
+    path, returning (doc_id, afp_hi, afp_lo). Everything after the
+    decoder is exact integer arithmetic (frame energy sums +
+    cross-multiplied comparisons), so DuckDB derives the identical 64
+    bits straight from the characters."""
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    eligible = docs.filter(F.octet_length("text") >= 65).select("doc_id", "text")
+    return multimodal.audio_fingerprint(_wav_media(eligible, with_twins)).select(
+        F.col("media_id").alias("doc_id"), "afp_hi", "afp_lo"
+    )
+
+
+def docs_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprinting (simplified Haitsma-Kalker energy
+    envelope) through the REAL WAV codec path + exact-duplicate
+    grouping: per clip, the 64-bit frame-energy difference hash (two
+    32-bit halves) and the canonical representative (min doc_id) of its
+    identical-fingerprint group — the audio half of the multimodal
+    dedup matrix (the image half is docs_image_dhash). Gain-invariant
+    by construction (cross-multiplied energy comparisons), so
+    volume-normalized re-encodes collide with their originals.
+
+    Scale: one narrow Arrow decode pass (payload bytes cross once per
+    batch and never leave the map side), one fingerprint-keyed window
+    for the group representative."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    fps = _audio_fp_frame(spark, sf_dir)
+    return fps.withColumn(
+        "rep_id",
+        F.min("doc_id").over(Window.partitionBy("afp_hi", "afp_lo")),
+    )
+
+
+# The fingerprint-derivation CTE chain, parameterized over the raw-text
+# source CTE (`{src}` must provide doc_id, text): exact integer energy
+# sums over the 65-frame split, cross-multiplied comparisons, 64 bits
+# packed into two 32-bit halves — the SQL twin of
+# multimodal.audio_fingerprint_array specialized to the u8 PCM clips
+# _wav_media builds (deviation from 128, the u8 zero-amplitude point).
+_AUDIO_FP_CTES = """
+b AS (
+    SELECT doc_id,
+           [abs(ord(c) - 128) for c in string_split_regex(text, '')] AS dev,
+           octet_length(encode(text)) AS n
+    FROM {src}
+), f AS (SELECT * FROM b WHERE n >= 65),
+frames AS (
+    SELECT doc_id, i.i AS i,
+           list_aggregate(dev[(i.i * n) // 65 + 1 : ((i.i + 1) * n) // 65],
+                          'sum') AS e,
+           ((i.i + 1) * n) // 65 - (i.i * n) // 65 AS c
+    FROM f, (SELECT unnest(range(0, 65)) AS i) i
+),
+bits AS (
+    SELECT a.doc_id, a.i,
+           CASE WHEN b.e * a.c > a.e * b.c THEN 1 ELSE 0 END AS bit
+    FROM frames a
+    JOIN frames b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    WHERE a.i < 64
+),
+fps AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN i >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE 0 END) AS BIGINT) AS afp_hi,
+           CAST(SUM(CASE WHEN i < 32
+                         THEN bit * (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS afp_lo
+    FROM bits GROUP BY doc_id
+)
+"""
+
+AUDIO_FP_SQL = (
+    "WITH "
+    + _AUDIO_FP_CTES.format(src="documents")
+    + """
+SELECT doc_id, afp_hi, afp_lo,
+       MIN(doc_id) OVER (PARTITION BY afp_hi, afp_lo) AS rep_id
+FROM fps
+"""
+)
+
+
+def docs_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection over the acoustic fingerprint:
+    DISTINCT-fingerprint groups (min-id representative + member count)
+    paired when their 64-bit fingerprints sit within Hamming distance
+    3, candidates from the same pigeonhole-complete 4x16-bit banding as
+    SimHash/dHash (dedup.hamming_banded_pairs). Grouping BEFORE banding
+    is the hot-group guard by construction — byte-identical clips share
+    a fingerprint, so the band join sees each distinct fingerprint once
+    and the m^2 identical-copy pathology cannot reach it.
+
+    The corpus includes each clip's damaged-tail twin (see
+    ``_wav_media``): the operator must recover every (original, twin)
+    pair at Hamming <= 3 while unrelated clips sit far apart —
+    planted-recovery is value-checked, not just thresholded."""
+    fps = _audio_fp_frame(spark, sf_dir, with_twins=True)
+    groups = fps.groupBy("afp_hi", "afp_lo").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # The group frame is referenced 10x downstream (4 band self-joins x
+    # 2 sides + the two n_docs joins); without materialization each
+    # reference re-executes the Arrow decode pass over every payload
+    # (AQE exchange reuse recovers some but not all — measured 5.02 ->
+    # 3.86 s at sf0.1, more at sf1 where decode dominates). Tiny frame:
+    # one row per DISTINCT fingerprint, 4 int columns.
+    groups = groups.localCheckpoint(eager=True)
+    sigs = groups.select(
+        F.col("rep_id").alias("doc_id"),
+        F.col("afp_lo").alias("sig_lo"),
+        F.col("afp_hi").alias("sig_hi"),
+    )
+    pairs = dedup.hamming_banded_pairs(sigs, max_hamming=3).select(
+        F.col("doc_id_1").alias("rep_id_1"),
+        F.col("doc_id_2").alias("rep_id_2"),
+        "hamming",
+    )
+    n1 = groups.select(
+        F.col("rep_id").alias("rep_id_1"), F.col("n_docs").alias("n_docs_1")
+    )
+    n2 = groups.select(
+        F.col("rep_id").alias("rep_id_2"), F.col("n_docs").alias("n_docs_2")
+    )
+    return pairs.join(n1, "rep_id_1").join(n2, "rep_id_2").select(
+        "rep_id_1", "rep_id_2", "hamming", "n_docs_1", "n_docs_2"
+    )
+
+
+AUDIO_NEAR_DUP_SQL = (
+    """
+WITH src AS (
+    SELECT doc_id, text FROM documents
+    WHERE octet_length(encode(text)) >= 65
+    UNION ALL
+    SELECT doc_id + 1000000000,
+           substr(text, 1, (62 * n) // 65)
+               || repeat('~', n - (62 * n) // 65)
+    FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+          FROM documents)
+    WHERE n >= 65
+),
+"""
+    + _AUDIO_FP_CTES.format(src="src")
+    + """,
+groups AS (
+    SELECT afp_hi, afp_lo, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+    FROM fps GROUP BY 1, 2
+)
+SELECT a.rep_id AS rep_id_1, b.rep_id AS rep_id_2,
+       CAST(bit_count(xor(a.afp_hi, b.afp_hi))
+            + bit_count(xor(a.afp_lo, b.afp_lo)) AS INTEGER) AS hamming,
+       a.n_docs AS n_docs_1, b.n_docs AS n_docs_2
+FROM groups a JOIN groups b ON a.rep_id < b.rep_id
+WHERE bit_count(xor(a.afp_hi, b.afp_hi))
+      + bit_count(xor(a.afp_lo, b.afp_lo)) <= 3
+"""
+)
 
 
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,6 +1727,8 @@ QUERIES: dict[str, QuerySpec] = {
         streaming_image_dedup, STREAM_IMAGE_DEDUP_SQL
     ),
     "docs_audio_decode": QuerySpec(docs_audio_decode, AUDIO_DECODE_SQL),
+    "docs_audio_fingerprint": QuerySpec(docs_audio_fingerprint, AUDIO_FP_SQL),
+    "docs_audio_near_dup": QuerySpec(docs_audio_near_dup, AUDIO_NEAR_DUP_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
     "docs_chunks": QuerySpec(docs_chunks, CHUNKS_SQL),

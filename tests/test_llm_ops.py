@@ -1425,3 +1425,35 @@ def test_dhash_near_dup_recovers_planted_twins(spark):
         assert (r1, r2) in pairs, (d, twin)
         found += 1
     assert found > 100  # the fixture plants hundreds of 1-bit twins
+
+
+def test_audio_near_dup_recovers_planted_twins(spark):
+    """Every damaged-tail audio twin must pair with its original at
+    Hamming <= 3 — either as an explicit banded pair or by collapsing
+    into the same exact-fingerprint group when no tail bit flipped."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        QUERIES as LLM_QUERIES,
+        _audio_fp_frame,
+    )
+
+    fps = {
+        r.doc_id: (r.afp_hi, r.afp_lo)
+        for r in _audio_fp_frame(spark, SF_DIR, with_twins=True).collect()
+    }
+    originals = [d for d in fps if d < 1_000_000_000]
+    assert originals, "fixture should produce eligible clips"
+    pair_df = LLM_QUERIES["docs_audio_near_dup"].fn(spark, SF_DIR)
+    pairs = {(r.rep_id_1, r.rep_id_2) for r in pair_df.collect()}
+    rep = {}
+    for d, h in fps.items():
+        rep[h] = min(rep.get(h, d), d)
+    found = 0
+    for d in originals:
+        twin = d + 1_000_000_000
+        h_o, h_t = fps[d], fps[twin]
+        if h_o == h_t:
+            continue  # collapsed into one group — nothing to pair
+        r1, r2 = sorted((rep[h_o], rep[h_t]))
+        assert (r1, r2) in pairs, (d, twin)
+        found += 1
+    assert found > 50  # the tail damage flips bits on most clips

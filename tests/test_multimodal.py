@@ -889,3 +889,104 @@ def test_image_dhash_poison_rows_null_not_fail(spark):
     assert got[1] == dhash_array(good)
     assert got[2] == (None, None)
     assert got[3] == (None, None)
+
+
+def test_audio_fingerprint_array_matches_brute_reference():
+    """audio_fingerprint_array vs an independent brute-force reference
+    on random PCM (u8 mono/stereo + i16, frame-unaligned lengths), plus
+    the >=65-sample contract and the 32-bit-halves invariant."""
+    import numpy as np
+    import pytest as _pytest
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        audio_fingerprint_array,
+    )
+
+    def brute(samples):
+        center = 128 if samples.dtype == np.uint8 else 0
+        dev = [
+            sum(abs(int(v) - center) for v in row) for row in samples
+        ]
+        n = len(dev)
+        e = [sum(dev[(i * n) // 65 : ((i + 1) * n) // 65]) for i in range(65)]
+        c = [((i + 1) * n) // 65 - (i * n) // 65 for i in range(65)]
+        hi = lo = 0
+        for i in range(64):
+            if e[i + 1] * c[i] > e[i] * c[i + 1]:
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+        return hi, lo
+
+    rng = np.random.RandomState(17)
+    for shape, dtype in [
+        ((65, 1), np.uint8),
+        ((200, 2), np.uint8),
+        ((1000, 1), np.int16),
+        ((131, 3), np.int16),
+    ]:
+        lohi = (0, 256) if dtype == np.uint8 else (-30000, 30000)
+        arr = rng.randint(*lohi, size=shape).astype(dtype)
+        assert audio_fingerprint_array(arr) == brute(arr), (shape, dtype)
+    hi, lo = audio_fingerprint_array(
+        rng.randint(0, 256, size=(777, 1)).astype(np.uint8)
+    )
+    assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+    with _pytest.raises(ValueError):
+        audio_fingerprint_array(np.zeros((64, 1), np.uint8))
+
+
+def test_audio_fingerprint_gain_invariance_and_tail_sensitivity():
+    """The hash must be exactly invariant to constant gain (the
+    comparisons cross-multiply frame energies) and a damaged tail from
+    frame boundary 62 on may flip only bits 61-63 — the two properties
+    the near-dup query's twin construction relies on."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        audio_fingerprint_array,
+    )
+
+    rng = np.random.RandomState(23)
+    dev = rng.randint(-63, 64, size=(400, 1))
+    base = (128 + dev).astype(np.uint8)
+    doubled = (128 + 2 * dev).astype(np.uint8)
+    assert audio_fingerprint_array(base) == audio_fingerprint_array(doubled)
+    # damaged tail: overwrite from floor(62*n/65) with near-silence.
+    # Frames 62-64 are the only energies that move, so only bits 61-63
+    # (the top 3 bits of the hi half) may flip.
+    n = base.shape[0]
+    edited = base.copy()
+    edited[(62 * n) // 65 :] = 126
+    hi0, lo0 = audio_fingerprint_array(base)
+    hi1, lo1 = audio_fingerprint_array(edited)
+    assert lo0 == lo1
+    assert (hi0 ^ hi1) & ((1 << 29) - 1) == 0
+
+
+def test_audio_fingerprint_poison_rows_null_not_fail(spark):
+    """Undecodable and sub-65-sample payloads null their own row
+    through the Arrow path; good rows in the same batch still hash."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_array,
+        decode_audio,
+    )
+
+    good = _make_wav(rate=8000, n=500, channels=2, bits=16)
+    rows = [
+        (1, good),
+        (2, b"ID3 not a wav"),
+        (3, _make_wav(rate=8000, n=64, channels=1, bits=8)),  # < 65 samples
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.afp_hi, r.afp_lo)
+        for r in audio_fingerprint(media).collect()
+    }
+    assert got[1] == audio_fingerprint_array(decode_audio(good)[0])
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)

@@ -766,16 +766,23 @@ def test_fuzzy_contamination_is_banded_equi_joins(spark):
 
 def test_dhash_near_dup_bands_distinct_hashes(spark):
     """docs_dhash_near_dup: the image bytes stay inside the Arrow decode
-    pass (MapInPandas); pairing happens on distinct-hash groups via band
-    equi-joins — never a cartesian/nested-loop join, and the group
-    collapse keeps its map-side partial aggregate."""
-    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+    pass (MapInPandas, pinned on the pre-checkpoint hash frame — the
+    group frame is localCheckpoint-ed so its 10 downstream references
+    don't re-run the decode, which truncates the final visible plan);
+    pairing happens on distinct-hash groups via band equi-joins — never
+    a cartesian/nested-loop join."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        QUERIES,
+        _dhash_frame,
+    )
 
+    pre = physical_plan(_dhash_frame(spark, SF_DIR, with_twins=True))
+    assert "MapInPandas" in pre, pre[:3000]
     plan = physical_plan(QUERIES["docs_dhash_near_dup"].fn(spark, SF_DIR))
-    assert "MapInPandas" in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
-    assert "partial_min" in plan or "partial_count" in plan, plan[:3000]
+    # the checkpointed group frame replaces the agg subtree
+    assert "Scan ExistingRDD" in plan, plan[:3000]
 
 
 def test_curriculum_order_is_range_sorted_not_single_partition(spark):
@@ -792,3 +799,24 @@ def test_curriculum_order_is_range_sorted_not_single_partition(spark):
     # SinglePartition exchange anywhere
     assert "windowspecdefinition(__rank_pid" in plan, plan[:3000]
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_audio_near_dup_bands_distinct_fingerprints(spark):
+    """docs_audio_near_dup: the WAV bytes stay inside the Arrow decode
+    pass (MapInPandas, pinned on the pre-checkpoint fingerprint frame —
+    the group frame is localCheckpoint-ed so its 10 downstream
+    references don't re-run the decode, which truncates the final
+    visible plan); pairing happens on distinct-fingerprint groups via
+    band equi-joins — never a cartesian/nested-loop join."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        QUERIES,
+        _audio_fp_frame,
+    )
+
+    pre = physical_plan(_audio_fp_frame(spark, SF_DIR, with_twins=True))
+    assert "MapInPandas" in pre, pre[:3000]
+    plan = physical_plan(QUERIES["docs_audio_near_dup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # the checkpointed group frame replaces the agg subtree
+    assert "Scan ExistingRDD" in plan, plan[:3000]
