@@ -456,7 +456,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def hamming_banded_pairs(
-    sigs: DataFrame, max_hamming: int = 3
+    sigs: DataFrame, max_hamming: int = 3, materialize: bool = True
 ) -> DataFrame:
     """Pairs of 64-bit signatures within ``max_hamming`` bits, banded:
     input is (doc_id, sig_lo, sig_hi) — two non-negative 32-bit halves —
@@ -465,7 +465,22 @@ def hamming_banded_pairs(
     (pigeonhole-complete for max_hamming <= 3). Scale: 4 narrow
     self-joins on short keys instead of a full cross join; the exact
     Hamming verify is two XOR+popcounts in codegen. Shared by SimHash
-    text near-dup and dHash image near-dup."""
+    text near-dup and dHash image near-dup.
+
+    ``materialize`` (default on) ``localCheckpoint``-s the signature
+    frame first: the band joins reference it 8x (4 bands x 2 sides),
+    and without materialization each reference re-executes the
+    signature lineage — an Arrow decode pass or a tokenize+md5 vote
+    pipeline — past what AQE exchange reuse recovers (measured:
+    simhash 12.25 -> 3.29 s at sf0.1 interleaved; audio near-dup
+    21.5 -> 2.6 s at sf1 with the caller-side group checkpoint). The
+    checkpointed frame is 3 int columns per signature — the same
+    bounded-artifact class as the graph operators' edge checkpoint.
+    Pass False when the input is already materialized."""
+    if materialize:
+        sigs = sigs.select("doc_id", "sig_lo", "sig_hi").localCheckpoint(
+            eager=True
+        )
     bands = sigs.select(
         "doc_id",
         "sig_lo",

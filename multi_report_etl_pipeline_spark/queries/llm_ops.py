@@ -1027,7 +1027,9 @@ def docs_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dhash_lo").alias("sig_lo"),
         F.col("dhash_hi").alias("sig_hi"),
     )
-    pairs = dedup.hamming_banded_pairs(sigs, max_hamming=3).select(
+    pairs = dedup.hamming_banded_pairs(
+        sigs, max_hamming=3, materialize=False  # groups checkpointed above
+    ).select(
         F.col("doc_id_1").alias("rep_id_1"),
         F.col("doc_id_2").alias("rep_id_2"),
         "hamming",
@@ -1318,7 +1320,9 @@ def docs_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("afp_lo").alias("sig_lo"),
         F.col("afp_hi").alias("sig_hi"),
     )
-    pairs = dedup.hamming_banded_pairs(sigs, max_hamming=3).select(
+    pairs = dedup.hamming_banded_pairs(
+        sigs, max_hamming=3, materialize=False  # groups checkpointed above
+    ).select(
         F.col("doc_id_1").alias("rep_id_1"),
         F.col("doc_id_2").alias("rep_id_2"),
         "hamming",
