@@ -86,9 +86,11 @@ HEADLINE = [
     "docs_fuzzy_contamination",
     "docs_image_dhash",
     "docs_dhash_near_dup",
-    # audio half of the multimodal dedup matrix
+    # audio + video thirds of the multimodal dedup matrix
     "docs_audio_fingerprint",
     "docs_audio_near_dup",
+    "docs_video_dhash",
+    "docs_video_near_dup",
 ]
 
 

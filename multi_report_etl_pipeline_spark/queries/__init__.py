@@ -8,7 +8,7 @@ ROTATION POLICY (the driver audit window)
 
 The verification driver audits the registry in iteration order and caps
 at ``DRIVER_AUDIT_CAP`` (50) entries per round; entries past the cap get
-no driver CORRECTNESS row that round. The registry holds 168 queries —
+no driver CORRECTNESS row that round. The registry holds 170 queries —
 more than 3 windows' worth — so window membership is ROTATED each round
 under these rules, in priority order:
 
@@ -60,7 +60,12 @@ Round-6 window derivation:
   (Haitsma-Kalker-style energy-envelope hash through the native WAV
   decode) and docs_audio_near_dup (Hamming-banded with planted
   damaged-tail twins) — seated by pushing orders_running_balance and
-  customer_abc_analysis to the round-7 overflow.
+  customer_abc_analysis to the round-7 overflow — and the video third:
+  docs_video_dhash (native Y4M decode -> per-frame dHash) and
+  docs_video_near_dup (shared-frame equality join with a hot-frame
+  df guard and planted re-cut twins) — seated by pushing
+  tpch_q10_returned_items and orders_quality_checks to the round-7
+  overflow.
 - rule 3: the 25 round-5 additions the round-5 window couldn't hold
   (judge-validated 25/25 OK in VERDICT.md round 5; driver rows this
   round) — minus docs_dedup_sample, docs_minhash_estimate,
@@ -142,11 +147,9 @@ _WINDOW = (
     # rule 3 — round-5 additions owed a driver row
     "streaming_transition_matrix",
     "tpch_q18_large_volume_customers",
-    "tpch_q10_returned_items",
     "customer_rfm_segments",
     "docs_hashed_ngram_logreg",
     "docs_canonical_selection",
-    "orders_quality_checks",
     "orders_trailing_30d_stats",
     "events_hourly_unique_users",
     "lineitem_grouping_sets",
@@ -201,6 +204,16 @@ _WINDOW = (
     # in-window via orders_trailing_30d_stats and customer_rfm_segments)
     "docs_audio_fingerprint",
     "docs_audio_near_dup",
+    # rule 2 — the video third of the multimodal dedup matrix (native
+    # Y4M decode -> per-frame dHash; shared-frame near-dup with planted
+    # re-cut twins and a hot-frame df guard); seats freed by pushing
+    # two more rule-3 entries to the round-7 overflow
+    # (tpch_q10_returned_items — TPC-H family holds 11 in-window rows —
+    # and orders_quality_checks, whose expectations-engine family stays
+    # represented by streaming_quality_checks; both judge-green r5 and
+    # pytest-oracle-checked every round)
+    "docs_video_dhash",
+    "docs_video_near_dup",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)

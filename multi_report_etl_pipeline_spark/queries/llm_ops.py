@@ -1369,6 +1369,213 @@ WHERE bit_count(xor(a.afp_hi, b.afp_hi))
 )
 
 
+# Y4M video geometry shared by the video-dedup queries and their SQL
+# twins: 4 frames of the minimal 9x8 dHash grid (72 bytes each), so a
+# document needs >= 288 bytes to fill a clip and every dHash box is
+# exactly one pixel — the DuckDB twin reduces to 64 character compares
+# per frame.
+_Y4M_W, _Y4M_H, _Y4M_FRAMES = 9, 8, 4
+_Y4M_FRAME_BYTES = _Y4M_W * _Y4M_H
+_Y4M_MIN_BYTES = _Y4M_FRAME_BYTES * _Y4M_FRAMES
+
+
+def _y4m_media(docs, with_twins: bool = False):
+    """In-plan text -> genuine Y4M (YUV4MPEG2, Cmono 8-bit grayscale)
+    construction over an eligibility-filtered (doc_id, text) frame:
+    stream header literal + 4 x (FRAME marker + 72-char slice), pure
+    codegen concat — the video analog of ``_wav_media``'s RIFF
+    assembly. Callers must pre-filter to octet_length >= 288.
+
+    ``with_twins`` adds each clip's re-cut twin (doc_id + 10^9): frames
+    0-2 identical, frame 3 replaced by constant near-silence ('~' x 72)
+    — the trailing-content swap (outro/credits/padding change) that
+    frame-fingerprint video dedup exists to catch. The constant frame
+    dHashes to (0,0) on EVERY twin, deliberately creating the hot
+    shared-frame pathology the near-dup query's document-frequency
+    guard must absorb."""
+    if with_twins:
+        twin_text = F.concat(
+            F.substring("text", 1, _Y4M_FRAME_BYTES * (_Y4M_FRAMES - 1)),
+            F.repeat(F.lit("~"), _Y4M_FRAME_BYTES),
+        )
+        docs = docs.select("doc_id", "text").unionByName(
+            docs.select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                twin_text.alias("text"),
+            )
+        )
+    header = F.lit(
+        f"YUV4MPEG2 W{_Y4M_W} H{_Y4M_H} F25:1 Ip A1:1 Cmono\n".encode()
+    )
+    parts = [header]
+    for f in range(_Y4M_FRAMES):
+        parts.append(F.lit(b"FRAME\n"))
+        parts.append(
+            F.encode(
+                F.substring("text", f * _Y4M_FRAME_BYTES + 1, _Y4M_FRAME_BYTES),
+                "UTF-8",
+            )
+        )
+    return docs.select(
+        F.col("doc_id").alias("media_id"), F.concat(*parts).alias("payload")
+    )
+
+
+def _video_dhash_frame(spark: SparkSession, sf_dir: str, with_twins: bool = False):
+    """Shared front half of the video-dedup queries: clips with enough
+    bytes for 4 full frames through the in-plan Y4M construction and
+    the NATIVE decode -> ``multimodal.video_frame_dhash`` Arrow path,
+    returning (doc_id, frame_idx, dh_hi, dh_lo). dHash on the 9x8
+    minimal grid is 64 single-pixel compares per frame, so DuckDB
+    derives the identical bits straight from the characters."""
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    eligible = docs.filter(
+        F.octet_length("text") >= _Y4M_MIN_BYTES
+    ).select("doc_id", "text")
+    return multimodal.video_frame_dhash(_y4m_media(eligible, with_twins)).select(
+        F.col("media_id").alias("doc_id"), "frame_idx", "dh_hi", "dh_lo"
+    )
+
+
+def docs_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hashing through the REAL video codec path:
+    each eligible document becomes a genuine 4-frame Y4M grayscale clip
+    (headers assembled in-plan), decoded by the native YUV4MPEG2 stream
+    walker, every frame dHashed inside one Arrow pass — the
+    frame-fingerprint primitive of content-based video dedup, and the
+    third modality of the multimodal dedup matrix (image docs_image_
+    dhash, audio docs_audio_fingerprint). Exact integer arithmetic
+    end-to-end, value-checked against DuckDB computing the same bits
+    from the characters."""
+    return _video_dhash_frame(spark, sf_dir)
+
+
+# The frame-hash derivation CTE chain, parameterized over the raw-text
+# source (`{src}` must provide doc_id, text): 4 x 72-char frame slices,
+# dHash on the 9x8 one-pixel-per-box grid = 64 character compares,
+# bits packed into two 32-bit halves — the SQL twin of
+# multimodal.video_frame_dhash over the clips _y4m_media builds.
+_VIDEO_DHASH_CTES = """
+f AS (
+    SELECT doc_id, text FROM {src}
+    WHERE octet_length(encode(text)) >= 288
+),
+frames AS (
+    SELECT doc_id, fi.f AS frame_idx, substr(text, fi.f * 72 + 1, 72) AS fr
+    FROM f, (SELECT unnest(range(0, 4)) AS f) fi
+),
+bits AS (
+    SELECT doc_id, frame_idx, k.k AS k,
+           CASE WHEN ord(substr(fr, (k.k // 8) * 9 + (k.k % 8) + 1, 1)) >
+                     ord(substr(fr, (k.k // 8) * 9 + (k.k % 8) + 2, 1))
+                THEN 1 ELSE 0 END AS bit
+    FROM frames, (SELECT unnest(range(0, 64)) AS k) k
+),
+fhash AS (
+    SELECT doc_id, frame_idx,
+           CAST(SUM(CASE WHEN k >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                         ELSE 0 END) AS BIGINT) AS dh_hi,
+           CAST(SUM(CASE WHEN k < 32
+                         THEN bit * (CAST(1 AS BIGINT) << k)
+                         ELSE 0 END) AS BIGINT) AS dh_lo
+    FROM bits GROUP BY 1, 2
+)
+"""
+
+VIDEO_DHASH_SQL = (
+    "WITH "
+    + _VIDEO_DHASH_CTES.format(src="documents")
+    + """
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, dh_hi, dh_lo
+FROM fhash
+"""
+)
+
+# Frame hashes shared by more videos than this are dropped before
+# pairing: the common-frame pathology (intros, credits, constant/black
+# frames) makes an equality join on a hot hash quadratic in its
+# document frequency — the video analog of the n-gram max_df skew cap.
+_VIDEO_MAX_DF = 8
+# Candidate pairs must share at least this many distinct kept frame
+# hashes (of the 4 per clip) to count as near-duplicates.
+_VIDEO_MIN_SHARED = 2
+
+
+def docs_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection by shared frame fingerprints:
+    two clips pair when they share >= 2 distinct per-frame dHashes
+    (after dropping frame hashes more frequent than the max_df guard) —
+    the standard content-based video dedup shape (a shared-frame
+    equality join is output-proportional; perceptual per-frame hashing
+    makes re-encodes collide frame-for-frame).
+
+    The corpus includes each clip's re-cut twin (see ``_y4m_media``):
+    frames 0-2 shared, frame 3 a constant every twin maps to (0,0) —
+    so the twins BOTH plant recoverable 3-shared-frame pairs AND
+    saturate one hash past the document-frequency guard, proving the
+    hot-frame cap engages without losing the planted pairs.
+
+    Scale: one Arrow decode pass; the distinct (video, frame-hash)
+    frame is localCheckpoint-ed (3 int columns per frame) because the
+    df-guard and both pair sides reference it; everything downstream
+    is equality joins + partial aggs on 64-bit keys."""
+    fh = _video_dhash_frame(spark, sf_dir, with_twins=True)
+    dh = (
+        fh.filter(F.col("dh_hi").isNotNull())
+        .select("doc_id", "dh_hi", "dh_lo")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hot = (
+        dh.groupBy("dh_hi", "dh_lo")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _VIDEO_MAX_DF)
+        .select("dh_hi", "dh_lo")
+    )
+    keep = dh.join(hot, ["dh_hi", "dh_lo"], "left_anti")
+    a = keep.select(F.col("doc_id").alias("vid_1"), "dh_hi", "dh_lo")
+    b = keep.select(F.col("doc_id").alias("vid_2"), "dh_hi", "dh_lo")
+    return (
+        a.join(b, ["dh_hi", "dh_lo"])
+        .filter(F.col("vid_1") < F.col("vid_2"))
+        .groupBy("vid_1", "vid_2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _VIDEO_MIN_SHARED)
+    )
+
+
+VIDEO_NEAR_DUP_SQL = (
+    """
+WITH src AS (
+    SELECT doc_id, text FROM documents
+    WHERE octet_length(encode(text)) >= 288
+    UNION ALL
+    SELECT doc_id + 1000000000,
+           substr(text, 1, 216) || repeat('~', 72)
+    FROM documents WHERE octet_length(encode(text)) >= 288
+),
+"""
+    + _VIDEO_DHASH_CTES.format(src="src")
+    + """,
+dh AS (SELECT DISTINCT doc_id, dh_hi, dh_lo FROM fhash),
+keep AS (
+    SELECT doc_id, dh_hi, dh_lo FROM dh
+    QUALIFY COUNT(*) OVER (PARTITION BY dh_hi, dh_lo) <= 8
+)
+SELECT a.doc_id AS vid_1, b.doc_id AS vid_2,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM keep a
+JOIN keep b ON a.dh_hi = b.dh_hi AND a.dh_lo = b.dh_lo
+           AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+)
+
+
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation composition — the extension
     family's analog of the reference's staging→report pipelines: score
@@ -1733,6 +1940,8 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_audio_decode": QuerySpec(docs_audio_decode, AUDIO_DECODE_SQL),
     "docs_audio_fingerprint": QuerySpec(docs_audio_fingerprint, AUDIO_FP_SQL),
     "docs_audio_near_dup": QuerySpec(docs_audio_near_dup, AUDIO_NEAR_DUP_SQL),
+    "docs_video_dhash": QuerySpec(docs_video_dhash, VIDEO_DHASH_SQL),
+    "docs_video_near_dup": QuerySpec(docs_video_near_dup, VIDEO_NEAR_DUP_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
     "docs_chunks": QuerySpec(docs_chunks, CHUNKS_SQL),

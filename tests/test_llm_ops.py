@@ -1457,3 +1457,43 @@ def test_audio_near_dup_recovers_planted_twins(spark):
         assert (r1, r2) in pairs, (d, twin)
         found += 1
     assert found > 50  # the tail damage flips bits on most clips
+
+
+def test_video_near_dup_recovers_planted_twins_and_caps_hot_frame(spark):
+    """Every re-cut twin must pair with its original at n_shared >= 2
+    (they share frames 0-2 unless the original's own frames collide),
+    and the constant twin frame — one hash shared by EVERY twin — must
+    be absorbed by the document-frequency guard rather than exploding
+    the join or leaking into pair counts."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        _VIDEO_MAX_DF,
+        QUERIES as LLM_QUERIES,
+        _video_dhash_frame,
+    )
+
+    fh = _video_dhash_frame(spark, SF_DIR, with_twins=True).collect()
+    by_vid = {}
+    for r in fh:
+        by_vid.setdefault(r.doc_id, set()).add((r.dh_hi, r.dh_lo))
+    originals = [d for d in by_vid if d < 1_000_000_000]
+    assert originals, "fixture should produce eligible clips"
+    # the constant twin frame hashes to (0,0) on every twin -> hot
+    df_00 = sum(1 for hs in by_vid.values() if (0, 0) in hs)
+    assert df_00 > _VIDEO_MAX_DF  # the guard MUST be engaging
+    pair_rows = LLM_QUERIES["docs_video_near_dup"].fn(spark, SF_DIR).collect()
+    pairs = {(r.vid_1, r.vid_2): r.n_shared for r in pair_rows}
+    # recompute expected pairs exactly: shared distinct hashes after
+    # dropping hashes with df > cap, threshold 2
+    df = {}
+    for hs in by_vid.values():
+        for h in hs:
+            df[h] = df.get(h, 0) + 1
+    kept = {v: {h for h in hs if df[h] <= _VIDEO_MAX_DF} for v, hs in by_vid.items()}
+    found = 0
+    for d in originals:
+        twin = d + 1_000_000_000
+        n = len(kept[d] & kept[twin])
+        if n >= 2:
+            assert pairs.get((d, twin)) == n, (d, twin, n)
+            found += 1
+    assert found > 100  # twins share 3 real frames almost always

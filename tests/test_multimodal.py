@@ -990,3 +990,76 @@ def test_audio_fingerprint_poison_rows_null_not_fail(spark):
     assert got[1] == audio_fingerprint_array(decode_audio(good)[0])
     assert got[2] == (None, None)
     assert got[3] == (None, None)
+
+
+def _make_y4m(w=9, h=8, n_frames=4, colorspace=b"mono", fps=b"25:1"):
+    """Deterministic grayscale ramp clip."""
+    header = b"YUV4MPEG2 W%d H%d F%s Ip A1:1 C%s\n" % (w, h, fps, colorspace)
+    out = header
+    for f in range(n_frames):
+        data = bytes(((f * 31 + i * 7) % 256) for i in range(w * h))
+        out += b"FRAME\n" + data
+    return out
+
+
+def test_decode_video_y4m_roundtrip_and_contract():
+    import numpy as np
+    import pytest as _pytest
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        decode_video_y4m,
+    )
+
+    frames, fps = decode_video_y4m(_make_y4m(w=12, h=10, n_frames=3))
+    assert frames.shape == (3, 10, 12) and frames.dtype == np.uint8
+    assert fps == (25, 1)
+    assert frames[1, 0, 0] == 31 and frames[2, 0, 1] == (62 + 7) % 256
+    with _pytest.raises(NotImplementedError):
+        decode_video_y4m(b"\x00\x00\x00\x18ftypmp42 not a y4m")
+    with _pytest.raises(ValueError):
+        decode_video_y4m(_make_y4m(colorspace=b"420jpeg"))
+    with _pytest.raises(ValueError):
+        decode_video_y4m(_make_y4m()[:-5])  # truncated last frame
+    with _pytest.raises(ValueError):
+        decode_video_y4m(b"YUV4MPEG2 W9 H8\nNOPE\n" + bytes(72))
+
+
+def test_dhash_stack_matches_dhash_array():
+    """The stack-vectorized dHash must be bit-identical to the per-frame
+    reference on every frame of a random same-shape stack."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        dhash_array,
+        dhash_stack,
+    )
+
+    rng = np.random.RandomState(31)
+    for shape in [(5, 8, 9), (3, 17, 23), (7, 64, 64)]:
+        stack = rng.randint(0, 256, size=shape).astype(np.uint8)
+        hi, lo = dhash_stack(stack)
+        for i in range(shape[0]):
+            assert (int(hi[i]), int(lo[i])) == dhash_array(stack[i]), (shape, i)
+
+
+def test_video_frame_dhash_poison_rows_null_not_fail(spark):
+    """Undecodable payloads emit one all-null frame row for their video;
+    good clips in the same batch hash every frame."""
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        decode_video_y4m,
+        dhash_array,
+        video_frame_dhash,
+    )
+
+    good = _make_y4m(w=9, h=8, n_frames=2)
+    rows = [(1, good), (2, b"not a video"), (3, _make_y4m(w=4, h=4))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r.media_id, r.frame_idx): (r.dh_hi, r.dh_lo)
+        for r in video_frame_dhash(media).collect()
+    }
+    frames, _ = decode_video_y4m(good)
+    assert got[(1, 0)] == dhash_array(frames[0])
+    assert got[(1, 1)] == dhash_array(frames[1])
+    assert got[(2, None)] == (None, None)
+    assert got[(3, None)] == (None, None)  # frames below the dhash grid

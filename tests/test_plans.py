@@ -820,3 +820,24 @@ def test_audio_near_dup_bands_distinct_fingerprints(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     # the checkpointed group frame replaces the agg subtree
     assert "Scan ExistingRDD" in plan, plan[:3000]
+
+
+def test_video_near_dup_equality_joins_over_checkpointed_frames(spark):
+    """docs_video_near_dup: the clip bytes stay inside the Arrow decode
+    pass (MapInPandas, pinned pre-checkpoint); the distinct frame-hash
+    frame is checkpointed (its df-guard + both pair sides reference
+    it), the hot-frame guard is a broadcastable anti join, and pairing
+    is equality joins + partial aggs — never a cartesian."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        QUERIES,
+        _video_dhash_frame,
+    )
+
+    pre = physical_plan(_video_dhash_frame(spark, SF_DIR, with_twins=True))
+    assert "MapInPandas" in pre, pre[:3000]
+    plan = physical_plan(QUERIES["docs_video_near_dup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "Scan ExistingRDD" in plan, plan[:3000]
+    assert "partial_count" in plan, plan[:3000]
