@@ -1518,28 +1518,27 @@ def docs_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturate one hash past the document-frequency guard, proving the
     hot-frame cap engages without losing the planted pairs.
 
-    Scale: one Arrow decode pass; the distinct (video, frame-hash)
-    frame is localCheckpoint-ed (3 int columns per frame) because the
-    df-guard and both pair sides reference it; everything downstream
-    is equality joins + partial aggs on 64-bit keys."""
+    Scale: ONE Arrow decode pass and ONE shuffle — frame hashes
+    aggregate straight to their distinct-video sets (map-side partial
+    collect_set union), the df guard is a size() filter on the set,
+    and pairs expand IN-PLAN from each kept set (two chained explodes,
+    <= df^2 <= 64 rows per hash) — no self-join, no second decode, no
+    multi-referenced lineage to materialize. An earlier draft
+    checkpointed the distinct (video, hash) frame and self-joined it;
+    at 5M docs the 32M-row checkpoint plus three scan-backs ran 64-215
+    s/run — this form runs 17 s (BASELINE.md)."""
     fh = _video_dhash_frame(spark, sf_dir, with_twins=True)
-    dh = (
+    sets = (
         fh.filter(F.col("dh_hi").isNotNull())
-        .select("doc_id", "dh_hi", "dh_lo")
-        .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("dh_hi", "dh_lo")
+        .agg(F.collect_set("doc_id").alias("vids"))
+        .filter(
+            (F.size("vids") <= _VIDEO_MAX_DF) & (F.size("vids") >= 2)
+        )
     )
-    hot = (
-        dh.groupBy("dh_hi", "dh_lo")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _VIDEO_MAX_DF)
-        .select("dh_hi", "dh_lo")
-    )
-    keep = dh.join(hot, ["dh_hi", "dh_lo"], "left_anti")
-    a = keep.select(F.col("doc_id").alias("vid_1"), "dh_hi", "dh_lo")
-    b = keep.select(F.col("doc_id").alias("vid_2"), "dh_hi", "dh_lo")
     return (
-        a.join(b, ["dh_hi", "dh_lo"])
+        sets.select(F.explode("vids").alias("vid_1"), "vids")
+        .select("vid_1", F.explode("vids").alias("vid_2"))
         .filter(F.col("vid_1") < F.col("vid_2"))
         .groupBy("vid_1", "vid_2")
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -822,12 +822,13 @@ def test_audio_near_dup_bands_distinct_fingerprints(spark):
     assert "Scan ExistingRDD" in plan, plan[:3000]
 
 
-def test_video_near_dup_equality_joins_over_checkpointed_frames(spark):
+def test_video_near_dup_single_shuffle_no_join(spark):
     """docs_video_near_dup: the clip bytes stay inside the Arrow decode
-    pass (MapInPandas, pinned pre-checkpoint); the distinct frame-hash
-    frame is checkpointed (its df-guard + both pair sides reference
-    it), the hot-frame guard is a broadcastable anti join, and pairing
-    is equality joins + partial aggs — never a cartesian."""
+    pass (MapInPandas); frame hashes aggregate to distinct-video sets
+    with a MAP-SIDE partial collect_set, the df guard is a size filter,
+    and pairs expand in-plan from each kept set — the plan must contain
+    NO join of any kind and exactly one hash exchange (the hash-keyed
+    set aggregation) plus the pair-count exchange."""
     from multi_report_etl_pipeline_spark.queries.llm_ops import (
         QUERIES,
         _video_dhash_frame,
@@ -836,8 +837,15 @@ def test_video_near_dup_equality_joins_over_checkpointed_frames(spark):
     pre = physical_plan(_video_dhash_frame(spark, SF_DIR, with_twins=True))
     assert "MapInPandas" in pre, pre[:3000]
     plan = physical_plan(QUERIES["docs_video_near_dup"].fn(spark, SF_DIR))
-    assert "CartesianProduct" not in plan, plan[:3000]
-    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
-    assert "LeftAnti" in plan, plan[:3000]
-    assert "Scan ExistingRDD" in plan, plan[:3000]
-    assert "partial_count" in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "partial_collect_set" in plan, plan[:3000]
+    assert "Generate explode" in plan, plan[:3000]
+    # the only planner-inserted exchanges are the hash-keyed set agg
+    # and the pair-count agg (REPARTITION_BY_NUM lines are the fixture
+    # fan-out, one per twin-union side)
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "ENSURE_REQUIREMENTS" in line
+    ]
+    assert len(exchanges) <= 2, exchanges
