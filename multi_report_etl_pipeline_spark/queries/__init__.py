@@ -8,7 +8,7 @@ ROTATION POLICY (the driver audit window)
 
 The verification driver audits the registry in iteration order and caps
 at ``DRIVER_AUDIT_CAP`` (50) entries per round; entries past the cap get
-no driver CORRECTNESS row that round. The registry holds 170 queries —
+no driver CORRECTNESS row that round. The registry holds 171 queries —
 more than 3 windows' worth — so window membership is ROTATED each round
 under these rules, in priority order:
 
@@ -70,10 +70,12 @@ Round-6 window derivation:
   (judge-validated 25/25 OK in VERDICT.md round 5; driver rows this
   round) — minus docs_dedup_sample, docs_minhash_estimate,
   orders_price_ntiles and events_daily_type_unpivot, pushed to the
-  round-7 overflow when the four late rule-2 additions landed (their
-  families stay represented: docs_minhash_near_dup,
-  orders_running_balance/trailing_30d and the events window family are
-  in-window; all four remain pytest-oracle-checked every round).
+  round-7 overflow when the four late rule-2 additions landed, and
+  minus orders_running_balance, customer_abc_analysis,
+  tpch_q10_returned_items, orders_quality_checks and
+  streaming_transition_matrix, pushed when the multimodal-dedup batch
+  landed (family representation per the inline _WINDOW comments; all
+  remain pytest-oracle-checked every round).
 - rule 5: 14 round-5-green keeps, one per §2.9 extension family where
   possible (ER, float-agg, SimHash, SemDeDup, LM-quality, DSIR, int8
   ANN, BPE, in-engine training, PCA, decontamination, HLL, histogram
@@ -145,7 +147,6 @@ _WINDOW = (
     # streaming_image_dedup and docs_curriculum_order below, and they
     # rotate back in the round-7 window)
     # rule 3 — round-5 additions owed a driver row
-    "streaming_transition_matrix",
     "tpch_q18_large_volume_customers",
     "customer_rfm_segments",
     "docs_hashed_ngram_logreg",
@@ -214,6 +215,12 @@ _WINDOW = (
     # pytest-oracle-checked every round)
     "docs_video_dhash",
     "docs_video_near_dup",
+    # rule 2 — streaming group election over the audio fingerprint
+    # (the streaming x multimodal matrix's second modality); seat freed
+    # by pushing streaming_transition_matrix to the round-7 overflow
+    # (judge-green r5; the streaming family holds 7 other in-window
+    # rows including the cross-batch-state streaming_user_scd2 pair)
+    "streaming_audio_dedup",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)

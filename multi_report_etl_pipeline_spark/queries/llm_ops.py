@@ -1369,6 +1369,46 @@ WHERE bit_count(xor(a.afp_hi, b.afp_hi))
 )
 
 
+def streaming_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of docs_audio_fingerprint's group election: audio
+    clips arrive as a file stream (the crawler landing-zone shape),
+    each micro-batch runs the SAME in-plan WAV construction + Arrow
+    decode->fingerprint pass (mapInPandas composes under readStream),
+    and the per-fingerprint group state — (min doc_id representative,
+    member count) — is maintained incrementally in complete mode,
+    drained with availableNow and hash-checked against the batch
+    grouping oracle. State is one narrow row per DISTINCT fingerprint
+    (the same state class as streaming_image_dedup); the drain is
+    bounded to 8 shuffle partitions like the sketch streams."""
+    from multi_report_etl_pipeline_spark import streaming  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = streaming.read_documents_stream(spark, sf_dir)
+    eligible = docs.filter(F.octet_length("text") >= 65).select("doc_id", "text")
+    groups = (
+        multimodal.audio_fingerprint(_wav_media(eligible))
+        .groupBy("afp_hi", "afp_lo")
+        .agg(
+            F.min("media_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    streaming.run_available_now(
+        groups, "q_stream_audio_dedup", "complete", shuffle_partitions=8
+    )
+    return spark.table("q_stream_audio_dedup")
+
+
+STREAM_AUDIO_DEDUP_SQL = (
+    "WITH "
+    + _AUDIO_FP_CTES.format(src="documents")
+    + """
+SELECT afp_hi, afp_lo, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+FROM fps GROUP BY 1, 2
+"""
+)
+
+
 # Y4M video geometry shared by the video-dedup queries and their SQL
 # twins: 4 frames of the minimal 9x8 dHash grid (72 bytes each), so a
 # document needs >= 288 bytes to fill a clip and every dHash box is
@@ -1941,6 +1981,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_audio_near_dup": QuerySpec(docs_audio_near_dup, AUDIO_NEAR_DUP_SQL),
     "docs_video_dhash": QuerySpec(docs_video_dhash, VIDEO_DHASH_SQL),
     "docs_video_near_dup": QuerySpec(docs_video_near_dup, VIDEO_NEAR_DUP_SQL),
+    "streaming_audio_dedup": QuerySpec(streaming_audio_dedup, STREAM_AUDIO_DEDUP_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
     "docs_chunks": QuerySpec(docs_chunks, CHUNKS_SQL),
