@@ -8,7 +8,7 @@ ROTATION POLICY (the driver audit window)
 
 The verification driver audits the registry in iteration order and caps
 at ``DRIVER_AUDIT_CAP`` (50) entries per round; entries past the cap get
-no driver CORRECTNESS row that round. The registry holds 171 queries —
+no driver CORRECTNESS row that round. The registry holds 172 queries —
 more than 3 windows' worth — so window membership is ROTATED each round
 under these rules, in priority order:
 
@@ -147,7 +147,6 @@ _WINDOW = (
     # streaming_image_dedup and docs_curriculum_order below, and they
     # rotate back in the round-7 window)
     # rule 3 — round-5 additions owed a driver row
-    "tpch_q18_large_volume_customers",
     "customer_rfm_segments",
     "docs_hashed_ngram_logreg",
     "docs_canonical_selection",
@@ -221,6 +220,11 @@ _WINDOW = (
     # (judge-green r5; the streaming family holds 7 other in-window
     # rows including the cross-batch-state streaming_user_scd2 pair)
     "streaming_audio_dedup",
+    # rule 2 — k-anonymity governance audit (QI group sizes + one-step
+    # generalization verdict); seat freed by pushing
+    # tpch_q18_large_volume_customers to the round-7 overflow (judge-
+    # green r5; the TPC-H family holds 10 other in-window rows)
+    "customer_k_anonymity",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)

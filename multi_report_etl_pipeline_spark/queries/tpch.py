@@ -2609,3 +2609,97 @@ FROM agg, LATERAL (
 QUERIES["orders_column_profile"] = QuerySpec(
     orders_column_profile, COLUMN_PROFILE_SQL
 )
+
+
+# -------------------------------------------- privacy / governance ---
+
+# Re-identification threshold for the k-anonymity audit: quasi-
+# identifier groups with fewer members are flagged as linkable.
+K_ANONYMITY_K = 5
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk audit over the customer quasi-identifiers —
+    the governance pass every shared/training dataset release runs
+    (Sweeney 2002): a record is re-identifiable when its quasi-
+    identifier combination — here (nation, market segment, account-
+    balance bucket), the attributes an adversary can link from outside
+    — is shared by fewer than k records.
+
+    Emits one row per level-0 QI group (balance bucketed to 1000) with
+    its anonymity-set size ``k_group``, the size its members' group
+    would have after ONE generalization step (balance coarsened to
+    10000 — nested floors compose: floor(floor(x/1000)/10) ==
+    floor(x/10000)) as ``k_generalized``, and the audit verdict:
+    'ok' (k >= 5 as-is), 'generalizable' (fixable by coarsening),
+    'suppress' (linkable even after generalization — the rows a
+    release must drop).
+
+    Scale: two partial-agg passes over the same scan (level-0 groups,
+    level-1 groups) joined on the derived coarse key — the level-1
+    side is one row per coarse bucket and broadcasts; nothing is
+    row-proportional downstream of the map-side combines."""
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    l0 = (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            bucket.alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("k_group"))
+    )
+    l1 = (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 10000).cast("bigint").alias("coarse"),
+        )
+        .agg(F.count(F.lit(1)).alias("k_generalized"))
+    )
+    joined = l0.withColumn(
+        "coarse", F.floor(F.col("bal_bucket") / F.lit(10.0)).cast("bigint")
+    ).join(F.broadcast(l1), ["nationkey", "mktsegment", "coarse"])
+    verdict = (
+        F.when(F.col("k_group") >= K_ANONYMITY_K, F.lit("ok"))
+        .when(F.col("k_generalized") >= K_ANONYMITY_K, F.lit("generalizable"))
+        .otherwise(F.lit("suppress"))
+    )
+    return joined.select(
+        "nationkey",
+        "mktsegment",
+        "bal_bucket",
+        "k_group",
+        "k_generalized",
+        verdict.alias("verdict"),
+    )
+
+
+K_ANONYMITY_SQL = """
+WITH l0 AS (
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS k_group
+    FROM customer GROUP BY 1, 2, 3
+),
+l1 AS (
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           CAST(FLOOR(c_acctbal / 10000) AS BIGINT) AS coarse,
+           CAST(COUNT(*) AS BIGINT) AS k_generalized
+    FROM customer GROUP BY 1, 2, 3
+)
+SELECT l0.nationkey, l0.mktsegment, l0.bal_bucket, l0.k_group,
+       l1.k_generalized,
+       CASE WHEN l0.k_group >= 5 THEN 'ok'
+            WHEN l1.k_generalized >= 5 THEN 'generalizable'
+            ELSE 'suppress' END AS verdict
+FROM l0
+JOIN l1 ON l1.nationkey = l0.nationkey
+       AND l1.mktsegment = l0.mktsegment
+       AND l1.coarse = CAST(FLOOR(l0.bal_bucket / 10.0) AS BIGINT)
+"""
+
+
+QUERIES["customer_k_anonymity"] = QuerySpec(
+    customer_k_anonymity, K_ANONYMITY_SQL
+)

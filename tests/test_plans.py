@@ -849,3 +849,15 @@ def test_video_near_dup_single_shuffle_no_join(spark):
         if "Exchange hashpartitioning" in line and "ENSURE_REQUIREMENTS" in line
     ]
     assert len(exchanges) <= 2, exchanges
+
+
+def test_k_anonymity_broadcasts_generalized_side(spark):
+    """customer_k_anonymity: two map-side partial-agg passes over the
+    same scan; the coarse-bucket side is one row per coarse QI cell and
+    must broadcast — no shuffled join, no row-proportional downstream."""
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES as TQ
+
+    plan = physical_plan(TQ["customer_k_anonymity"].fn(spark, SF_DIR))
+    assert "partial_count" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]

@@ -136,3 +136,48 @@ def test_quality_checks_count_planted_violations(spark, tmp_path):
         "orphan_custkey": (2, 8),  # the NULL custkey row is also an orphan
         "duplicate_orderkey": (1, 8),
     }, got
+
+
+def test_k_anonymity_verdicts_match_brute_force(spark, duck):
+    """The audit's three verdicts recomputed by brute force from the
+    raw table: every QI group's size, its coarsened group's size, and
+    the ok/generalizable/suppress classification."""
+    import math
+
+    from multi_report_etl_pipeline_spark.queries.tpch import (
+        K_ANONYMITY_K,
+        QUERIES as TQ,
+    )
+
+    duck.execute("SET search_path = 'sf_small'")
+    rows = duck.execute(
+        "SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer"
+    ).fetchall()
+    l0, l1 = {}, {}
+    for n, s, bal in rows:
+        l0[(n, s, math.floor(bal / 1000))] = l0.get((n, s, math.floor(bal / 1000)), 0) + 1
+        l1[(n, s, math.floor(bal / 10000))] = l1.get((n, s, math.floor(bal / 10000)), 0) + 1
+    got = TQ["customer_k_anonymity"].fn(spark, SF_DIR).collect()
+    assert len(got) == len(l0)
+    n_suppress = 0
+    for r in got:
+        key = (r.nationkey, r.mktsegment, r.bal_bucket)
+        assert r.k_group == l0[key], key
+        coarse = (r.nationkey, r.mktsegment, math.floor(r.bal_bucket / 10))
+        assert r.k_generalized == l1[coarse], key
+        expect = (
+            "ok"
+            if r.k_group >= K_ANONYMITY_K
+            else "generalizable"
+            if r.k_generalized >= K_ANONYMITY_K
+            else "suppress"
+        )
+        assert r.verdict == expect, (key, r.verdict, expect)
+        n_suppress += r.verdict == "suppress"
+    # the sparse sf0.001 QI space (1500 customers over ~2500 cells)
+    # never reaches k=5 ungeneralized — 'ok' appears from sf0.01 up
+    # (exercised by the oracle differential); here the generalization
+    # branch and the suppress floor must both fire
+    verdicts = {r.verdict for r in got}
+    assert {"generalizable", "suppress"} <= verdicts, verdicts
+    assert n_suppress > 0
