@@ -8,7 +8,7 @@ ROTATION POLICY (the driver audit window)
 
 The verification driver audits the registry in iteration order and caps
 at ``DRIVER_AUDIT_CAP`` (50) entries per round; entries past the cap get
-no driver CORRECTNESS row that round. The registry holds 172 queries —
+no driver CORRECTNESS row that round. The registry holds 173 queries —
 more than 3 windows' worth — so window membership is ROTATED each round
 under these rules, in priority order:
 
@@ -149,7 +149,6 @@ _WINDOW = (
     # rule 3 — round-5 additions owed a driver row
     "customer_rfm_segments",
     "docs_hashed_ngram_logreg",
-    "docs_canonical_selection",
     "orders_trailing_30d_stats",
     "events_hourly_unique_users",
     "lineitem_grouping_sets",
@@ -225,6 +224,11 @@ _WINDOW = (
     # tpch_q18_large_volume_customers to the round-7 overflow (judge-
     # green r5; the TPC-H family holds 10 other in-window rows)
     "customer_k_anonymity",
+    # rule 2 — streaming completion of the multimodal dedup triple;
+    # seat freed by pushing docs_canonical_selection to the round-7
+    # overflow (judge-green r5; the dedup family holds 6+ in-window
+    # rows across minhash/image/audio/video)
+    "streaming_video_dedup",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)

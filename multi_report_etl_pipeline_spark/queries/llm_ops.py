@@ -1615,6 +1615,50 @@ HAVING COUNT(*) >= 2
 )
 
 
+def streaming_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming completion of the multimodal dedup triple: video clips
+    arrive as a file stream, each micro-batch runs the SAME in-plan Y4M
+    construction + Arrow decode->per-frame-dHash pass, and the
+    per-frame-hash group state — (min video representative, frame
+    count) — is maintained incrementally in complete mode, drained with
+    availableNow and hash-checked against the batch grouping oracle.
+    This is the landing-zone half of video dedup: the batch
+    docs_video_near_dup pairs videos from exactly this per-hash
+    grouping. State is one narrow row per DISTINCT frame hash; the
+    drain is bounded to 8 shuffle partitions like the sketch streams."""
+    from multi_report_etl_pipeline_spark import streaming  # noqa: PLC0415
+    from multi_report_etl_pipeline_spark.operators import multimodal  # noqa: PLC0415
+
+    docs = streaming.read_documents_stream(spark, sf_dir)
+    eligible = docs.filter(
+        F.octet_length("text") >= _Y4M_MIN_BYTES
+    ).select("doc_id", "text")
+    groups = (
+        multimodal.video_frame_dhash(_y4m_media(eligible))
+        .filter(F.col("dh_hi").isNotNull())
+        .groupBy("dh_hi", "dh_lo")
+        .agg(
+            F.min("media_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+    )
+    streaming.run_available_now(
+        groups, "q_stream_video_dedup", "complete", shuffle_partitions=8
+    )
+    return spark.table("q_stream_video_dedup")
+
+
+STREAM_VIDEO_DEDUP_SQL = (
+    "WITH "
+    + _VIDEO_DHASH_CTES.format(src="documents")
+    + """
+SELECT dh_hi, dh_lo, MIN(doc_id) AS rep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM fhash GROUP BY 1, 2
+"""
+)
+
+
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation composition — the extension
     family's analog of the reference's staging→report pipelines: score
@@ -1982,6 +2026,7 @@ QUERIES: dict[str, QuerySpec] = {
     "docs_video_dhash": QuerySpec(docs_video_dhash, VIDEO_DHASH_SQL),
     "docs_video_near_dup": QuerySpec(docs_video_near_dup, VIDEO_NEAR_DUP_SQL),
     "streaming_audio_dedup": QuerySpec(streaming_audio_dedup, STREAM_AUDIO_DEDUP_SQL),
+    "streaming_video_dedup": QuerySpec(streaming_video_dedup, STREAM_VIDEO_DEDUP_SQL),
     "docs_video_frames": QuerySpec(docs_video_frames, VIDEO_FRAMES_SQL),
     "docs_curation_pipeline": QuerySpec(docs_curation_pipeline, _curation_sql()),
     "docs_chunks": QuerySpec(docs_chunks, CHUNKS_SQL),
