@@ -1670,8 +1670,24 @@ def streaming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multi_report_etl_pipeline_spark.io import fan_out, read_table  # noqa: PLC0415
 
     corpus = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    # the batch twin's query set is bounded by contract (the
+    # _TOPK_MAX_Q lowest qualifying vec_ids); a stream can't ORDER BY,
+    # so the serving loop pins the same window as an id threshold
+    # computed once from the static corpus at index-build time (one
+    # 1-row driver scalar, corpus-size-independent)
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (  # noqa: PLC0415
+        _TOPK_MAX_Q,
+    )
+
+    thr_row = (
+        corpus.filter((F.col("vec_id") % 100) == 0)
+        .orderBy("vec_id")
+        .limit(_TOPK_MAX_Q)
+        .agg(F.max("vec_id").alias("thr"))
+        .collect()[0]
+    )
     q_stream = streaming.read_embeddings_stream(spark, sf_dir).filter(
-        (F.col("vec_id") % 100) == 0
+        ((F.col("vec_id") % 100) == 0) & (F.col("vec_id") <= F.lit(thr_row.thr))
     )
     pdf = streaming.ann_serving_drain(q_stream, corpus, k=10)
     return spark.createDataFrame(

@@ -2217,7 +2217,11 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction is high; clustered real-world embeddings get the same
     recall at a far smaller cut."""
     emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_TOPK_MAX_Q)
+    )
     key = ("ivf_centroids", sf_dir)
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = similarity.train_centroids_portable(
@@ -2279,7 +2283,8 @@ def _ivf_sql(
         f"SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
         f"PARTITION BY e.vec_id ORDER BY {dist('e', 'c')}, c.cid) AS rn"
         f" FROM e CROSS JOIN c{iters} AS c) WHERE rn = 1)",
-        "q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0)",
+        f"q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id % 100 = 0 "
+        f"ORDER BY vec_id LIMIT {_TOPK_MAX_Q})",
         f"probe AS (SELECT q_id, cid AS cell FROM ("
         f"SELECT q.q_id, c.cid, ROW_NUMBER() OVER ("
         f"PARTITION BY q.q_id ORDER BY {dist('q', 'c')}, c.cid) AS rn"
@@ -2982,7 +2987,11 @@ def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py. Quantized query rows are cached per corpus
     snapshot like the other construction artifacts."""
     emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_TOPK_MAX_Q)
+    )
     key = ("int8_topk_queries", sf_dir)
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = (
@@ -3001,7 +3010,7 @@ def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int8_topk(emb, queries, k=10, q_rows=_CONSTRUCT_CACHE[key])
 
 
-INT8_TOPK_SQL = """
+INT8_TOPK_SQL = f"""
 WITH v AS (SELECT vec_id, embedding,
                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am
            FROM embeddings),
@@ -3009,7 +3018,8 @@ qz AS (SELECT vec_id,
               [CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT) for x in embedding]
                   AS q8
        FROM v WHERE am > 0),
-q AS (SELECT vec_id AS q_id, q8 AS q_q8 FROM qz WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS q_id, q8 AS q_q8 FROM qz WHERE vec_id % 100 = 0
+     ORDER BY vec_id LIMIT {_TOPK_MAX_Q}),
 sims AS (
     SELECT q_id, c.vec_id AS c_id,
            list_dot_product(CAST(q_q8 AS DOUBLE[]), CAST(c.q8 AS DOUBLE[]))
