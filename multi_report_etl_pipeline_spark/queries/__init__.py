@@ -84,7 +84,9 @@ Demoted in exchange (all r4+r5 or r5 hash-green, code untouched or
 plan-identical this round, all still pytest-oracle-checked):
 tpch_q1_pricing_summary, orders_snapshot_diff, orders_lifecycle_zorder,
 docs_bigram_vocabulary, docs_mixture_sample, docs_split_assignment,
-events_value_percentiles, emb_ivf_topk, docs_repetition_stats,
+events_value_percentiles, docs_repetition_stats,
+(emb_ivf_topk was on this demotion list until the late ANN contract
+fix changed its plan — rule 1 re-seated it),
 emb_kmeans_clusters, docs_span_dedup, emb_cluster_balanced_sample,
 docs_bm25_topk, events_user_activity_histogram, streaming_user_totals,
 streaming_vocabulary, streaming_doc_curation, docs_weighted_sample,
@@ -149,8 +151,6 @@ _WINDOW = (
     # rule 3 — round-5 additions owed a driver row
     "customer_rfm_segments",
     "docs_hashed_ngram_logreg",
-    "orders_trailing_30d_stats",
-    "events_hourly_unique_users",
     "lineitem_grouping_sets",
     # rule 1 — two-stage grouping-set rewrite changed these plans late
     # in round 6 (seats freed by pushing orders_first_last_nth and
@@ -229,6 +229,15 @@ _WINDOW = (
     # overflow (judge-green r5; the dedup family holds 6+ in-window
     # rows across minhash/image/audio/video)
     "streaming_video_dedup",
+    # rule 1 — the ANN query-set contract fix late in round 6 changed
+    # these two plans (bounded LIMIT query set, mirrored oracles);
+    # emb_cosine_topk and streaming_ann_topk — the other two changed
+    # queries — already hold rows above. Seats freed by pushing
+    # orders_trailing_30d_stats and events_hourly_unique_users to the
+    # round-7 overflow (judge-green r5; orders_column_profile and the
+    # events SCD2/streaming rows keep those families in-window)
+    "emb_int8_topk",
+    "emb_ivf_topk",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)
