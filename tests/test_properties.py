@@ -950,3 +950,84 @@ def test_global_ntile_matches_python_reference(values, k, nparts):
                 want[order[pos][0]] = b
                 pos += 1
     assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=65, max_value=400),  # n samples
+            st.integers(min_value=1, max_value=3),  # channels
+            st.sampled_from(["u8", "i16"]),
+            st.integers(min_value=0, max_value=2**32 - 1),  # seed
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    gain=st.integers(min_value=2, max_value=5),
+)
+def test_audio_fingerprint_properties(data, gain):
+    """For ALL PCM shapes: the fingerprint equals an independent
+    brute-force reference, is exactly invariant under integer gain
+    (u8 deviations scaled around the 128 zero point), and both halves
+    stay non-negative 32-bit."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        audio_fingerprint_array,
+    )
+
+    def brute(samples):
+        center = 128 if samples.dtype == np.uint8 else 0
+        dev = [sum(abs(int(v) - center) for v in row) for row in samples]
+        n = len(dev)
+        e = [sum(dev[(i * n) // 65 : ((i + 1) * n) // 65]) for i in range(65)]
+        c = [((i + 1) * n) // 65 - (i * n) // 65 for i in range(65)]
+        hi = lo = 0
+        for i in range(64):
+            if e[i + 1] * c[i] > e[i] * c[i + 1]:
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+        return hi, lo
+
+    for n, ch, kind, seed in data:
+        rng = np.random.RandomState(seed % (2**32))
+        if kind == "u8":
+            dev = rng.randint(-25, 26, size=(n, ch))
+            arr = (128 + dev).astype(np.uint8)
+            scaled = (128 + gain * dev).astype(np.uint8)
+        else:
+            dev = rng.randint(-6000, 6001, size=(n, ch))
+            arr = dev.astype(np.int16)
+            scaled = (gain * dev).astype(np.int16)
+        got = audio_fingerprint_array(arr)
+        assert got == brute(arr)
+        assert got == audio_fingerprint_array(scaled)  # exact gain invariance
+        hi, lo = got
+        assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=8, max_value=40),
+    w=st.integers(min_value=9, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_dhash_stack_equals_per_frame_for_all_shapes(n, h, w, seed):
+    """For ALL stack shapes: the batch-vectorized dHash is bit-identical
+    to the audited per-frame dhash_array."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.operators.multimodal import (
+        dhash_array,
+        dhash_stack,
+    )
+
+    rng = np.random.RandomState(seed % (2**32))
+    stack = rng.randint(0, 256, size=(n, h, w)).astype(np.uint8)
+    hi, lo = dhash_stack(stack)
+    for i in range(n):
+        assert (int(hi[i]), int(lo[i])) == dhash_array(stack[i]), (n, h, w, i)
