@@ -150,7 +150,6 @@ _WINDOW = (
     # rotate back in the round-7 window)
     # rule 3 — round-5 additions owed a driver row
     "customer_rfm_segments",
-    "docs_hashed_ngram_logreg",
     "lineitem_grouping_sets",
     # rule 1 — two-stage grouping-set rewrite changed these plans late
     # in round 6 (seats freed by pushing orders_first_last_nth and
@@ -238,6 +237,12 @@ _WINDOW = (
     # events SCD2/streaming rows keep those families in-window)
     "emb_int8_topk",
     "emb_ivf_topk",
+    # rule 1 — the signature materialization inside hamming_banded_pairs
+    # changed this plan too (the audio/dHash band users hold rows above);
+    # seat freed by pushing docs_hashed_ngram_logreg to the round-7
+    # overflow (judge-green r5 — rule 1 outranks the rule-5 family
+    # preference; the classifier stays pytest-oracle-checked every round)
+    "docs_simhash_near_dup",
     # (no rule-5 keep this round: streaming_doc_perplexity — the last
     # one — was demoted at the cap to seat the late round-6 SCD2
     # current-view addition; it stays pytest-oracled every round)
