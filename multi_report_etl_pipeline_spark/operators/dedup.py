@@ -476,7 +476,15 @@ def hamming_banded_pairs(
     21.5 -> 2.6 s at sf1 with the caller-side group checkpoint). The
     checkpointed frame is 3 int columns per signature — the same
     bounded-artifact class as the graph operators' edge checkpoint.
-    Pass False when the input is already materialized."""
+    Pass False when the input is already materialized.
+
+    SIDE EFFECT (ADVICE round 6): with ``materialize=True``, merely
+    BUILDING the returned DataFrame runs the full upstream signature
+    job eagerly (localCheckpoint(eager=True)), and the truncated
+    lineage forfeits recomputation on executor loss — on a cluster,
+    a lost executor fails the job instead of recomputing the shard.
+    Callers that only need the plan (explain/plan tooling) or that
+    cannot accept eager execution must pass ``materialize=False``."""
     if materialize:
         sigs = sigs.select("doc_id", "sig_lo", "sig_hi").localCheckpoint(
             eager=True

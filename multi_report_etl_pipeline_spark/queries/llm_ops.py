@@ -892,7 +892,11 @@ def _dhash_frame(spark: SparkSession, sf_dir: str, with_twins: bool = False):
 def _dhash_media(docs, with_twins: bool = False):
     """The in-plan text->8-row-PGM image construction over any (doc_id,
     text) frame — batch or STREAMING (pure narrow expressions, so it
-    composes under readStream too)."""
+    composes under readStream too). Non-ASCII docs are excluded up
+    front (byte-derived width + character-sliced raster are only
+    consistent on ASCII; the SQL twins carry the same predicate —
+    ADVICE round 6)."""
+    docs = docs.filter(F.octet_length("text") == F.length("text"))
     w = F.floor(F.octet_length("text") / 8).cast("int")
     eligible = (
         docs.withColumn("w", w)
@@ -958,6 +962,7 @@ b AS (
            [ord(c) for c in string_split_regex(text, '')] AS px,
            octet_length(encode(text)) // 8 AS w
     FROM {src}
+    WHERE octet_length(encode(text)) = length(text)
 ), f AS (SELECT * FROM b WHERE w >= 9),
 cells AS (
     SELECT doc_id, r.r AS r, i.i AS i,
@@ -1049,12 +1054,14 @@ DHASH_NEAR_DUP_SQL = (
     """
 WITH src AS (
     SELECT doc_id, text FROM documents
+    WHERE octet_length(encode(text)) = length(text)
     UNION ALL
     SELECT doc_id + 1000000000,
            substr(text, 1, 7 * w + (8 * w) // 9)
                || repeat('z', 8 * w - (7 * w + (8 * w) // 9))
     FROM (SELECT doc_id, text, octet_length(encode(text)) // 8 AS w
-          FROM documents)
+          FROM documents
+          WHERE octet_length(encode(text)) = length(text))
     WHERE w >= 9
 ),
 """
@@ -1129,7 +1136,16 @@ def _wav_media(docs, with_twins: bool = False):
     pipeline exists to catch. Only frames 62-64 change, so bits 61-63
     are the only fingerprint bits that can flip: each twin sits within
     Hamming 3 of its original, inside hamming_banded_pairs' pigeonhole
-    guarantee."""
+    guarantee.
+
+    The construction mixes byte semantics (octet_length chunk sizing)
+    with character semantics (substring slicing), which is only exact
+    while a document is pure ASCII — so non-ASCII docs are EXCLUDED
+    here, before twin construction, and every SQL twin carries the same
+    octet_length(encode(text)) = length(text) predicate on its raw
+    document source (ADVICE round 6: enforce the invariant instead of
+    assuming it)."""
+    docs = docs.filter(F.octet_length("text") == F.length("text"))
     n = F.octet_length("text").cast("bigint")
     if with_twins:
         cut = F.floor(n * 62 / 65).cast("int")
@@ -1198,6 +1214,7 @@ SELECT doc_id,
                                   for c in string_split_regex(text, '')],
                                  'avg')), 6) AS rms
 FROM documents
+WHERE octet_length(encode(text)) = length(text)
 """
 
 
@@ -1252,6 +1269,7 @@ b AS (
            [abs(ord(c) - 128) for c in string_split_regex(text, '')] AS dev,
            octet_length(encode(text)) AS n
     FROM {src}
+    WHERE octet_length(encode(text)) = length(text)
 ), f AS (SELECT * FROM b WHERE n >= 65),
 frames AS (
     SELECT doc_id, i.i AS i,
@@ -1343,12 +1361,14 @@ AUDIO_NEAR_DUP_SQL = (
 WITH src AS (
     SELECT doc_id, text FROM documents
     WHERE octet_length(encode(text)) >= 65
+      AND octet_length(encode(text)) = length(text)
     UNION ALL
     SELECT doc_id + 1000000000,
            substr(text, 1, (62 * n) // 65)
                || repeat('~', n - (62 * n) // 65)
     FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
-          FROM documents)
+          FROM documents
+          WHERE octet_length(encode(text)) = length(text))
     WHERE n >= 65
 ),
 """
@@ -1432,7 +1452,12 @@ def _y4m_media(docs, with_twins: bool = False):
     frame-fingerprint video dedup exists to catch. The constant frame
     dHashes to (0,0) on EVERY twin, deliberately creating the hot
     shared-frame pathology the near-dup query's document-frequency
-    guard must absorb."""
+    guard must absorb.
+
+    Non-ASCII docs are excluded up front (byte-sized eligibility +
+    character-sliced frames are only consistent on ASCII; the SQL twins
+    carry the same predicate — ADVICE round 6)."""
+    docs = docs.filter(F.octet_length("text") == F.length("text"))
     if with_twins:
         twin_text = F.concat(
             F.substring("text", 1, _Y4M_FRAME_BYTES * (_Y4M_FRAMES - 1)),
@@ -1501,6 +1526,7 @@ _VIDEO_DHASH_CTES = """
 f AS (
     SELECT doc_id, text FROM {src}
     WHERE octet_length(encode(text)) >= 288
+      AND octet_length(encode(text)) = length(text)
 ),
 frames AS (
     SELECT doc_id, fi.f AS frame_idx, substr(text, fi.f * 72 + 1, 72) AS fr
@@ -1591,10 +1617,12 @@ VIDEO_NEAR_DUP_SQL = (
 WITH src AS (
     SELECT doc_id, text FROM documents
     WHERE octet_length(encode(text)) >= 288
+      AND octet_length(encode(text)) = length(text)
     UNION ALL
     SELECT doc_id + 1000000000,
            substr(text, 1, 216) || repeat('~', 72)
     FROM documents WHERE octet_length(encode(text)) >= 288
+      AND octet_length(encode(text)) = length(text)
 ),
 """
     + _VIDEO_DHASH_CTES.format(src="src")
@@ -2987,21 +3015,25 @@ def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py. Quantized query rows are cached per corpus
     snapshot like the other construction artifacts."""
     emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    # The am>0 zero-vector filter must run BEFORE the LIMIT so both sides
+    # bound the SAME candidate set (the SQL twin's qz CTE filters am>0
+    # before its LIMIT; limit-then-filter here would diverge if a
+    # zero-magnitude embedding ever landed on a qualifying low vec_id).
     queries = (
         emb.filter(F.col("vec_id") % 100 == 0)
+        .filter(
+            F.array_max(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+            )
+            > 0.0
+        )
         .orderBy("vec_id")
         .limit(_TOPK_MAX_Q)
     )
     key = ("int8_topk_queries", sf_dir)
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = (
-            queries.filter(
-                F.array_max(
-                    F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-                )
-                > 0.0
-            )
-            .select(
+            queries.select(
                 F.col("vec_id").alias("q_id"),
                 similarity.int8_quantize("embedding").alias("q_q8"),
             )
