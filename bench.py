@@ -161,6 +161,29 @@ def main() -> None:
         clear_materialized_staging(sf_dir)
         materialize_staging(spark, sf_dir)
 
+    # Sitting-noise sentinel (round-6 verdict item: BENCH_r06 printed
+    # 109.5 s on a loaded machine vs 39.0 s judge-quiet, and min-of-3
+    # inside one sitting cannot see GLOBAL load). A fixed trivial query
+    # — schedule 64 tasks, sum a million longs, no I/O — is timed before
+    # the suite and again after every 10th entry; its samples expose the
+    # machine's scheduling latency DURING the sitting. Interpretation
+    # rule (BASELINE.md): quiet sittings hold the sentinel ~flat; if the
+    # max sample is >> the min (or the median drifts upward), the
+    # sitting was contended and the totals are not comparable across
+    # rounds.
+    sentinel_df = spark.range(0, 1_000_000, 1, 64).selectExpr(
+        "sum(id * 3 + 1) as s"
+    )
+    sentinel_samples: list[float] = []
+
+    def _sentinel() -> None:
+        t0 = time.perf_counter()
+        _force(sentinel_df)
+        sentinel_samples.append(round(time.perf_counter() - t0, 3))
+
+    _force(sentinel_df)  # warm the sentinel's own plan/codegen once
+    _sentinel()
+
     timings["staging_materialize"] = _timed(_run_materialize)
 
     # Queries whose *construction* already runs cluster jobs (iterative
@@ -188,13 +211,16 @@ def main() -> None:
         "docs_pagerank",
     }
 
-    for name in names:
+    for i, name in enumerate(names):
         fn = registry[name].fn
         if name in iterative:
             timings[name] = _timed(lambda: _force(fn(spark, sf_dir)))
         else:
             df = fn(spark, sf_dir)
             timings[name] = _timed(lambda: _force(df))
+        if (i + 1) % 10 == 0:
+            _sentinel()
+    _sentinel()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -205,6 +231,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sentinel": {
+                    "query": "range(1e6,64 tasks) sum — fixed noise probe",
+                    "samples_sec": sentinel_samples,
+                    "min": min(sentinel_samples),
+                    "max": max(sentinel_samples),
+                },
             }
         )
     )
