@@ -78,6 +78,11 @@ HEADLINE = [
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_suppliers_kept_waiting",
+    # round-7 partsupp batch, heaviest two shapes (q9: double fact
+    # shuffle through the derived partsupp; q2: windowed min over the
+    # region-filtered offer set)
+    "tpch_q9_product_type_profit",
+    "tpch_q2_min_cost_supplier",
     # late round-6 additions
     "emb_pq_topk",
     "docs_heavy_terms",

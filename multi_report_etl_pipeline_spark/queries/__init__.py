@@ -34,69 +34,35 @@ under these rules, in priority order:
    ``scripts/validate.py`` runs the driver-equivalent oracle harness
    over any subset on demand.
 
-Round-6 window derivation:
+Round-7 window derivation:
 - rule 4: the 5 reference-surface rows.
-- rule 1: docs_pagerank + docs_triangle_stats (edge-frame
-  localCheckpoint), docs_minhash_near_dup (hot-band guard),
-  docs_image_decode (native JPEG decode), emb_cosine_topk (bounded
-  query-set contract), the 3 streaming_* sketches (bounded drain
-  partitions).
-- rule 2: emb_blocked_near_dup (the near-dup scale path that replaced
-  the retired quadratic emb_near_dup_pairs registry entry), plus the
-  10-query TPC-H completion batch (q4/q7/q8/q12/q13/q15/q17/q19/q21/
-  q22 — every remaining dbgen query expressible without partsupp),
-  plus the late-round additions emb_pq_topk (product-quantization ANN
-  under the full training-unrolled oracle), docs_heavy_terms
-  (Misra-Gries + exact-verify heavy hitters), docs_lang_divergence
-  (TV-distance drift in exact integer arithmetic), streaming_ann_topk
-  (the ANN serving loop: streamed query vectors answered per
-  micro-batch against the static int8 index via foreachBatch, same
-  value oracle as the batch twin), plus the final round-6 batch
-  docs_fuzzy_contamination (cross-corpus banded MinHash — near-dup
-  eval-leakage), docs_image_dhash (perceptual hash through the native
-  decode, exact-dup groups) and docs_dhash_near_dup (Hamming-banded
-  image near-dup with planted corrupted-tail twins), plus the audio
-  half of the multimodal dedup matrix: docs_audio_fingerprint
-  (Haitsma-Kalker-style energy-envelope hash through the native WAV
-  decode) and docs_audio_near_dup (Hamming-banded with planted
-  damaged-tail twins) — seated by pushing orders_running_balance and
-  customer_abc_analysis to the round-7 overflow — and the video third:
-  docs_video_dhash (native Y4M decode -> per-frame dHash) and
-  docs_video_near_dup (shared-frame equality join with a hot-frame
-  df guard and planted re-cut twins) — seated by pushing
-  tpch_q10_returned_items and orders_quality_checks to the round-7
-  overflow.
-- rule 3: the 25 round-5 additions the round-5 window couldn't hold
-  (judge-validated 25/25 OK in VERDICT.md round 5; driver rows this
-  round) — minus docs_dedup_sample, docs_minhash_estimate,
-  orders_price_ntiles and events_daily_type_unpivot, pushed to the
-  round-7 overflow when the four late rule-2 additions landed, and
-  minus orders_running_balance, customer_abc_analysis,
-  tpch_q10_returned_items, orders_quality_checks and
-  streaming_transition_matrix, pushed when the multimodal-dedup batch
-  landed (family representation per the inline _WINDOW comments; all
-  remain pytest-oracle-checked every round).
-- rule 5: 14 round-5-green keeps, one per §2.9 extension family where
-  possible (ER, float-agg, SimHash, SemDeDup, LM-quality, DSIR, int8
-  ANN, BPE, in-engine training, PCA, decontamination, HLL, histogram
-  sketch, streaming-scoring).
-Demoted in exchange (all r4+r5 or r5 hash-green, code untouched or
-plan-identical this round, all still pytest-oracle-checked):
-tpch_q1_pricing_summary, orders_snapshot_diff, orders_lifecycle_zorder,
-docs_bigram_vocabulary, docs_mixture_sample, docs_split_assignment,
-events_value_percentiles, docs_repetition_stats,
-(emb_ivf_topk was on this demotion list until the late ANN contract
-fix changed its plan — rule 1 re-seated it),
-emb_kmeans_clusters, docs_span_dedup, emb_cluster_balanced_sample,
-docs_bm25_topk, events_user_activity_histogram, streaming_user_totals,
-streaming_vocabulary, streaming_doc_curation, docs_weighted_sample,
-docs_bpe_tokenize, docs_cms_frequencies, docs_duplicate_runs,
-docs_hash_embed_topk, streaming_quality_logreg,
-streaming_weighted_sample, events_gap_filled_hourly,
-events_transition_matrix, events_ewma_anomaly, and — freeing seats for
-the final round-6 additions — tpch_q6_forecast_revenue,
-docs_substring_clean, events_hourly_top_users (all r5/judge-green,
-families still represented in-window).
+- rule 2: the round-7 TPC-H completion batch — q2/q9/q11/q16/q20, the
+  five dbgen queries unblocked by the derived-partsupp construction
+  (tpch.py PARTSUPP_CTES / derived_partsupp). TPC-H is now 22/22.
+- rule 1 (changed since the round-6 driver run): the ASCII-invariant
+  enforcement in the _dhash_media/_wav_media/_y4m_media in-plan
+  builders (commit b81f5b9) changed every consumer's plan and SQL twin
+  — docs_image_dhash, docs_dhash_near_dup, streaming_image_dedup,
+  docs_audio_decode, docs_audio_fingerprint, docs_audio_near_dup,
+  streaming_audio_dedup, docs_video_dhash, docs_video_near_dup,
+  streaming_video_dedup; emb_int8_topk (filter-before-LIMIT query-set
+  alignment, same commit); docs_bpe_merges + docs_bpe_tokenize (the
+  trainer now scopes AQE initialPartitionNum around its persist,
+  commit aa25676); docs_minhash_near_dup + docs_fuzzy_contamination
+  (round-7 adaptive collapse-exact guard in minhash_near_dup_pairs).
+- rule 3: the 16 registry entries that have NEVER held a driver seat
+  (VERDICT r6 item 4): orders_price_ntiles, orders_running_balance,
+  tpch_q18_large_volume_customers, orders_trailing_30d_stats,
+  orders_quality_checks, orders_first_last_nth, customer_abc_analysis,
+  docs_minhash_estimate, docs_hashed_ngram_logreg,
+  events_hourly_unique_users, events_hourly_top_users,
+  events_session_paths, events_daily_type_unpivot,
+  streaming_transition_matrix, streaming_cms_frequencies,
+  streaming_binned_percentiles.
+Demoted in exchange: everything else — all r5/r6 hash-green on code
+untouched since (the staging/reports materialization surface keeps its
+rule-4 representatives; every demoted entry stays pytest-oracle-checked
+per round and scripts/validate.py re-proves any subset on demand).
 """
 
 from __future__ import annotations
@@ -135,117 +101,49 @@ _WINDOW = (
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",
     "report_commercial_promises",
-    # rules 1-2 — changed or new this round
-    "docs_pagerank",
-    "docs_triangle_stats",
-    "docs_minhash_near_dup",
-    "docs_image_decode",
-    "emb_cosine_topk",
-    "emb_blocked_near_dup",
-    "streaming_hll_distinct",
-    # (streaming_cms_frequencies and streaming_binned_percentiles share
-    # streaming_hll_distinct's identical one-line drain change and were
-    # judge-green x3 in round 5; their seats went to the new
-    # streaming_image_dedup and docs_curriculum_order below, and they
-    # rotate back in the round-7 window)
-    # rule 3 — round-5 additions owed a driver row
-    "customer_rfm_segments",
-    "lineitem_grouping_sets",
-    # rule 1 — two-stage grouping-set rewrite changed these plans late
-    # in round 6 (seats freed by pushing orders_first_last_nth and
-    # events_session_paths — judge-green r5, families represented by
-    # the neighboring orders_/events_ rows — to the round-7 overflow)
-    "lineitem_rollup",
-    "lineitem_cube",
-    "streaming_quality_checks",
-    # rule 2 — the round-6 TPC-H completion batch (new this round)
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q12_ship_mode_delay",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q22_global_sales_opportunity",
-    # rule 2 — round-6 warehouse-maintenance additions
-    "events_user_scd2",
-    "orders_column_profile",
-    "streaming_user_scd2",
-    "streaming_user_scd2_current",
-    # rule 2 — late round-6 additions (PQ ANN, MG heavy hitters,
-    # TV-distance drift, ANN serving loop); seats freed by pushing four
-    # rule-3 entries (docs_dedup_sample, docs_minhash_estimate,
-    # orders_price_ntiles, events_daily_type_unpivot — all judge-green
-    # r5, families still represented in-window) to the round-7 overflow
-    "emb_pq_topk",
-    "docs_heavy_terms",
-    "docs_lang_divergence",
-    "streaming_ann_topk",
-    # rule 2 — final round-6 additions (fuzzy decontamination +
-    # perceptual-hash image dedup); seats freed by pushing three
-    # rule-3 entries to the round-7 overflow (tpch_q6, docs_substring_
-    # clean, events_hourly_top_users — all r5/judge-green, their
-    # families still in-window via the q4-q22 batch, docs_canonical_
-    # selection, and events_hourly_unique_users)
-    "docs_fuzzy_contamination",
+    # rule 2 — the round-7 TPC-H completion batch (derived partsupp)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_potential_part_promotion",
+    # rule 1 — media-construction ASCII invariant (b81f5b9) changed
+    # every plan + SQL twin in the multimodal dedup matrix
     "docs_image_dhash",
     "docs_dhash_near_dup",
     "streaming_image_dedup",
-    "docs_curriculum_order",
-    # rule 2 — the audio half of the multimodal dedup matrix (acoustic
-    # fingerprint through the native WAV decode + Hamming-banded near
-    # dup with planted damaged-tail twins); seats freed by pushing two
-    # rule-3 entries to the round-7 overflow (orders_running_balance,
-    # customer_abc_analysis — both judge-green r5, their families still
-    # in-window via orders_trailing_30d_stats and customer_rfm_segments)
+    "docs_audio_decode",
     "docs_audio_fingerprint",
     "docs_audio_near_dup",
-    # rule 2 — the video third of the multimodal dedup matrix (native
-    # Y4M decode -> per-frame dHash; shared-frame near-dup with planted
-    # re-cut twins and a hot-frame df guard); seats freed by pushing
-    # two more rule-3 entries to the round-7 overflow
-    # (tpch_q10_returned_items — TPC-H family holds 11 in-window rows —
-    # and orders_quality_checks, whose expectations-engine family stays
-    # represented by streaming_quality_checks; both judge-green r5 and
-    # pytest-oracle-checked every round)
+    "streaming_audio_dedup",
     "docs_video_dhash",
     "docs_video_near_dup",
-    # rule 2 — streaming group election over the audio fingerprint
-    # (the streaming x multimodal matrix's second modality); seat freed
-    # by pushing streaming_transition_matrix to the round-7 overflow
-    # (judge-green r5; the streaming family holds 7 other in-window
-    # rows including the cross-batch-state streaming_user_scd2 pair)
-    "streaming_audio_dedup",
-    # rule 2 — k-anonymity governance audit (QI group sizes + one-step
-    # generalization verdict); seat freed by pushing
-    # tpch_q18_large_volume_customers to the round-7 overflow (judge-
-    # green r5; the TPC-H family holds 10 other in-window rows)
-    "customer_k_anonymity",
-    # rule 2 — streaming completion of the multimodal dedup triple;
-    # seat freed by pushing docs_canonical_selection to the round-7
-    # overflow (judge-green r5; the dedup family holds 6+ in-window
-    # rows across minhash/image/audio/video)
     "streaming_video_dedup",
-    # rule 1 — the ANN query-set contract fix late in round 6 changed
-    # these two plans (bounded LIMIT query set, mirrored oracles);
-    # emb_cosine_topk and streaming_ann_topk — the other two changed
-    # queries — already hold rows above. Seats freed by pushing
-    # orders_trailing_30d_stats and events_hourly_unique_users to the
-    # round-7 overflow (judge-green r5; orders_column_profile and the
-    # events SCD2/streaming rows keep those families in-window)
+    # rule 1 — int8 ANN query-set alignment (b81f5b9)
     "emb_int8_topk",
-    "emb_ivf_topk",
-    # rule 1 — the signature materialization inside hamming_banded_pairs
-    # changed this plan too (the audio/dHash band users hold rows above);
-    # seat freed by pushing docs_hashed_ngram_logreg to the round-7
-    # overflow (judge-green r5 — rule 1 outranks the rule-5 family
-    # preference; the classifier stays pytest-oracle-checked every round)
-    "docs_simhash_near_dup",
-    # (no rule-5 keep this round: streaming_doc_perplexity — the last
-    # one — was demoted at the cap to seat the late round-6 SCD2
-    # current-view addition; it stays pytest-oracled every round)
+    # rule 1 — BPE trainer conf scoping (aa25676)
+    "docs_bpe_merges",
+    "docs_bpe_tokenize",
+    # rule 1 — round-7 adaptive collapse-exact MinHash guard
+    "docs_minhash_near_dup",
+    "docs_fuzzy_contamination",
+    # rule 3 — the 16 never-driver-audited entries (VERDICT r6 item 4)
+    "orders_price_ntiles",
+    "orders_running_balance",
+    "tpch_q18_large_volume_customers",
+    "orders_trailing_30d_stats",
+    "orders_quality_checks",
+    "orders_first_last_nth",
+    "customer_abc_analysis",
+    "docs_minhash_estimate",
+    "docs_hashed_ngram_logreg",
+    "events_hourly_unique_users",
+    "events_hourly_top_users",
+    "events_session_paths",
+    "events_daily_type_unpivot",
+    "streaming_transition_matrix",
+    "streaming_cms_frequencies",
+    "streaming_binned_percentiles",
 )
 
 

@@ -2703,3 +2703,466 @@ JOIN l1 ON l1.nationkey = l0.nationkey
 QUERIES["customer_k_anonymity"] = QuerySpec(
     customer_k_anonymity, K_ANONYMITY_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 TPC-H completion: the five dbgen queries that need PARTSUPP
+# (q2/q9/q11/q16/q20). The driver's dataset ships no partsupp.parquet, so
+# partsupp is DERIVED deterministically from part x supplier with dbgen's
+# cardinality contract (exactly 4 suppliers per part, availqty 1..9999,
+# supplycost 1.00..999.99) — the same pure-integer construction in the Spark
+# builder and in every oracle's CTE, so both engines compute bit-identical
+# tables from the shared parquet. Where dbgen's formula would need
+# floor-division of a possibly-negative key (its (partkey-1)/S term), ours
+# keeps every operand non-negative so Spark's truncating `%` and DuckDB's
+# agree without floor/trunc divergence.
+#
+# Scale posture: the builder is a narrow 4x flat-map over part plus ONE
+# broadcast hash join against a dim-sized supplier rank map — no shuffle.
+# In a real deployment partsupp is a stored table and read_table() replaces
+# this builder; every query below treats it as fact-shaped (never
+# broadcast) so the plans survive that swap.
+# ---------------------------------------------------------------------------
+
+# Shared CTE text: `snum` ranks suppliers densely (works for contiguous AND
+# offset key spaces, e.g. make_scale.py replicas), `partsupp` is the derived
+# table. Composed into each oracle below.
+PARTSUPP_CTES = """
+snum AS (
+    SELECT s_suppkey, ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS s_idx
+    FROM supplier
+), scnt AS (SELECT COUNT(*) AS s_cnt FROM supplier),
+partsupp AS (
+    SELECT p.p_partkey AS ps_partkey,
+           sn.s_suppkey AS ps_suppkey,
+           (p.p_partkey * 23 + i.i * 41) % 9999 + 1 AS ps_availqty,
+           CAST((p.p_partkey * 7 + i.i * 1009) % 99900 + 100 AS DOUBLE)
+               / 100.0 AS ps_supplycost
+    FROM part p
+    CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+    CROSS JOIN scnt
+    JOIN snum sn ON sn.s_idx = (p.p_partkey * 13 + i.i) % scnt.s_cnt
+)
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp table (see section comment above).
+
+    Columns: ps_partkey BIGINT, ps_suppkey BIGINT, ps_availqty BIGINT,
+    ps_supplycost DOUBLE (exactly 2 decimal places by construction, so
+    ROUND(cost*100) recovers the integer cents losslessly).
+
+    The supplier rank map is a single-partition window over the supplier
+    DIM (10k rows per TPC-H sf unit) — acceptable for a fixture builder;
+    the consuming queries never rely on it being cheap.
+    """
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey")
+    snum = sup.select(
+        "s_suppkey",
+        (F.row_number().over(Window.orderBy("s_suppkey")) - 1).alias("s_idx"),
+    )
+    scnt = sup.agg(F.count(F.lit(1)).alias("s_cnt"))
+    part = read_table(spark, sf_dir, "part").select("p_partkey")
+    quad = spark.range(4).select(F.col("id").alias("i"))
+    p, i = F.col("p_partkey"), F.col("i")
+    return (
+        part.crossJoin(F.broadcast(quad))
+        .crossJoin(F.broadcast(scnt))
+        .select(
+            p.alias("ps_partkey"),
+            ((p * 13 + i) % F.col("s_cnt")).alias("s_idx"),
+            ((p * 23 + i * 41) % 9999 + 1).alias("ps_availqty"),
+            (((p * 7 + i * 1009) % 99900 + 100).cast("double") / 100.0).alias(
+                "ps_supplycost"
+            ),
+        )
+        .join(F.broadcast(snum), "s_idx")
+        .select(
+            "ps_partkey",
+            F.col("s_suppkey").alias("ps_suppkey"),
+            "ps_availqty",
+            "ps_supplycost",
+        )
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: min-cost supplier per qualifying part in a region.
+
+    Substitution: p_mfgr doesn't exist -> p_brand in the output;
+    p_type LIKE '%BRASS' -> equality on 'STANDARD' with p_size <= 15
+    (range instead of equality keeps the result non-degenerate at
+    sf0.001 where only 2 parts have size exactly 15).
+
+    Shape: the pristine correlated MIN subquery is decorrelated to a
+    min-over-partition window on the region-filtered offer set — the
+    part filter and the region filter both apply BEFORE the window, so
+    the windowed frame is (qualifying parts) x (<=4 offers), never full
+    partsupp. Ties at the per-part min keep both rows on both engines.
+    The ORDER BY ... LIMIT 100 cut is deterministic: (s_acctbal DESC,
+    n_name, s_name, p_partkey) is unique per offer row because a
+    (supplier, part) pair appears at most once in partsupp.
+    """
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_nations = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(eur_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    offers = (
+        derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        offers.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH {PARTSUPP_CTES},
+eur AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, ps.ps_partkey AS p_partkey, p_brand
+FROM partsupp ps
+JOIN part ON ps.ps_partkey = part.p_partkey
+         AND p_size <= 15 AND p_type = 'STANDARD'
+JOIN eur ON ps.ps_suppkey = eur.s_suppkey
+WHERE ps.ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2 JOIN eur e2 ON ps2.ps_suppkey = e2.s_suppkey
+    WHERE ps2.ps_partkey = ps.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+QUERIES["tpch_q2_min_cost_supplier"] = QuerySpec(q2_min_cost_supplier, Q2_SQL)
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by supplier nation and order year over one
+    product line (p_name LIKE '%bolt%').
+
+    Money math: amount = extprice*(1-disc) - supplycost*qty, computed as
+    ext_c2*(100-disc_c2) - cost_c2*qty_c2 — all exact BIGINT cents^2, so
+    partial aggregation order can't perturb the sum; one double division
+    by 10^4 at the end.
+
+    Plan: the name-filtered part (~1/8 of the dim) broadcasts into the
+    derived partsupp to prune it BEFORE the fact join; supplier->nation
+    rides a broadcast onto lineitem pre-shuffle. Two fact shuffles
+    remain (li x partsupp on the composite key, then x orders on
+    orderkey) — the TPC-H q9 minimum.
+    """
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    ps = (
+        derived_partsupp(spark, sf_dir)
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    )
+    supp_nation = F.broadcast(
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ext_c2 = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)")
+    disc_c2 = F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
+    qty_c2 = F.expr("CAST(l_quantity * 100 + 0.5 AS BIGINT)")
+    cost_c2 = F.expr("CAST(ps_supplycost * 100 + 0.5 AS BIGINT)")
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (ext_c2 * (F.lit(100).cast("bigint") - disc_c2) - cost_c2 * qty_c2)
+            .alias("amount_c4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            (F.sum("amount_c4").cast("double") / F.lit(10000.0)).alias("sum_profit")
+        )
+    )
+
+
+Q9_SQL = f"""
+WITH {PARTSUPP_CTES}
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                - CAST(ROUND(ps_supplycost * 100) AS BIGINT)
+                  * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS sum_profit
+FROM lineitem
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, o_year
+"""
+
+
+QUERIES["tpch_q9_product_type_profit"] = QuerySpec(q9_product_type_profit, Q9_SQL)
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose stock value in one region exceeds a
+    fraction of the region's total stock value.
+
+    Substitution: scoped to region EUROPE instead of a single nation
+    (the sf0.001 fixture has zero suppliers in several nations; a
+    region is always populated). Fraction = 1/300 of the total.
+
+    Exactness: value = supplycost * availqty as BIGINT cents
+    (cost_c2 * qty), and the HAVING compares val_c2 * 300 > total_c2 in
+    integers — no double threshold wobble on either engine. The global
+    total rides back as a 1-row broadcast crossJoin, the same
+    scalar-subquery decorrelation the pristine plan wants.
+    """
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_keys = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey")
+    )
+    supp = F.broadcast(
+        read_table(spark, sf_dir, "supplier")
+        .join(eur_keys, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    ps = derived_partsupp(spark, sf_dir).join(
+        supp, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    val_c2 = (
+        F.expr("CAST(ps_supplycost * 100 + 0.5 AS BIGINT)") * F.col("ps_availqty")
+    )
+    grouped = ps.groupBy("ps_partkey").agg(F.sum(val_c2).alias("val_c2"))
+    total = grouped.agg(F.sum("val_c2").alias("total_c2"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("val_c2") * 300 > F.col("total_c2"))
+        .select(
+            "ps_partkey",
+            (F.col("val_c2").cast("double") / 100.0).alias("stock_value"),
+        )
+    )
+
+
+Q11_SQL = f"""
+WITH {PARTSUPP_CTES},
+eur_ps AS (
+    SELECT ps_partkey,
+           CAST(ROUND(ps_supplycost * 100) AS BIGINT) * ps_availqty AS val_c2
+    FROM partsupp
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT ps_partkey,
+       CAST(SUM(val_c2) AS DOUBLE) / 100.0 AS stock_value
+FROM eur_ps
+GROUP BY ps_partkey
+HAVING SUM(val_c2) * 300 > (SELECT SUM(val_c2) FROM eur_ps)
+"""
+
+
+QUERIES["tpch_q11_important_stock"] = QuerySpec(q11_important_stock, Q11_SQL)
+
+
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier count per (brand, type, size) for
+    qualifying parts, excluding blacklisted suppliers.
+
+    Substitutions: p_type NOT LIKE 'MEDIUM POLISHED%' -> <> 'MEDIUM'
+    (single-word types); the 'customer complaints' comment LIKE becomes
+    s_acctbal < 1000 — same NOT-IN-subquery shape, a small exclusion
+    set. The NOT IN decorrelates to a broadcast LEFT-ANTI join (keys
+    are never NULL, so anti-join == NOT IN here).
+
+    Plan: part's triple filter broadcasts into partsupp; the anti join
+    also broadcasts; the only shuffle is the final distinct-count agg.
+    """
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "MEDIUM")
+            & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = F.broadcast(
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        derived_partsupp(spark, sf_dir)
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(excluded, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = f"""
+WITH {PARTSUPP_CTES}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+  AND ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+QUERIES["tpch_q16_parts_supplier_relationship"] = QuerySpec(
+    q16_parts_supplier_relationship, Q16_SQL
+)
+
+
+def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers in one region holding excess stock ( >50%
+    of a year's shipped quantity) of a product line ('red%' parts).
+
+    Substitution: scoped to region ASIA instead of nation 'CANADA'
+    (fixture nations can be empty at sf0.001); s_address -> s_acctbal
+    in the output.
+
+    Exactness: the half-of-shipped threshold compares
+    ps_availqty * 200 > sum(qty_c2) in BIGINT — equivalent to
+    availqty > 0.5 * sum(qty) with no double rounding on either side.
+
+    Plan: 'red%' parts broadcast-prune BOTH the 1997 lineitem slice and
+    partsupp before the (partkey, suppkey) shuffle join; the qualifying
+    suppkey set then semi-prunes the supplier dim. One fact shuffle.
+    """
+    red = F.broadcast(
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li97 = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.expr("CAST(l_quantity * 100 + 0.5 AS BIGINT)")).alias("qty_c2")
+        )
+    )
+    ps = derived_partsupp(spark, sf_dir).join(
+        red, F.col("ps_partkey") == F.col("p_partkey")
+    )
+    qualified = (
+        ps.join(
+            li97,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 200 > F.col("qty_c2"))
+        .select("ps_suppkey")
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_keys = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey")
+    )
+    return (
+        read_table(spark, sf_dir, "supplier")
+        .join(asia_keys, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(qualified, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH {PARTSUPP_CTES}
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+      SELECT ps_suppkey FROM partsupp
+      WHERE ps_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND ps_availqty * 200 > (
+          -- no COALESCE: a (part, supp) with no 1997 shipments yields a
+          -- NULL sum, the comparison is NULL, and the row is excluded —
+          -- matching the Spark side's INNER join against the 1997 slice
+          SELECT SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+          FROM lineitem
+          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+ORDER BY s_name
+"""
+
+
+QUERIES["tpch_q20_potential_part_promotion"] = QuerySpec(
+    q20_potential_part_promotion, Q20_SQL
+)

@@ -861,3 +861,47 @@ def test_k_anonymity_broadcasts_generalized_side(spark):
     assert "partial_count" in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_partsupp_builder_is_shuffle_free(spark):
+    """derived_partsupp: a 4x flat-map over part plus broadcast joins
+    (supplier rank map, 1-row count) — NO hash exchange anywhere. The
+    builder must stay shuffle-free so every consumer pays only its own
+    fact-join shuffles."""
+    from multi_report_etl_pipeline_spark.queries.tpch import derived_partsupp
+
+    plan = physical_plan(derived_partsupp(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_q9_shuffles_only_on_fact_keys(spark):
+    """tpch_q9: the name-filtered part broadcast-prunes partsupp and the
+    supplier nation rides a broadcast — hash exchanges may key only on
+    the composite fact keys or the final group."""
+    plan = physical_plan(
+        TPCH_QUERIES["tpch_q9_product_type_profit"].fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan[:3000]
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert (
+            "l_partkey" in keys or "ps_partkey" in keys or "nation" in keys
+        ), m.group(0)
+
+
+def test_q16_single_shuffle_distinct_count(spark):
+    """tpch_q16: part's triple filter and the blacklist anti join are
+    broadcasts; the only exchanges belong to the distinct-count agg
+    (brand/type/size keys)."""
+    plan = physical_plan(
+        TPCH_QUERIES["tpch_q16_parts_supplier_relationship"].fn(spark, SF_DIR)
+    )
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "p_brand" in m.group(1), m.group(0)
