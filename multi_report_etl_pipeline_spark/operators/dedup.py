@@ -25,6 +25,11 @@ from multi_report_etl_pipeline_spark.operators.text import (
     words,
 )
 
+# minhash_near_dup_pairs adaptive mode: collapse byte-equal groups only
+# when the largest group has at least this many members (below it, the
+# per-band candidate blowup is bounded by 4 rows per group — linear).
+_GUARD_MIN_GROUP = 3
+
 
 def exact_dedup(
     df: DataFrame,
@@ -253,14 +258,29 @@ def minhash_near_dup_pairs(
     n: int = 3,
     jaccard_threshold: float = 0.8,
     num_hash_tables: int = 8,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via banded MinHash — pure DataFrame
     ops, no UDFs anywhere (measured ~4x faster than Spark ML's
     MinHashLSH.approxSimilarityJoin, whose distance step is a Scala UDF
     outside codegen). Pipeline shape in ``_minhash_banded_pairs``.
 
-    Hot-band guard (``collapse_exact``, default on): identical texts
+    ADAPTIVE by default (``collapse_exact=None``): the guard below costs
+    ~1.4x on a duplicate-free corpus (round-6 A/B) but is only needed
+    when a LARGE byte-equal group exists, so the default first runs one
+    narrow fingerprint aggregate — groupBy(md5(text)) -> count, max —
+    and collapses only when the largest group has >=
+    ``_GUARD_MIN_GROUP`` (3) members. Groups of 2 put just 4 candidate
+    rows into each band (linear in the group count), far below the m^2
+    pathology the guard exists for, while any real boilerplate/mirror
+    group trips the threshold. The decision aggregate shuffles only
+    (16-byte fp, count) partials with map-side combine — a small
+    fraction of either pipeline — and, like the repo's other
+    strategy-flip operators (operators/ranking.py), it is an EAGER
+    driver decision: merely building the DataFrame runs that one small
+    job. Pass an explicit bool to skip the decision scan.
+
+    Hot-band guard (``collapse_exact=True``): identical texts
     have identical signatures, so a group of m byte-equal copies — the
     single most common real-corpus pathology (boilerplate pages, mirror
     dumps) — puts m^2 candidate rows into EVERY band, the same quadratic
@@ -281,7 +301,16 @@ def minhash_near_dup_pairs(
     and every shuffled intermediate see each distinct text once. Output
     is row-for-row identical to ``collapse_exact=False`` (pinned by
     tests/test_llm_ops.py), so the registered query's DuckDB value
-    oracle is unchanged."""
+    oracle is unchanged — under ANY of the three modes."""
+    if collapse_exact is None:
+        max_m = (
+            df.select(fingerprint(text_col).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.max("m").alias("max_m"))
+            .collect()[0]["max_m"]
+        )
+        collapse_exact = (max_m or 1) >= _GUARD_MIN_GROUP
     if not collapse_exact:
         return _minhash_banded_pairs(
             df, text_col, n, jaccard_threshold, num_hash_tables

@@ -48,8 +48,10 @@ Round-7 window derivation:
   streaming_video_dedup; emb_int8_topk (filter-before-LIMIT query-set
   alignment, same commit); docs_bpe_merges + docs_bpe_tokenize (the
   trainer now scopes AQE initialPartitionNum around its persist,
-  commit aa25676); docs_minhash_near_dup + docs_fuzzy_contamination
-  (round-7 adaptive collapse-exact guard in minhash_near_dup_pairs).
+  commit aa25676); docs_minhash_near_dup (round-7 adaptive
+  collapse-exact guard in minhash_near_dup_pairs — the cross-corpus
+  fuzzy_contamination_pairs path has no collapse stage and is
+  untouched).
 - rule 3: the 16 registry entries that have NEVER held a driver seat
   (VERDICT r6 item 4): orders_price_ntiles, orders_running_balance,
   tpch_q18_large_volume_customers, orders_trailing_30d_stats,
@@ -126,7 +128,6 @@ _WINDOW = (
     "docs_bpe_tokenize",
     # rule 1 — round-7 adaptive collapse-exact MinHash guard
     "docs_minhash_near_dup",
-    "docs_fuzzy_contamination",
     # rule 3 — the 16 never-driver-audited entries (VERDICT r6 item 4)
     "orders_price_ntiles",
     "orders_running_balance",

@@ -40,6 +40,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     base = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
     n_base = base.count()
+    if HOT_COPIES == 0:
+        # clean-corpus mode: measure pure guard overhead + the adaptive
+        # mode's detection cost with NO planted duplicate mass (the
+        # sf0.1/sf1 fixtures are near-duplicate-free: max group 2)
+        corpus = base.localCheckpoint(eager=True)
+        print(f"corpus: {corpus.count()} docs (clean, no planted dups)", flush=True)
+        _run(spark, corpus)
+        spark.stop()
+        return
     # 10% duplicates: one hot group of HOT_COPIES byte-identical copies
     # + the rest as 10-copy groups, all planted above the id range
     n_dup = n_base // 10
@@ -70,9 +79,21 @@ def main() -> None:
         flush=True,
     )
 
+    _run(spark, corpus)
+    spark.stop()
+
+
+def _run(spark, corpus) -> None:
+    from multi_report_etl_pipeline_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
     variants = {
         "guard=off": lambda: minhash_near_dup_pairs(corpus, collapse_exact=False),
         "guard=on": lambda: minhash_near_dup_pairs(corpus, collapse_exact=True),
+        "guard=adaptive": lambda: minhash_near_dup_pairs(
+            corpus, collapse_exact=None
+        ),
     }
     best: dict[str, float] = {}
     for rep in range(3):
@@ -85,7 +106,6 @@ def main() -> None:
     print("---- min-of-3 ----")
     for name, dt in best.items():
         print(f"{name}: {dt:.2f} s")
-    spark.stop()
 
 
 if __name__ == "__main__":

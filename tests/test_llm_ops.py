@@ -67,6 +67,9 @@ def test_minhash_exact_collapse_guard_equality(spark):
 
     got, want = rows(True), rows(False)
     assert got == want
+    # adaptive mode must pick the guard here (planted 40-copy group >=
+    # _GUARD_MIN_GROUP) and stay output-identical
+    assert rows(None) == want
     # the planted 40-copy group contributes exactly C(40,2) + the pair
     # with the original doc's own group-mates
     intra = {p for p in got if p[0] >= 900_000 and p[1] < 910_000}
