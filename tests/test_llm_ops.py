@@ -293,6 +293,46 @@ def test_ivf_topk_recall_vs_brute(spark):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
+def test_ivf_topk_recall_on_clustered_embeddings(spark):
+    """On CLUSTERED embeddings (the case IVF exists for — real
+    text/image embedding corpora), a quantizer with cells ~= the true
+    cluster count probing 1/10 of them must recover >=0.9 of the exact
+    top-10: tight clusters mean a query's neighbors share its nearest
+    cells. Same construction as scripts/make_clustered_emb.py (the
+    200k-vector sitting in BASELINE.md: recall 1.0 at a 5.2x win over
+    brute), shrunk to 2k vectors / 20 clusters for test speed."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    k_clusters, n, dim = 20, 2000, 32
+    centers = rng.normal(size=(k_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, k_clusters, size=n)
+    vecs = (centers[labels] + rng.normal(size=(n, dim)) * 0.06).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") % 40 == 0).orderBy("vec_id").limit(50)
+    brute = similarity.brute_topk(emb, queries, k=10).collect()
+    ivf = similarity.ivf_topk(
+        emb, queries, k=10, n_probe=2, n_cells=k_clusters
+    ).collect()
+    brute_top10, ivf_sets = {}, {}
+    for r in brute:
+        brute_top10.setdefault(r.q_id, set()).add(r.c_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.q_id, set()).add(r.c_id)
+    recalls = [
+        len(brute_top10[q] & ivf_sets.get(q, set())) / len(brute_top10[q])
+        for q in brute_top10
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, sorted(recalls)[:5]
+
+
 def test_pq_topk_recall_vs_brute(spark):
     """PQ (8x64 codebooks, 100 ADC candidates — absolute, so 20% of
     the 500-vector fixture but a vanishing fraction at scale) must
