@@ -1184,6 +1184,197 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    train_sample: int = 20000,
+):
+    """Persist the IVF index a DEPLOYMENT serves from: the corpus
+    cell-partitioned on disk (``write.partitionBy("cell")`` — one
+    directory per coarse cell) plus the trained quantizer as a sidecar
+    at ``path + "_centroids"``. ``ivf_topk`` re-trains and re-assigns
+    per CALL, which is the right shape for a one-shot audit query; a
+    serving loop at 100 TB builds the index once and then each query
+    batch reads ONLY its probed cells via partition pruning — the scan
+    itself shrinks to ~n_probe/n_cells of the data, which no amount of
+    in-plan pruning achieves on an unpartitioned layout.
+
+    Assignment is the same float64 argmin / lowest-cid tie rule as
+    ``ivf_topk`` and ``distributed_kmeans``, so an index built from the
+    same quantizer serves bit-identical results (pinned by
+    tests/test_llm_ops.py). Returns the ``(cids, matrix)`` quantizer.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    if centroids is None:
+        centroids = train_centroids_portable(
+            corpus, n_cells, iters, id_col, vec_col, train_sample=train_sample
+        )
+    if isinstance(centroids, tuple):
+        cid_arr, cents = centroids
+        cid_arr = np.asarray(cid_arr, dtype="int64")
+    else:
+        cents = centroids
+        cid_arr = np.arange(len(cents), dtype="int64")
+    c_sq = (cents * cents).sum(axis=1)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mm = np.stack(pdf["c_vec"].to_numpy()).astype("float64")
+            d2 = (
+                (mm * mm).sum(axis=1)[:, None]
+                - 2.0 * (mm @ cents.T)
+                + c_sq[None, :]
+            )
+            out = pdf.copy()
+            out["cell"] = cid_arr[d2.argmin(axis=1)].astype("int32")
+            yield out
+
+    (
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .mapInPandas(assign, "c_id long, c_vec array<float>, cell int")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark = corpus.sparkSession
+    side = [
+        (int(cid_arr[i]), [float(x) for x in cents[i]]) for i in range(len(cents))
+    ]
+    spark.createDataFrame(side, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "_centroids")
+    return (cid_arr, cents)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_q: int = 4096,
+) -> DataFrame:
+    """Serve ANN top-k from a ``build_ivf_index`` layout. The probed
+    cells are ranked at the driver from the sidecar quantizer (same
+    float64 squared-L2 + stable lowest-cid ties as ``ivf_topk``), then
+    the corpus scan is FILTERED to those cells — Spark prunes the
+    non-probed cell directories out of the file listing
+    (PartitionFilters in the scan, pinned by tests/test_plans.py), so
+    I/O is proportional to the probe fraction, not the corpus. Scoring
+    is the same per-cell GEMM prune + per-query merge + exact JVM
+    re-score as ``ivf_topk`` — output is row-identical to running
+    ``ivf_topk`` with the same quantizer (pinned)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    side = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    cid_arr = np.array([r["cell"] for r in side], dtype="int64")
+    cents = np.stack([np.asarray(r["centroid"], dtype="float64") for r in side])
+    c_sq = (cents * cents).sum(axis=1)
+
+    q = queries.limit(max_q + 1).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_rows = q.collect()
+    if len(q_rows) > max_q:
+        raise ValueError(
+            f"ivf_topk_indexed query set has {len(q_rows)} rows, over the "
+            f"max_q={max_q} broadcast bound"
+        )
+    q_ids = np.array([r["q_id"] for r in q_rows], dtype="int64")
+    q_raw = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
+    d2q = (
+        (q_raw * q_raw).sum(axis=1)[:, None]
+        - 2.0 * (q_raw @ cents.T)
+        + c_sq[None, :]
+    )
+    n_take = min(n_probe, len(cents))
+    probe_of_q = cid_arr[np.argsort(d2q, axis=1, kind="stable")[:, :n_take]]
+    cell_to_qidx: dict[int, "np.ndarray"] = {}
+    for qi in range(len(q_ids)):
+        for cell in probe_of_q[qi]:
+            cell_to_qidx.setdefault(int(cell), []).append(qi)
+    cell_to_qidx = {
+        cell: np.asarray(idx, dtype="int64") for cell, idx in cell_to_qidx.items()
+    }
+    probed_cells = sorted(cell_to_qidx)
+    q_norm = q_raw / np.linalg.norm(q_raw, axis=1, keepdims=True)
+    n_cand = k + 5  # brute_topk's prune margin
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf["c_vec"].to_numpy()
+            mm = np.stack(vecs).astype("float64")
+            mn = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+            ids = pdf["c_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            cq, cs, ci = [], [], []
+            for cell in np.unique(cells):
+                qidx = cell_to_qidx.get(int(cell))
+                if qidx is None:
+                    continue
+                sel = np.where(cells == cell)[0]
+                sims = q_norm[qidx] @ mn[sel].T
+                sims[q_ids[qidx][:, None] == ids[sel][None, :]] = -np.inf
+                take = min(n_cand, sims.shape[1])
+                top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+                cq.append(np.repeat(qidx, take))
+                cs.append(np.take_along_axis(sims, top, axis=1).reshape(-1))
+                ci.append(sel[top.reshape(-1)])
+            if not cq:
+                continue
+            merged = pd.DataFrame(
+                {"q": np.concatenate(cq), "sim": np.concatenate(cs),
+                 "i": np.concatenate(ci)}
+            )
+            cut = (
+                merged.sort_values(["q", "sim"], ascending=[True, False])
+                .groupby("q", sort=False)
+                .head(n_cand)
+            )
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[cut["q"].to_numpy()],
+                    "c_id": ids[cut["i"].to_numpy()],
+                    "c_vec": [vecs[j] for j in cut["i"].to_numpy()],
+                }
+            )
+
+    corpus = spark.read.parquet(path).filter(
+        F.col("cell").isin([int(c) for c in probed_cells])
+    )
+    cand = corpus.mapInPandas(score, "q_id long, c_id long, c_vec array<float>")
+    pairs = cand.join(F.broadcast(q), "q_id").filter(F.col("c_id") != F.col("q_id"))
+    sim = F.expr(DOT.format(a="q_vec", b="c_vec")) / (
+        F.sqrt(F.expr(DOT.format(a="q_vec", b="q_vec")))
+        * F.sqrt(F.expr(DOT.format(a="c_vec", b="c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
 def distributed_kmeans(
     corpus: DataFrame,
     k: int = 8,

@@ -38,7 +38,10 @@ Round-7 window derivation:
 - rule 4: the 5 reference-surface rows.
 - rule 2: the round-7 TPC-H completion batch — q2/q9/q11/q16/q20, the
   five dbgen queries unblocked by the derived-partsupp construction
-  (tpch.py PARTSUPP_CTES / derived_partsupp). TPC-H is now 22/22.
+  (tpch.py PARTSUPP_CTES / derived_partsupp); TPC-H is now 22/22 —
+  plus emb_ivf_indexed_topk (ANN served from a persisted
+  cell-partitioned IVF index with a partition-pruned scan, the 100 TB
+  serving layout; same unrolled value oracle as emb_ivf_topk).
 - rule 1 (changed since the round-6 driver run): the ASCII-invariant
   enforcement in the _dhash_media/_wav_media/_y4m_media in-plan
   builders (commit b81f5b9) changed every consumer's plan and SQL twin
@@ -126,6 +129,9 @@ _WINDOW = (
     # scoring GEMM-prune rewrite (round 7)
     "emb_int8_topk",
     "emb_ivf_topk",
+    # rule 2 — round-7 addition: ANN served from the persisted
+    # cell-partitioned IVF index (partition-pruned scan)
+    "emb_ivf_indexed_topk",
     # rule 1 — BPE trainer conf scoping (aa25676)
     "docs_bpe_merges",
     "docs_bpe_tokenize",

@@ -2260,6 +2260,45 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from a PERSISTED cell-partitioned IVF index
+    (similarity.build_ivf_index -> ivf_topk_indexed): the corpus is
+    written once partitioned by coarse cell (plus a quantizer sidecar),
+    and each query batch's scan is partition-PRUNED to its probed cells
+    — I/O proportional to the probe fraction, the serving layout a
+    100 TB deployment actually uses (ivf_topk's per-call assignment is
+    the one-shot audit shape). Same quantizer, probe ranking, GEMM
+    prune, and exact rescore as emb_ivf_topk, so the SAME unrolled
+    DuckDB oracle value-checks this path; row-identity with ivf_topk
+    and the PartitionFilters pruning are additionally pinned in
+    tests/. The index builds once per (process, sf_dir) into a temp
+    dir — the build cost is the deployment's one-time indexing job,
+    amortized across every query batch served from it."""
+    import tempfile  # noqa: PLC0415
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_TOPK_MAX_Q)
+    )
+    ckey = ("ivf_centroids", sf_dir)
+    if ckey not in _CONSTRUCT_CACHE:
+        _CONSTRUCT_CACHE[ckey] = similarity.train_centroids_portable(
+            emb, n_cells=_IVF_CELLS, iters=_IVF_ITERS, train_sample=_IVF_SAMPLE
+        )
+    ikey = ("ivf_index_path", sf_dir)
+    if ikey not in _CONSTRUCT_CACHE:
+        path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+        similarity.build_ivf_index(
+            emb, path, n_cells=_IVF_CELLS, centroids=_CONSTRUCT_CACHE[ckey]
+        )
+        _CONSTRUCT_CACHE[ikey] = path
+    return similarity.ivf_topk_indexed(
+        spark, _CONSTRUCT_CACHE[ikey], queries, k=10, n_probe=_IVF_PROBE
+    )
+
+
 def _ivf_sql(
     n_cells: int = _IVF_CELLS,
     iters: int = _IVF_ITERS,
@@ -2350,6 +2389,7 @@ QUERIES.update(
             lineitem_quantity_quantiles, QUANTILES_SQL
         ),
         "emb_ivf_topk": QuerySpec(emb_ivf_topk, _ivf_sql()),
+        "emb_ivf_indexed_topk": QuerySpec(emb_ivf_indexed_topk, _ivf_sql()),
     }
 )
 

@@ -333,6 +333,46 @@ def test_ivf_topk_recall_on_clustered_embeddings(spark):
     assert sum(recalls) / len(recalls) >= 0.9, sorted(recalls)[:5]
 
 
+def test_ivf_indexed_matches_inplan_and_prunes_partitions(spark, tmp_path):
+    """The persisted cell-partitioned index (build_ivf_index ->
+    ivf_topk_indexed) must (a) serve ROW-IDENTICAL results to the
+    in-plan ivf_topk under the same quantizer, and (b) partition-PRUNE
+    the corpus scan to the probed cells — the scan's PartitionFilters
+    must carry the cell predicate, so non-probed cell directories never
+    reach the file listing (the I/O shape the layout exists for)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    n, dim, cells = 800, 16, 8
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") % 20 == 0).orderBy("vec_id").limit(30)
+    cents = similarity.train_centroids_portable(emb, cells, 2, train_sample=256)
+    path = str(tmp_path / "index")
+    similarity.build_ivf_index(emb, path, n_cells=cells, centroids=cents)
+
+    inplan = similarity.ivf_topk(emb, queries, k=5, n_probe=3, centroids=cents)
+    indexed = similarity.ivf_topk_indexed(spark, path, queries, k=5, n_probe=3)
+    rows_a = {tuple(r) for r in inplan.collect()}
+    rows_b = {tuple(r) for r in indexed.collect()}
+    assert rows_a == rows_b and rows_a
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        line for line in plan.splitlines()
+        if "FileScan" in line and "/index" in line
+    )
+    assert "PartitionFilters: [cell" in scan.replace(
+        "PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell"
+    ) or "cell#" in scan.split("PartitionFilters:")[1].split("]")[0], scan
+
+
 def test_pq_topk_recall_vs_brute(spark):
     """PQ (8x64 codebooks, 100 ADC candidates — absolute, so 20% of
     the 500-vector fixture but a vanishing fraction at scale) must
