@@ -2728,11 +2728,15 @@ QUERIES["customer_k_anonymity"] = QuerySpec(
 # offset key spaces, e.g. make_scale.py replicas), `partsupp` is the derived
 # table. Composed into each oracle below.
 PARTSUPP_CTES = """
-snum AS (
+snum AS MATERIALIZED (
     SELECT s_suppkey, ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS s_idx
     FROM supplier
 ), scnt AS (SELECT COUNT(*) AS s_cnt FROM supplier),
-partsupp AS (
+-- MATERIALIZED: inlined, DuckDB re-derives partsupp at every reference
+-- (q2's correlated min makes that per-probe) and loses the hash join on
+-- the modular key — measured 35-69 s vs 0.13-0.17 s at sf1, identical
+-- results. The Spark builder needs no analog (one broadcast join plan).
+partsupp AS MATERIALIZED (
     SELECT p.p_partkey AS ps_partkey,
            sn.s_suppkey AS ps_suppkey,
            (p.p_partkey * 23 + i.i * 41) % 9999 + 1 AS ps_availqty,
