@@ -132,6 +132,10 @@ _WINDOW = (
     # rule 2 — round-7 addition: ANN served from the persisted
     # cell-partitioned IVF index (partition-pruned scan)
     "emb_ivf_indexed_topk",
+    # rule 1 — round-7 long-cents accumulator swap (decimal sum left
+    # the fast path; sf10 A/B 3.22 -> 1.53 s) changed both plans
+    "orders_top_customers",
+    "orders_top_customers_salted",
     # rule 1 — BPE trainer conf scoping (aa25676)
     "docs_bpe_merges",
     "docs_bpe_tokenize",

@@ -292,8 +292,18 @@ def orders_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+    # long-cents accumulator, not SUM(DECIMAL): the decimal sum promotes
+    # to precision 28 and leaves the long-backed fast path — boxed
+    # BigDecimal per row plus GC pressure at scale (sf10 interleaved
+    # A/B: 1.53 vs 3.22 s min-of-3, with one decimal rep spiking to
+    # 49 s under memory pressure). cents-sum/100.0 and decimal-sum are
+    # both exact-then-one-rounding, so the emitted doubles are
+    # bit-identical and the DuckDB twin keeps its SUM(DECIMAL) form.
     per_cust = orders.groupBy("o_custkey").agg(
-        F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+        (
+            F.sum(F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")).cast("double")
+            / 100.0
+        ).alias("total_spend"),
         F.count(F.lit(1)).alias("order_count"),
     )
     return (
@@ -333,7 +343,13 @@ def orders_top_customers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            # same long-cents form as the plain variant (see its comment)
+            (
+                F.sum(
+                    F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
+                ).cast("double")
+                / 100.0
+            ).alias("total_spend"),
             F.count(F.lit(1)).alias("order_count"),
         )
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())

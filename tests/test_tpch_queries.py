@@ -181,3 +181,36 @@ def test_k_anonymity_verdicts_match_brute_force(spark, duck):
     verdicts = {r.verdict for r in got}
     assert {"generalizable", "suppress"} <= verdicts, verdicts
     assert n_suppress > 0
+
+
+def test_partsupp_derivation_contract(spark):
+    """The derived partsupp must honor dbgen's cardinality contract on
+    ANY fixture: exactly 4 rows per part, the 4 suppliers DISTINCT per
+    part, every ps_suppkey a real supplier (referential integrity —
+    this is what the rank-map indirection buys on offset key spaces),
+    availqty in 1..9999 and supplycost in [1.00, 1000.00)."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.queries.tpch import derived_partsupp
+
+    ps = derived_partsupp(spark, SF_DIR)
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("ps_suppkey").alias("nd"),
+    )
+    bad = per_part.filter((F.col("n") != 4) | (F.col("nd") != 4)).count()
+    assert bad == 0
+    n_parts = read_table(spark, SF_DIR, "part").count()
+    assert per_part.count() == n_parts
+    sup = read_table(spark, SF_DIR, "supplier").select("s_suppkey")
+    orphans = ps.join(
+        sup, ps.ps_suppkey == sup.s_suppkey, "left_anti"
+    ).count()
+    assert orphans == 0
+    rng = ps.agg(
+        F.min("ps_availqty"), F.max("ps_availqty"),
+        F.min("ps_supplycost"), F.max("ps_supplycost"),
+    ).collect()[0]
+    assert 1 <= rng[0] and rng[1] <= 9999
+    assert 1.0 <= rng[2] and rng[3] < 1000.0
