@@ -83,6 +83,8 @@ HEADLINE = [
     # region-filtered offer set)
     "tpch_q9_product_type_profit",
     "tpch_q2_min_cost_supplier",
+    # round-7: ANN served from the persisted cell-partitioned index
+    "emb_ivf_indexed_topk",
     # late round-6 additions
     "emb_pq_topk",
     "docs_heavy_terms",

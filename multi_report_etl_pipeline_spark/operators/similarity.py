@@ -1243,6 +1243,14 @@ def build_ivf_index(
     (
         corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
         .mapInPandas(assign, "c_id long, c_vec array<float>, cell int")
+        # compact: co-locate each cell into one task before the
+        # partitioned write, else every upstream partition emits a
+        # fragment per cell it touches (32 tasks x 10 cells = 320 tiny
+        # files at fixture scale; listing cost dominated the pruned
+        # serve — 3.8 -> 0.8 s). One file per cell is right up to the
+        # cluster's block size; beyond it, raise the partition count so
+        # each cell splits into block-sized files.
+        .repartition(len(cid_arr), F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

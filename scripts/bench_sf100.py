@@ -52,6 +52,12 @@ LEDGER = [
     "lineitem_grouping_sets",
     "customer_rfm_segments",
     "customer_abc_analysis",
+    # round-7 partsupp batch at the 600M-row scale
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_potential_part_promotion",
 ]
 
 
