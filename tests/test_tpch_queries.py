@@ -214,3 +214,36 @@ def test_partsupp_derivation_contract(spark):
     ).collect()[0]
     assert 1 <= rng[0] and rng[1] <= 9999
     assert 1.0 <= rng[2] and rng[3] < 1000.0
+
+
+def test_partsupp_derivation_on_offset_key_space(spark, tmp_path):
+    """make_scale.py replicas have NON-contiguous key spaces (per-replica
+    offsets). The rank-map indirection must keep referential integrity
+    and the 4-distinct-suppliers contract there too — this is the claim
+    that lets the same derivation serve every scaled fixture."""
+    from pyspark.sql import functions as F
+
+    from multi_report_etl_pipeline_spark.queries.tpch import derived_partsupp
+
+    # two replicas: suppliers 0..9 and 10_000..10_009; parts 0..99 and
+    # 100_000..100_099 (the real offset constants)
+    sup = [(i,) for i in range(10)] + [(10_000 + i,) for i in range(10)]
+    part = [(i,) for i in range(100)] + [(100_000 + i,) for i in range(100)]
+    spark.createDataFrame(sup, "s_suppkey long").write.mode("overwrite").parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    spark.createDataFrame(part, "p_partkey long").write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    ps = derived_partsupp(spark, str(tmp_path))
+    assert ps.count() == 200 * 4
+    bad = (
+        ps.groupBy("ps_partkey")
+        .agg(F.countDistinct("ps_suppkey").alias("nd"))
+        .filter(F.col("nd") != 4)
+        .count()
+    )
+    assert bad == 0
+    valid = {r[0] for r in sup}
+    emitted = {r["ps_suppkey"] for r in ps.select("ps_suppkey").distinct().collect()}
+    assert emitted <= valid
