@@ -136,6 +136,10 @@ _WINDOW = (
     # the fast path; sf10 A/B 3.22 -> 1.53 s) changed both plans
     "orders_top_customers",
     "orders_top_customers_salted",
+    # rule 1 — round-7 rfm strategy-flip threshold lowered to the
+    # measured 1.5 GB crossover (audited-scale plan unchanged — the
+    # seat is conservative coverage of the code change)
+    "customer_rfm_segments",
     # rule 1 — BPE trainer conf scoping (aa25676)
     "docs_bpe_merges",
     "docs_bpe_tokenize",

@@ -1389,7 +1389,8 @@ def customer_rfm_segments(
       the full-width aggregate. Single-task sorts, but of a small
       |customers|-row frame with zero materialization overhead
       (sf1: 1.09 s vs narrow 1.33 s).
-    - ``narrow`` (to ~5 GB): same single-task NTILE sorts but each over
+    - ``narrow`` (to ~1.5 GB — crossover MEASURED at sf100, see the
+      threshold comment below): same single-task NTILE sorts but each over
       a 2-column per-metric projection of a checkpointed base, re-joined
       on custkey — the sort pays for row width (sf10: 4.57 s vs chained
       6.13 s, vs global_ntile 8.41 s).
@@ -1412,7 +1413,12 @@ def customer_rfm_segments(
             sz = _os.path.getsize(_os.path.join(sf_dir, "orders.parquet"))
         except OSError:
             sz = 0
-        if sz > 5_000_000_000:
+        # round-7: the narrow->distributed crossover MEASURED at sf100
+        # (orders 1.76 GB / 15M customers): distributed 46.3 s vs
+        # narrow 61.8 s interleaved min-of-3, value-identical —
+        # distributed won or tied every rep pair, so the flip moves
+        # from the constructed 5 GB bound down to the measured 1.5 GB
+        if sz > 1_500_000_000:
             strategy = "distributed"
         elif sz > 50_000_000:
             strategy = "narrow"
