@@ -55,7 +55,13 @@ Round-7 window derivation:
   collapse-exact guard in minhash_near_dup_pairs — the cross-corpus
   fuzzy_contamination_pairs path has no collapse stage and is
   untouched); emb_ivf_topk (round-7 GEMM-prune rewrite of the in-cell
-  scoring, bit-identical output, 27.6 -> 2.3 s at 200k vectors).
+  scoring, bit-identical output, 27.6 -> 2.3 s at 200k vectors);
+  orders_top_customers + orders_top_customers_salted (round-7
+  long-cents accumulator swap — SUM(DECIMAL) left the fast path; sf10
+  A/B 3.22 -> 1.53 s, sf100 72.8 -> 8.3 s); customer_rfm_segments
+  (narrow->distributed flip threshold lowered to the MEASURED 1.5 GB
+  sf100 crossover — the audited-scale plan is unchanged, seated as
+  conservative coverage of the code change).
 - rule 3: the 16 registry entries that have NEVER held a driver seat
   (VERDICT r6 item 4): orders_price_ntiles, orders_running_balance,
   tpch_q18_large_volume_customers, orders_trailing_30d_stats,
