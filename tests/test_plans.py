@@ -905,3 +905,49 @@ def test_q16_single_shuffle_distinct_count(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "p_brand" in m.group(1), m.group(0)
+
+
+def test_q2_single_window_exchange(spark):
+    """tpch_q2: part filter and region-supplier prune ride broadcasts
+    into the offer frame BEFORE the min-over-partition window — the only
+    hash exchange keys on ps_partkey (the window), and the builder's
+    bounded 1-row/4-row broadcast nested loops are the only non-hash
+    joins (no cartesian)."""
+    import re
+
+    plan = physical_plan(
+        TPCH_QUERIES["tpch_q2_min_cost_supplier"].fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all("ps_partkey" in e for e in exchanges), exchanges
+
+
+def test_q11_broadcast_only_joins(spark):
+    """tpch_q11: the region scope semi-prunes via broadcast and the
+    grand total rides back as a 1-row broadcast crossJoin — no
+    shuffled join anywhere; hash exchanges belong to the ps_partkey
+    aggregation only."""
+    import re
+
+    plan = physical_plan(TPCH_QUERIES["tpch_q11_important_stock"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all("ps_partkey" in e for e in exchanges), exchanges
+
+
+def test_q20_fact_exchanges_only_on_join_keys(spark):
+    """tpch_q20: the 'red%' part prune broadcasts into BOTH fact sides
+    before the (partkey, suppkey) shuffle join; every hash exchange
+    keys on the composite pair or the qualifying-supplier key."""
+    import re
+
+    plan = physical_plan(
+        TPCH_QUERIES["tpch_q20_potential_part_promotion"].fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan, plan[:3000]
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "suppkey" in keys or "partkey" in keys, m.group(0)
