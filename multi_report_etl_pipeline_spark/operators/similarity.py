@@ -26,6 +26,40 @@ def dot(a: str, b: str) -> Column:
     return F.expr(DOT.format(a=a, b=b))
 
 
+def _prune_top_cols(sims, take: int):
+    """Per-row column indices of the ``take`` highest ``sims`` with
+    boundary ties broken to the LOWEST c_id — the same (sim DESC, c_id
+    ASC) rule as the final JVM re-score window, so the prune's kept set
+    is exactly what the exact ranking would keep even when more than
+    ``take`` candidates tie at the cut value (ADVICE r7: a bare
+    argpartition cuts ties arbitrarily, and a dropped lower-c_id row is
+    unrecoverable downstream). PRECONDITION: the caller has ordered the
+    ``sims`` columns by ascending c_id, so the stable argsort's
+    positional tie-break IS the id tie-break. The fast path stays
+    argpartition; only rows with surplus ties at the cut value (exact
+    duplicate scores straddling the boundary — rare) pay a full stable
+    sort. Within-row output order is arbitrary: only MEMBERSHIP
+    matters, because the JVM re-score re-ranks every survivor."""
+    import numpy as np  # noqa: PLC0415
+
+    part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+    pvals = np.take_along_axis(sims, part, axis=1)
+    cut = pvals.min(axis=1)
+    surplus = (sims == cut[:, None]).sum(axis=1) > (pvals == cut[:, None]).sum(
+        axis=1
+    )
+    for r in np.nonzero(surplus)[0]:
+        part[r] = np.argsort(-sims[r], kind="stable")[:take]
+    return part
+
+
+# Empty-result schemas for the ANN kernels' empty-query short-circuit
+# (ADVICE r7: the GEMM rewrite raised from np.stack on a 0-row query
+# frame where the old distributed path returned an empty result).
+_TOPK_SCHEMA = "q_id long, rank int, c_id long, cosine_sim double"
+_INT8_SCHEMA = "q_id long, rank int, c_id long, int8_cosine double"
+
+
 def norm(a: str) -> Column:
     return F.sqrt(F.expr(DOT.format(a=a, b=a)))
 
@@ -99,6 +133,8 @@ def brute_topk(
                 f"max_q={max_q} broadcast bound — pass a fixed-size query "
                 "frame (LIMIT by construction) or chunk and union"
             )
+        if not q_rows:
+            return c.sparkSession.createDataFrame([], _TOPK_SCHEMA)
         q_ids = np.array([r["q_id"] for r in q_rows], dtype="int64")
         q_mat = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
         q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -108,14 +144,16 @@ def brute_topk(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                vecs = pdf["c_vec"].to_numpy()
+                # ascending-id columns: _prune_top_cols' tie precondition
+                order = np.argsort(pdf["c_id"].to_numpy())
+                vecs = pdf["c_vec"].to_numpy()[order]
                 m = np.stack(vecs).astype("float64")
                 m = m / np.linalg.norm(m, axis=1, keepdims=True)
-                ids = pdf["c_id"].to_numpy()
+                ids = pdf["c_id"].to_numpy()[order]
                 sims = q_mat @ m.T  # |Q| x batch
                 sims[q_ids[:, None] == ids[None, :]] = -np.inf  # self-matches
                 take = min(n_cand, sims.shape[1])
-                top = np.argpartition(-sims, take - 1, axis=1)[:, :take].reshape(-1)
+                top = _prune_top_cols(sims, take).reshape(-1)
                 # carry the candidate vector through — no corpus join-back
                 yield pd.DataFrame(
                     {
@@ -201,6 +239,8 @@ def int8_topk(
     # set is small/broadcastable, and the GEMM needs its matrix local
     if q_rows is None:
         q_rows = q.collect()
+    if not q_rows:
+        return c.sparkSession.createDataFrame([], _INT8_SCHEMA)
     q_ids = np.array([r["q_id"] for r in q_rows], dtype="int64")
     q_mat = np.stack([np.asarray(r["q_q8"], dtype="float64") for r in q_rows])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -210,14 +250,16 @@ def int8_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vecs = pdf["c_q8"].to_numpy()
+            # ascending-id columns: _prune_top_cols' tie precondition
+            order = np.argsort(pdf["c_id"].to_numpy())
+            vecs = pdf["c_q8"].to_numpy()[order]
             m = np.stack(vecs).astype("float64")
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            ids = pdf["c_id"].to_numpy()
+            ids = pdf["c_id"].to_numpy()[order]
             sims = q_mat @ m.T
             sims[q_ids[:, None] == ids[None, :]] = -np.inf
             take = min(n_cand, sims.shape[1])
-            top = np.argpartition(-sims, take - 1, axis=1)[:, :take].reshape(-1)
+            top = _prune_top_cols(sims, take).reshape(-1)
             yield pd.DataFrame(
                 {
                     "q_id": np.repeat(q_ids, take),
@@ -1031,6 +1073,8 @@ def ivf_topk(
                 f"max_q={max_q} broadcast bound — pass a fixed-size query "
                 "frame (LIMIT by construction) or chunk and union"
             )
+        if not q_rows:
+            return corpus.sparkSession.createDataFrame([], _TOPK_SCHEMA)
         q_ids = np.array([r["q_id"] for r in q_rows], dtype="int64")
         q_raw = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
         d2q = (
@@ -1090,10 +1134,12 @@ def ivf_topk(
                     if qidx is None:
                         continue
                     sel = np.where(cells == cell)[0]
+                    # ascending-id columns: _prune_top_cols precondition
+                    sel = sel[np.argsort(ids[sel])]
                     sims = q_norm[qidx] @ mn[sel].T
                     sims[q_ids[qidx][:, None] == ids[sel][None, :]] = -np.inf
                     take = min(n_cand, sims.shape[1])
-                    top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+                    top = _prune_top_cols(sims, take)
                     cq.append(np.repeat(qidx, take))
                     cs.append(np.take_along_axis(sims, top, axis=1).reshape(-1))
                     ci.append(sel[top.reshape(-1)])
@@ -1106,8 +1152,14 @@ def ivf_topk(
                         "i": np.concatenate(ci),
                     }
                 )
+                # cid in the sort key: (q, sim, cid) is unique (one cell
+                # per id), so boundary ties cut to the lowest c_id — the
+                # final window's exact tie rule (ADVICE r7)
+                merged["cid"] = ids[merged["i"].to_numpy()]
                 cut = (
-                    merged.sort_values(["q", "sim"], ascending=[True, False])
+                    merged.sort_values(
+                        ["q", "sim", "cid"], ascending=[True, False, True]
+                    )
                     .groupby("q", sort=False)
                     .head(n_cand)
                 )
@@ -1304,6 +1356,8 @@ def ivf_topk_indexed(
             f"ivf_topk_indexed query set has {len(q_rows)} rows, over the "
             f"max_q={max_q} broadcast bound"
         )
+    if not q_rows:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     q_ids = np.array([r["q_id"] for r in q_rows], dtype="int64")
     q_raw = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
     d2q = (
@@ -1339,10 +1393,12 @@ def ivf_topk_indexed(
                 if qidx is None:
                     continue
                 sel = np.where(cells == cell)[0]
+                # ascending-id columns: _prune_top_cols precondition
+                sel = sel[np.argsort(ids[sel])]
                 sims = q_norm[qidx] @ mn[sel].T
                 sims[q_ids[qidx][:, None] == ids[sel][None, :]] = -np.inf
                 take = min(n_cand, sims.shape[1])
-                top = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+                top = _prune_top_cols(sims, take)
                 cq.append(np.repeat(qidx, take))
                 cs.append(np.take_along_axis(sims, top, axis=1).reshape(-1))
                 ci.append(sel[top.reshape(-1)])
@@ -1352,8 +1408,13 @@ def ivf_topk_indexed(
                 {"q": np.concatenate(cq), "sim": np.concatenate(cs),
                  "i": np.concatenate(ci)}
             )
+            # lowest-c_id boundary-tie cut, same rule as the final
+            # window (ADVICE r7); (q, sim, cid) is a unique key
+            merged["cid"] = ids[merged["i"].to_numpy()]
             cut = (
-                merged.sort_values(["q", "sim"], ascending=[True, False])
+                merged.sort_values(
+                    ["q", "sim", "cid"], ascending=[True, False, True]
+                )
                 .groupby("q", sort=False)
                 .head(n_cand)
             )

@@ -15,6 +15,8 @@ so the two sides cannot drift.
 
 from __future__ import annotations
 
+import atexit as _atexit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -597,11 +599,54 @@ WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= 3
 # snapshot (the %100 query set; the seeded sample-trained IVF quantizer).
 # Rebuilding them per invocation put a driver-side collect/training job
 # inside every repeat call — ~3x the actual query cost in the bench's
-# min-of-N loop. One entry per (kind, sf_dir), so the cache is bounded
-# by the number of datasets a process touches; a process restart (or a
-# changed sf_dir path for new data) invalidates, matching how a deployed
-# pipeline persists its query set / ANN index artifact across runs.
-_CONSTRUCT_CACHE: dict[tuple[str, str], object] = {}
+# min-of-N loop. One entry per (kind, sf_dir, fixture fingerprint), so
+# the cache is bounded by the number of dataset versions a process
+# touches; a process restart, a changed sf_dir path, or an in-place
+# fixture rewrite (the fingerprint catches this — ADVICE r7: keying on
+# sf_dir alone served a stale IVF index after a mid-process
+# regeneration) invalidates, matching how a deployed pipeline persists
+# its query set / ANN index artifact across runs.
+_CONSTRUCT_CACHE: dict[tuple, object] = {}
+
+
+def _snapshot_key(kind: str, sf_dir: str, table: str) -> tuple:
+    """Cache key carrying the fixture's identity AND version: the path
+    plus a cheap (name, mtime_ns, size) fingerprint of the table's
+    parquet footprint. Directory layouts fingerprint every part-file,
+    so an in-place rewrite invalidates; a missing path fingerprints as
+    None (the read itself fails loudly downstream)."""
+    import os  # noqa: PLC0415
+
+    p = os.path.join(sf_dir, table + ".parquet")
+    try:
+        if os.path.isdir(p):
+            fp: object = tuple(
+                (f, s.st_mtime_ns, s.st_size)
+                for f in sorted(os.listdir(p))
+                for s in (os.stat(os.path.join(p, f)),)
+            )
+        else:
+            st = os.stat(p)
+            fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = None
+    return (kind, sf_dir, fp)
+
+
+# Temp dirs holding built IVF index layouts: removed at interpreter
+# exit (ADVICE r7 — mkdtemp results were never cleaned up), and a
+# fingerprint change drops the superseded dir eagerly at rebuild.
+_IVF_INDEX_DIRS: list[str] = []
+
+
+def _cleanup_ivf_dirs() -> None:
+    import shutil  # noqa: PLC0415
+
+    while _IVF_INDEX_DIRS:
+        shutil.rmtree(_IVF_INDEX_DIRS.pop(), ignore_errors=True)
+
+
+_atexit.register(_cleanup_ivf_dirs)
 
 
 # Hard bound on the brute-force query set: the query side is collected
@@ -622,7 +667,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(_TOPK_MAX_Q)
     )
-    key = ("cosine_topk_queries", sf_dir)
+    key = _snapshot_key("cosine_topk_queries", sf_dir, "embeddings")
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = queries.select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -2250,7 +2295,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(_TOPK_MAX_Q)
     )
-    key = ("ivf_centroids", sf_dir)
+    key = _snapshot_key("ivf_centroids", sf_dir, "embeddings")
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = similarity.train_centroids_portable(
             emb, n_cells=_IVF_CELLS, iters=_IVF_ITERS, train_sample=_IVF_SAMPLE
@@ -2271,9 +2316,15 @@ def emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune, and exact rescore as emb_ivf_topk, so the SAME unrolled
     DuckDB oracle value-checks this path; row-identity with ivf_topk
     and the PartitionFilters pruning are additionally pinned in
-    tests/. The index builds once per (process, sf_dir) into a temp
-    dir — the build cost is the deployment's one-time indexing job,
-    amortized across every query batch served from it."""
+    tests/. The index builds once per (process, fixture fingerprint)
+    into a temp dir — the build cost is the deployment's one-time
+    indexing job, amortized across every query batch served from it;
+    a regenerated fixture changes the fingerprint and forces a rebuild
+    (the superseded dir is removed), and every index dir is cleaned at
+    interpreter exit (ADVICE r7). The local temp path serves only this
+    single-JVM harness — a cluster deployment passes a shared
+    filesystem path to build_ivf_index directly."""
+    import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     emb = fan_out(read_table(spark, sf_dir, "embeddings"), spark, cols=("vec_id",))
@@ -2282,14 +2333,33 @@ def emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(_TOPK_MAX_Q)
     )
-    ckey = ("ivf_centroids", sf_dir)
+    ckey = _snapshot_key("ivf_centroids", sf_dir, "embeddings")
     if ckey not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[ckey] = similarity.train_centroids_portable(
             emb, n_cells=_IVF_CELLS, iters=_IVF_ITERS, train_sample=_IVF_SAMPLE
         )
-    ikey = ("ivf_index_path", sf_dir)
+    ikey = _snapshot_key("ivf_index_path", sf_dir, "embeddings")
     if ikey not in _CONSTRUCT_CACHE:
-        path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+        # A fingerprint change (fixture regenerated in place) rebuilds:
+        # drop any superseded index for the same sf_dir so temp space
+        # stays bounded at one live index per dataset; all dirs are
+        # also atexit-cleaned (ADVICE r7).
+        stale = [
+            k
+            for k in _CONSTRUCT_CACHE
+            if k[0] == "ivf_index_path" and k[1] == sf_dir
+        ]
+        if stale:
+            import shutil  # noqa: PLC0415
+
+            for k in stale:
+                d = os.path.dirname(str(_CONSTRUCT_CACHE.pop(k)))
+                shutil.rmtree(d, ignore_errors=True)
+                if d in _IVF_INDEX_DIRS:
+                    _IVF_INDEX_DIRS.remove(d)
+        tmpdir = tempfile.mkdtemp(prefix="ivf_index_")
+        _IVF_INDEX_DIRS.append(tmpdir)
+        path = tmpdir + "/index"
         similarity.build_ivf_index(
             emb, path, n_cells=_IVF_CELLS, centroids=_CONSTRUCT_CACHE[ckey]
         )
@@ -2419,7 +2489,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(_TOPK_MAX_Q)
     )
-    key = ("pq_codebooks", sf_dir)
+    key = _snapshot_key("pq_codebooks", sf_dir, "embeddings")
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = similarity.train_pq_codebooks_portable(
             emb,
@@ -2765,7 +2835,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted index-stats artifact, like the IVF quantizer) + one
     narrow scoring scan."""
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
-    key = ("bm25_stats", sf_dir)
+    key = _snapshot_key("bm25_stats", sf_dir, "documents")
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = text.bm25_corpus_stats(docs, list(_BM25_TERMS))
     return text.bm25_topk(
@@ -2943,7 +3013,7 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg — the corpus never shuffles, only one slim row per doc.
     Micro-nat integer log-probs make the sums exact across engines."""
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
-    key = ("unigram_lm", sf_dir)
+    key = _snapshot_key("unigram_lm", sf_dir, "documents")
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = text.unigram_lm_stats(docs, vocab_size=_LM_VOCAB)
     return text.unigram_logprob(
@@ -3006,7 +3076,7 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multi_report_etl_pipeline_spark.operators import sampling  # noqa: PLC0415
 
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
-    key = ("dsir_stats", sf_dir)
+    key = _snapshot_key("dsir_stats", sf_dir, "documents")
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = sampling.dsir_bucket_stats(
             docs, F.col("source").isin(*_DSIR_TARGET), n_buckets=_DSIR_BUCKETS
@@ -3070,7 +3140,7 @@ def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(_TOPK_MAX_Q)
     )
-    key = ("int8_topk_queries", sf_dir)
+    key = _snapshot_key("int8_topk_queries", sf_dir, "embeddings")
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = (
             queries.select(
@@ -3204,7 +3274,7 @@ def docs_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     array fold — no join/explode/shuffle). The oracle replays training
     via the unrolled CTEs, then applies the same nested replaces."""
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
-    key = ("bpe_merges", sf_dir)
+    key = _snapshot_key("bpe_merges", sf_dir, "documents")
     if key not in _CONSTRUCT_CACHE:
         _CONSTRUCT_CACHE[key] = [
             (r["left_sym"], r["right_sym"])

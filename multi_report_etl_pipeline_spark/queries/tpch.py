@@ -2744,6 +2744,19 @@ QUERIES["customer_k_anonymity"] = QuerySpec(
 # In a real deployment partsupp is a stored table and read_table() replaces
 # this builder; every query below treats it as fact-shaped (never
 # broadcast) so the plans survive that swap.
+#
+# JOIN-SELECTIVITY CAVEAT (ADVICE r7): the driver's lineitem was generated
+# independently of this formula, so its (l_partkey, l_suppkey) pairs do NOT
+# land on the (p_partkey*13 + i) % s_cnt supplier assignment — real dbgen
+# guarantees every lineitem pair exists in partsupp, here only ~4/|supplier|
+# of lineitem rows match (~0.04% at sf1). Both engines run the identical
+# derived table, so the oracles hold and the RELATIVE Spark-vs-DuckDB bench
+# comparison is fair, but q9/q20's lineitem->partsupp fact join is far
+# sparser than genuine TPC-H: their absolute bench rows exercise the join's
+# shuffle machinery at real volume (both fact sides still shuffle in full)
+# while the post-join reduce sees far fewer surviving rows than dbgen would
+# produce. Read "TPC-H 22/22" as semantic-shape coverage on this dataset,
+# not dbgen-comparable q9/q20 absolute throughput.
 # ---------------------------------------------------------------------------
 
 # Shared CTE text: `snum` ranks suppliers densely (works for contiguous AND
