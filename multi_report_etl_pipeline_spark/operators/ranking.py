@@ -124,3 +124,221 @@ def global_ntile(
     return ranked.withColumn(
         out_col, ntile_from_rank(F.col(_RANK), n_rows, k).cast("int")
     ).drop(_RANK)
+
+
+# ---------------------------------------------------------------------------
+# Selection-based NTILE (VERDICT r7 item 3): bucket assignment WITHOUT any
+# global sort. NTILE(k) over a total order only needs the k-1 BOUNDARY rows
+# — the order statistics at ranks e_1..e_{k-1} (the cumulative SQL bucket
+# sizes). Each boundary is found by iterative histogram narrowing (the
+# classic distributed exact-selection algorithm): every round is ONE
+# partial-aggregate job that histograms all still-unresolved boundaries at
+# once (<= n_buckets counters each, driver traffic bounded by
+# boundaries x n_buckets longs), shrinking each boundary's candidate value
+# interval by ~n_buckets x per round — so an integral metric resolves in
+# ceil(log_B(range)) rounds regardless of row count, and custkey
+# tie-breaks at a boundary value resolve by the same loop on the tie
+# column restricted to that value. Bucket assignment is then a pure
+# in-row comparison against the k-1 (value, tie) thresholds: NO shuffle,
+# no join, no rank materialization. Value-identical to SQL NTILE with the
+# same (value, tie) order — ties at a boundary split exactly where the
+# tie-column rank puts them.
+# ---------------------------------------------------------------------------
+
+
+def _sql_ntile_cuts(n_rows: int, k: int) -> list[int]:
+    """The 1-based global ranks of the last row of buckets 1..k-1 under
+    SQL NTILE sizing (first n_rows%k buckets get one extra row). With
+    n_rows < k the trailing empty buckets repeat the previous cut."""
+    q, r = divmod(n_rows, k)
+    sizes = [q + 1] * r + [q] * (k - r)
+    cuts, acc = [], 0
+    for s in sizes[: k - 1]:
+        acc += s
+        cuts.append(acc)
+    return cuts
+
+
+def select_order_statistics(
+    df: DataFrame,
+    specs: dict,
+    n_buckets: int = 2048,
+) -> dict:
+    """Batched exact order statistics over integral columns.
+
+    ``specs`` maps an opaque key to a dict with:
+      - ``value``: Column expression (must be integral, may be negated
+        for descending order),
+      - ``tie``: tie-break Column name (integral, UNIQUE across rows —
+        makes the (value, tie) order total),
+      - ``rank``: the 1-based target rank under (value ASC, tie ASC).
+
+    Returns ``{key: (v_star, c_star)}`` where the boundary row is the
+    rank-th smallest pair: ``c_star is None`` means every row with
+    value ``v_star`` sorts at-or-before the boundary, so the membership
+    test collapses to ``value <= v_star`` (the common no-split case);
+    otherwise rows with ``value == v_star`` split on ``tie <= c_star``.
+
+    Cost: one min/max seed job + ceil(log_B(value range)) histogram
+    rounds (+ the same again on the tie column for boundaries landing
+    inside a tied run), each a partial aggregate emitting at most
+    |unresolved| x n_buckets rows to the driver. No sort, no shuffle of
+    ``df`` itself.
+    """
+    if not specs:
+        return {}
+    # Seed job: global min/max per distinct value expression + row count
+    # (callers pass rank <= n by contract). Tie min/max seeds phase 2.
+    agg_cols = []
+    for key, sp in specs.items():
+        agg_cols.append(F.min(sp["value"]).alias(f"mn_{key}"))
+        agg_cols.append(F.max(sp["value"]).alias(f"mx_{key}"))
+        agg_cols.append(F.min(F.col(sp["tie"])).alias(f"tmn_{key}"))
+        agg_cols.append(F.max(F.col(sp["tie"])).alias(f"tmx_{key}"))
+    seed = df.agg(*agg_cols).collect()[0]
+
+    # Active search state per key. phase "v": narrowing the value
+    # interval [lo, hi]; phase "t": value resolved to v_star, narrowing
+    # the tie interval among rows with value == v_star.
+    state: dict = {}
+    out: dict = {}
+    for key, sp in specs.items():
+        mn, mx = seed[f"mn_{key}"], seed[f"mx_{key}"]
+        if mn is None:
+            raise ValueError(f"select_order_statistics: no rows for {key!r}")
+        state[key] = {
+            "phase": "v",
+            "pred": None,
+            "col": sp["value"],
+            "tie": sp["tie"],
+            "lo": int(mn),
+            "hi": int(mx),
+            "before": 0,
+            "rank": int(sp["rank"]),
+            "tmn": int(seed[f"tmn_{key}"]),
+            "tmx": int(seed[f"tmx_{key}"]),
+        }
+
+    while state:
+        # Resolve any single-point intervals without a job.
+        for key in list(state):
+            st = state[key]
+            if st["lo"] != st["hi"]:
+                continue
+            if st["phase"] == "v":
+                # Value pinned; j = how many tied rows sort at-or-before
+                # the boundary. Whether the tied run SPLITS here decides
+                # if a tie-column pass is needed — that needs the run's
+                # size, which the histogram round that pinned the value
+                # recorded in st["cnt"] (the seed min==max degenerate
+                # case falls through to one histogram round of width 1).
+                cnt = st.get("cnt")
+                j = st["rank"] - st["before"]
+                if cnt is not None and j >= cnt:
+                    # boundary is the LAST row of this tied run: no
+                    # split, membership collapses to value <= v_star
+                    out[key] = (st["lo"], None)
+                    del state[key]
+                else:
+                    # run splits (or the seed min==max degenerate case,
+                    # cnt unknown): find the j-th smallest tie among
+                    # rows AT this value by the same narrowing loop.
+                    # An uncut run resolves to c_star == max(tie) —
+                    # equivalent to the collapsed form, just not
+                    # simplified.
+                    st.update(
+                        phase="t",
+                        pred=st["col"] == F.lit(st["lo"]),
+                        vstar=st["lo"],
+                        col=F.col(st["tie"]),
+                        lo=st["tmn"],
+                        hi=st["tmx"],
+                        before=0,
+                        rank=j,
+                        cnt=None,
+                    )
+            else:
+                out[key] = (st["vstar"], st["lo"])
+                del state[key]
+        if not state:
+            break
+
+        # One histogram job covering every unresolved boundary: each row
+        # contributes (key_index, bucket) for every boundary whose
+        # predicate it satisfies and whose interval contains its value.
+        keys = list(state)
+        widths = {}
+        entries = []
+        for i, key in enumerate(keys):
+            st = state[key]
+            span = st["hi"] - st["lo"] + 1
+            w = max(1, -(-span // n_buckets))  # ceil
+            widths[key] = w
+            in_range = st["col"].between(F.lit(st["lo"]), F.lit(st["hi"]))
+            if st["pred"] is not None:
+                in_range = st["pred"] & in_range
+            entries.append(
+                F.when(
+                    in_range,
+                    F.struct(
+                        F.lit(i).alias("ki"),
+                        ((st["col"] - F.lit(st["lo"])) / F.lit(w))
+                        .cast("long")
+                        .alias("b"),
+                    ),
+                )
+            )
+        hist = (
+            df.select(F.explode(F.array(*entries)).alias("e"))
+            .filter(F.col("e").isNotNull())
+            .groupBy(F.col("e.ki").alias("ki"), F.col("e.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_key: dict[int, list] = {}
+        for row in hist:
+            by_key.setdefault(row["ki"], []).append((row["b"], row["cnt"]))
+        for i, key in enumerate(keys):
+            st = state[key]
+            w = widths[key]
+            target = st["rank"] - st["before"]
+            acc = 0
+            for b, cnt in sorted(by_key.get(i, [])):
+                if acc + cnt >= target:
+                    st["before"] += acc
+                    st["lo"] = st["lo"] + int(b) * w
+                    st["hi"] = min(st["hi"], st["lo"] + w - 1)
+                    st["cnt"] = int(cnt) if w == 1 else None
+                    break
+                acc += cnt
+            else:
+                raise AssertionError(
+                    f"select_order_statistics: rank {st['rank']} beyond "
+                    f"row count for {key!r} (histogram exhausted)"
+                )
+    return out
+
+
+def ntile_threshold_expr(
+    value: Column,
+    tie: Column,
+    thresholds: list[tuple[int, int | None]],
+    descending: bool = False,
+) -> Column:
+    """NTILE bucket number as a pure in-row expression: 1 + the number
+    of boundary thresholds the row sorts strictly AFTER. ``thresholds``
+    are ``select_order_statistics`` results in bucket order, computed on
+    the NEGATED value column when ``descending`` (pass the ORIGINAL
+    column here; the comparison flips accordingly)."""
+    score: Column = F.lit(1)
+    for v_star, c_star in thresholds:
+        v_thresh = -v_star if descending else v_star
+        if descending:
+            after = value < F.lit(v_thresh)
+            at = value == F.lit(v_thresh)
+        else:
+            after = value > F.lit(v_thresh)
+            at = value == F.lit(v_thresh)
+        gt = after if c_star is None else (after | (at & (tie > F.lit(c_star))))
+        score = score + F.when(gt, 1).otherwise(0)
+    return score.cast("int")

@@ -1394,12 +1394,20 @@ def customer_rfm_segments(
       a 2-column per-metric projection of a checkpointed base, re-joined
       on custkey — the sort pays for row width (sf10: 4.57 s vs chained
       6.13 s, vs global_ntile 8.41 s).
-    - ``distributed`` (beyond): operators.ranking.global_ntile — exact
-      parallel range-sort ranking, no Exchange SinglePartition anywhere,
-      because a billion-customer sort through one task is the wall both
-      window forms eventually hit. Slower at every locally testable
-      scale (its ~8 extra jobs), kept as the only shape that survives
-      extreme scale.
+    - ``selection`` (beyond — VERDICT r7 item 3): NTILE needs only the
+      3 BOUNDARY rows per metric, so all 9 quartile boundaries (plus
+      custkey tie-splits at boundary values) are found by one batched
+      iterative-histogram exact selection
+      (ranking.select_order_statistics: ~(1 seed + log_2048(range))
+      narrow partial-agg jobs TOTAL, driver traffic <= 9 x 2048 longs
+      per round), and the scores become pure in-row comparisons — no
+      global sort, no rank materialization, no score join. Replaces
+      the old ``distributed`` (3 x global_ntile parallel range sorts +
+      2 joins: 46.7 s / 2.89x at sf100) as the extreme-scale shape.
+    - ``distributed``: the previous range-sort form, kept as a named
+      strategy for the equality pins and as the general-rank fallback
+      (selection needs integral metrics; these are — days, counts,
+      cents).
 
     Equality of all strategies is pinned by tests/test_ranking.py and
     the A/Bs (equal=True at sf1 and sf10). The final segment rollup is
@@ -1413,13 +1421,15 @@ def customer_rfm_segments(
             sz = _os.path.getsize(_os.path.join(sf_dir, "orders.parquet"))
         except OSError:
             sz = 0
-        # round-7: the narrow->distributed crossover MEASURED at sf100
+        # round-7: the narrow->beyond crossover MEASURED at sf100
         # (orders 1.76 GB / 15M customers): distributed 46.3 s vs
         # narrow 61.8 s interleaved min-of-3, value-identical —
-        # distributed won or tied every rep pair, so the flip moves
-        # from the constructed 5 GB bound down to the measured 1.5 GB
+        # distributed won or tied every rep pair, so the flip moved
+        # from the constructed 5 GB bound down to the measured 1.5 GB.
+        # round-8: the beyond-shape is now `selection` (boundary
+        # selection, no range sorts — see docstring).
         if sz > 1_500_000_000:
-            strategy = "distributed"
+            strategy = "selection"
         elif sz > 50_000_000:
             strategy = "narrow"
         else:
@@ -1484,6 +1494,53 @@ def customer_rfm_segments(
                 ),
             )
         )
+    elif strategy == "selection":
+        from multi_report_etl_pipeline_spark.operators.ranking import (
+            _sql_ntile_cuts,
+            ntile_threshold_expr,
+            select_order_statistics,
+        )
+
+        narrow = base.select(
+            "o_custkey", "recency_days", "frequency", "monetary_cents"
+        ).localCheckpoint()  # selection rounds re-read this, not orders
+        n_cust = narrow.count()
+        if n_cust == 0:
+            scored = narrow.select(
+                "o_custkey",
+                "monetary_cents",
+                F.lit(1).alias("r_score"),
+                F.lit(1).alias("f_score"),
+                F.lit(1).alias("m_score"),
+            )
+        else:
+            cuts = _sql_ntile_cuts(n_cust, 4)
+            metrics = (
+                ("r", "recency_days", False),
+                ("f", "frequency", True),
+                ("m", "monetary_cents", True),
+            )
+            specs = {}
+            for tag, colname, desc in metrics:
+                val = (-F.col(colname)) if desc else F.col(colname)
+                for bi, e in enumerate(cuts):
+                    specs[f"{tag}{bi}"] = {
+                        "value": val,
+                        "tie": "o_custkey",
+                        "rank": e,
+                    }
+            stats = select_order_statistics(narrow, specs)
+            scored = narrow
+            for tag, colname, desc in metrics:
+                scored = scored.withColumn(
+                    f"{tag}_score",
+                    ntile_threshold_expr(
+                        F.col(colname),
+                        F.col("o_custkey"),
+                        [stats[f"{tag}{bi}"] for bi in range(len(cuts))],
+                        descending=desc,
+                    ),
+                )
     else:
         narrow = base.select(
             "o_custkey", "recency_days", "frequency", "monetary_cents"

@@ -97,6 +97,58 @@ def test_rfm_strategies_agree(spark):
     assert a == b
 
 
+def test_rfm_selection_strategy_agrees(spark):
+    """The selection tier (boundary order statistics + in-row scoring,
+    the extreme-scale shape since round 8) must be value-identical to
+    the window form — boundary ties split at the same custkey."""
+    from tests.conftest import SF_DIR
+
+    from multi_report_etl_pipeline_spark.queries.tpch import (
+        customer_rfm_segments,
+    )
+
+    a = sorted(
+        map(tuple, customer_rfm_segments(spark, SF_DIR, strategy="window").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            customer_rfm_segments(spark, SF_DIR, strategy="selection").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_select_order_statistics_exact(spark):
+    """select_order_statistics must reproduce the exact (value, tie)
+    order statistics a full sort would give, including boundary-tie
+    splits, on a frame engineered with heavy ties and a tiny bucket
+    count (forcing multiple narrowing rounds)."""
+    from multi_report_etl_pipeline_spark.operators.ranking import (
+        select_order_statistics,
+    )
+
+    rows = [(i, (i * 7919) % 13, i * 3 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, tie long")
+    ordered = sorted((v, t) for _, v, t in rows)
+    specs = {
+        f"k{r}": {"value": F.col("v"), "tie": "tie", "rank": r}
+        for r in (1, 125, 250, 375, 500)
+    }
+    got = select_order_statistics(df, specs, n_buckets=4)
+    for r in (1, 125, 250, 375, 500):
+        v_star, c_star = got[f"k{r}"]
+        want_v, want_t = ordered[r - 1]
+        assert v_star == want_v, (r, v_star, want_v)
+        # c_star None means the whole tied run sorts at-or-before the
+        # boundary; otherwise it must be the boundary row's tie value
+        run = [t for v, t in ordered if v == want_v]
+        if c_star is None:
+            assert want_t == run[-1], (r, want_t, run[-1])
+        else:
+            assert c_star == want_t, (r, c_star, want_t)
+
+
 def test_rfm_narrow_strategy_agrees(spark):
     """The middle (narrow-join) tier must also be value-identical."""
     from tests.conftest import SF_DIR
