@@ -866,14 +866,27 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last_value IGNORE NULLS — a per-key ordered window whose state is
     one value, parallel across keys at scale). First bucket is always
     observed (the spine starts at each key's MIN), so LOCF never
-    reads ahead of data."""
+    reads ahead of data.
+
+    Round 8 (VERDICT r7 item 7): the pre-aggregate is localCheckpoint'd
+    — it has TWO consumers (the bounds/spine branch and the join probe
+    side) and physical exchange reuse does NOT fire across them
+    (measured: the full events scan + aggregate ran twice, 2.81 s for a
+    query whose aggregate alone costs 1.3 s). Materializing |types| x
+    |hours| rows (3.6k at sf100ev) is a bounded artifact at any corpus
+    scale, and the trade (eager construction, truncated lineage) is the
+    hamming_banded_pairs one. Hour truncation is epoch arithmetic, not
+    date_trunc — value-identical under the engine's pinned UTC session
+    (session.py), and 1.42x cheaper on the 100M-row scan (sf100ev A/B,
+    BASELINE.md round 8: 1.31 -> 0.92 s)."""
     ev = read_table(spark, sf_dir, "events")
+    tl = F.col("ts").cast("timestamp_ltz").cast("long")
     agg = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
+        F.timestamp_seconds(tl - tl % 3600).alias("h"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.avg("value"), 6).alias("av"),
-    )
+    ).localCheckpoint()
     bounds = agg.groupBy("event_type").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")
     )

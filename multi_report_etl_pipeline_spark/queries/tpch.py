@@ -1129,9 +1129,22 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents (the q1 pattern) so every slice is engine-identical.
 
     Scale: Spark expands grouping sets map-side (one scan, partial aggs
-    per set) — same exchange story as rollup, |sets| x |groups| cells."""
+    per set) — same exchange story as rollup, |sets| x |groups| cells.
+
+    Round 8 (VERDICT r7 item 9): the Spark side runs its OWN SQL text
+    with the long-cents idiom (CAST(q*100 + 0.5 AS BIGINT)) instead of
+    sharing the oracle string verbatim — ROUND(double) is per-row
+    BigDecimal in Spark (the q1/q3 lesson) and the idiom is NOT
+    portable to the oracle (DuckDB's double->bigint cast rounds where
+    Spark's truncates, so the oracle keeps ROUND; values identical for
+    the non-negative 2dp domain, driver-pinned). sf100 decomposition
+    probe: scan(3 cols) 2.47 s, base agg 5.28 s, full 5.65 s — the
+    Expand adds 0.37 s over the finest-grain aggregate and its
+    exchange carries |tasks| x 6 cells, so the pre-aggregate exchange
+    has nothing left to reuse; the gap to DuckDB is scan+eval, which
+    the cents swap attacks."""
     _register(spark, sf_dir)
-    return spark.sql(GROUPING_SETS_SQL)
+    return spark.sql(GROUPING_SETS_SPARK_SQL)
 
 
 # Two-stage form: the GROUPING SETS Expand runs over the finest-grain
@@ -1139,6 +1152,24 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partial agg, so the one-stage form pushes |sets| x corpus rows through
 # the aggregation loop. COUNT re-aggregates as SUM; the exact long-cent
 # sums are associative, so every slice is value-identical (oracle-pinned).
+# Spark-side text: long-cents fast path (see the function docstring —
+# NOT portable to DuckDB, whose double->bigint cast rounds).
+GROUPING_SETS_SPARK_SQL = """
+WITH base AS (
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           SUM(CAST(l_quantity * 100 + 0.5 AS BIGINT)) AS cents
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(cents) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_qty
+FROM base
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
 GROUPING_SETS_SQL = """
 WITH base AS (
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
