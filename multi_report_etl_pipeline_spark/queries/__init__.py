@@ -34,47 +34,33 @@ under these rules, in priority order:
    ``scripts/validate.py`` runs the driver-equivalent oracle harness
    over any subset on demand.
 
-Round-7 window derivation:
+Round-8 window derivation:
 - rule 4: the 5 reference-surface rows.
-- rule 2: the round-7 TPC-H completion batch — q2/q9/q11/q16/q20, the
-  five dbgen queries unblocked by the derived-partsupp construction
-  (tpch.py PARTSUPP_CTES / derived_partsupp); TPC-H is now 22/22 —
-  plus emb_ivf_indexed_topk (ANN served from a persisted
-  cell-partitioned IVF index with a partition-pruned scan, the 100 TB
-  serving layout; same unrolled value oracle as emb_ivf_topk).
-- rule 1 (changed since the round-6 driver run): the ASCII-invariant
-  enforcement in the _dhash_media/_wav_media/_y4m_media in-plan
-  builders (commit b81f5b9) changed every consumer's plan and SQL twin
-  — docs_image_dhash, docs_dhash_near_dup, streaming_image_dedup,
-  docs_audio_decode, docs_audio_fingerprint, docs_audio_near_dup,
-  streaming_audio_dedup, docs_video_dhash, docs_video_near_dup,
-  streaming_video_dedup; emb_int8_topk (filter-before-LIMIT query-set
-  alignment, same commit); docs_bpe_merges + docs_bpe_tokenize (the
-  trainer now scopes AQE initialPartitionNum around its persist,
-  commit aa25676); docs_minhash_near_dup (round-7 adaptive
-  collapse-exact guard in minhash_near_dup_pairs — the cross-corpus
-  fuzzy_contamination_pairs path has no collapse stage and is
-  untouched); emb_ivf_topk (round-7 GEMM-prune rewrite of the in-cell
-  scoring, bit-identical output, 27.6 -> 2.3 s at 200k vectors);
-  orders_top_customers + orders_top_customers_salted (round-7
-  long-cents accumulator swap — SUM(DECIMAL) left the fast path; sf10
-  A/B 3.22 -> 1.53 s, sf100 72.8 -> 8.3 s); customer_rfm_segments
-  (narrow->distributed flip threshold lowered to the MEASURED 1.5 GB
-  sf100 crossover — the audited-scale plan is unchanged, seated as
-  conservative coverage of the code change).
-- rule 3: the 16 registry entries that have NEVER held a driver seat
-  (VERDICT r6 item 4): orders_price_ntiles, orders_running_balance,
-  tpch_q18_large_volume_customers, orders_trailing_30d_stats,
-  orders_quality_checks, orders_first_last_nth, customer_abc_analysis,
-  docs_minhash_estimate, docs_hashed_ngram_logreg,
-  events_hourly_unique_users, events_hourly_top_users,
-  events_session_paths, events_daily_type_unpivot,
-  streaming_transition_matrix, streaming_cms_frequencies,
-  streaming_binned_percentiles.
-Demoted in exchange: everything else — all r5/r6 hash-green on code
-untouched since (the staging/reports materialization surface keeps its
-rule-4 representatives; every demoted entry stays pytest-oracle-checked
-per round and scripts/validate.py re-proves any subset on demand).
+- rule 3: the FINAL 5 never-driver-audited entries (VERDICT r7 item 4
+  — after this round 100% of the registry has held a driver seat):
+  docs_canonical_selection, docs_dedup_sample, docs_substring_clean,
+  tpch_q10_returned_items, tpch_q6_forecast_revenue.
+- rule 1 (changed since the round-7 driver run):
+  tpch_q3_shipping_priority + tpch_q10_returned_items (size-gated
+  SHUFFLE_HASH hints settled under the quiet harness — audit-scale
+  plans are below the gate and bit-unchanged, seats are conservative
+  coverage); customer_rfm_segments (new `selection` extreme-scale
+  strategy + auto-pick change); lineitem_grouping_sets (Spark-side SQL
+  text split off the oracle string for the long-cents fast path);
+  events_gap_filled_hourly (checkpointed pre-aggregate + epoch-hour
+  truncation); events_hourly_unique_users (epoch-hour truncation,
+  projection-bound); emb_cosine_topk / emb_int8_topk / emb_ivf_topk /
+  emb_ivf_indexed_topk (ADVICE r7: deterministic lowest-c_id prune
+  tie-breaks in every GEMM kernel + empty-query short-circuits +
+  fingerprinted construct-cache keys).
+- the remaining 31 seats re-confirm hash-green rows whose newest
+  driver evidence is oldest first: the reference-adjacent staging /
+  quality family (9), a TPC-H staple spread (10), the events (4),
+  docs-dedup (5), and streaming (2) families, plus
+  lineitem_window_rank (the standing Spark-win headline).
+Demoted in exchange: the r7 media-matrix and partsupp batches (all
+hash-green r07 on code untouched since) and everything else r5-r7
+green — every demoted entry stays pytest-oracle-checked per round.
 """
 
 from __future__ import annotations
@@ -113,61 +99,59 @@ _WINDOW = (
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",
     "report_commercial_promises",
-    # rule 2 — the round-7 TPC-H completion batch (derived partsupp)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q20_potential_part_promotion",
-    # rule 1 — media-construction ASCII invariant (b81f5b9) changed
-    # every plan + SQL twin in the multimodal dedup matrix
-    "docs_image_dhash",
-    "docs_dhash_near_dup",
-    "streaming_image_dedup",
-    "docs_audio_decode",
-    "docs_audio_fingerprint",
-    "docs_audio_near_dup",
-    "streaming_audio_dedup",
-    "docs_video_dhash",
-    "docs_video_near_dup",
-    "streaming_video_dedup",
-    # rule 1 — int8 ANN query-set alignment (b81f5b9); IVF in-cell
-    # scoring GEMM-prune rewrite (round 7)
+    # rule 3 — the final never-audited five (r7 item 4)
+    "docs_canonical_selection",
+    "docs_dedup_sample",
+    "docs_substring_clean",
+    "tpch_q10_returned_items",
+    "tpch_q6_forecast_revenue",
+    # rule 1 — round-8 changes (see module docstring)
+    "tpch_q3_shipping_priority",
+    "customer_rfm_segments",
+    "lineitem_grouping_sets",
+    "events_gap_filled_hourly",
+    "events_hourly_unique_users",
+    "emb_cosine_topk",
     "emb_int8_topk",
     "emb_ivf_topk",
-    # rule 2 — round-7 addition: ANN served from the persisted
-    # cell-partitioned IVF index (partition-pruned scan)
     "emb_ivf_indexed_topk",
-    # rule 1 — round-7 long-cents accumulator swap (decimal sum left
-    # the fast path; sf10 A/B 3.22 -> 1.53 s) changed both plans
-    "orders_top_customers",
-    "orders_top_customers_salted",
-    # rule 1 — round-7 rfm strategy-flip threshold lowered to the
-    # measured 1.5 GB crossover (audited-scale plan unchanged — the
-    # seat is conservative coverage of the code change)
-    "customer_rfm_segments",
-    # rule 1 — BPE trainer conf scoping (aa25676)
-    "docs_bpe_merges",
-    "docs_bpe_tokenize",
-    # rule 1 — round-7 adaptive collapse-exact MinHash guard
-    "docs_minhash_near_dup",
-    # rule 3 — the 16 never-driver-audited entries (VERDICT r6 item 4)
-    "orders_price_ntiles",
-    "orders_running_balance",
+    # re-confirmation — reference-adjacent staging/quality family
+    "stg_activities",
+    "clean_accounts",
+    "clean_contacts_field",
+    "clean_contacts_promise",
+    "clean_contacts_restructure",
+    "quality_view_counts",
+    "quality_duplicate_operations",
+    "quality_null_keys",
+    "quality_date_parse_failures",
+    # re-confirmation — TPC-H staples
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q12_ship_mode_delay",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
-    "orders_trailing_30d_stats",
-    "orders_quality_checks",
-    "orders_first_last_nth",
-    "customer_abc_analysis",
-    "docs_minhash_estimate",
-    "docs_hashed_ngram_logreg",
-    "events_hourly_unique_users",
-    "events_hourly_top_users",
-    "events_session_paths",
-    "events_daily_type_unpivot",
-    "streaming_transition_matrix",
-    "streaming_cms_frequencies",
-    "streaming_binned_percentiles",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    # re-confirmation — events family
+    "events_windowed_counts",
+    "events_sessionization",
+    "events_transition_matrix",
+    "events_cohort_retention",
+    # re-confirmation — docs dedup family
+    "docs_exact_dedup",
+    "docs_minhash_near_dup",
+    "docs_simhash_near_dup",
+    "docs_span_dedup",
+    "docs_bloom_decontaminate",
+    # re-confirmation — streaming twins
+    "streaming_windowed_counts",
+    "streaming_doc_curation",
+    # re-confirmation — standing Spark-win perf headline
+    "lineitem_window_rank",
 )
 
 
