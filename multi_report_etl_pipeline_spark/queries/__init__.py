@@ -47,13 +47,15 @@ Round-8 window derivation:
   coverage); customer_rfm_segments (new `selection` extreme-scale
   strategy + auto-pick change); lineitem_grouping_sets (Spark-side SQL
   text split off the oracle string for the long-cents fast path);
-  events_gap_filled_hourly (checkpointed pre-aggregate + epoch-hour
+  events_gap_filled_hourly + events_ewma_anomaly (checkpointed
+  pre-aggregate — the no-exchange-reuse double-scan — plus epoch-hour
   truncation); events_hourly_unique_users (epoch-hour truncation,
-  projection-bound); emb_cosine_topk / emb_int8_topk / emb_ivf_topk /
+  projection-bound); events_daily_type_pivot + events_daily_type_unpivot
+  (epoch-day group key, string formatting moved post-agg); emb_cosine_topk / emb_int8_topk / emb_ivf_topk /
   emb_ivf_indexed_topk (ADVICE r7: deterministic lowest-c_id prune
   tie-breaks in every GEMM kernel + empty-query short-circuits +
   fingerprinted construct-cache keys).
-- the remaining 31 seats re-confirm hash-green rows whose newest
+- the remaining 28 seats re-confirm hash-green rows whose newest
   driver evidence is oldest first: the reference-adjacent staging /
   quality family (9), a TPC-H staple spread (10), the events (4),
   docs-dedup (5), and streaming (2) families, plus
@@ -111,6 +113,9 @@ _WINDOW = (
     "lineitem_grouping_sets",
     "events_gap_filled_hourly",
     "events_hourly_unique_users",
+    "events_ewma_anomaly",
+    "events_daily_type_pivot",
+    "events_daily_type_unpivot",
     "emb_cosine_topk",
     "emb_int8_topk",
     "emb_ivf_topk",
@@ -134,13 +139,11 @@ _WINDOW = (
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
     "tpch_q21_suppliers_kept_waiting",
     # re-confirmation — events family
     "events_windowed_counts",
     "events_sessionization",
     "events_transition_matrix",
-    "events_cohort_retention",
     # re-confirmation — docs dedup family
     "docs_exact_dedup",
     "docs_minhash_near_dup",
@@ -149,7 +152,6 @@ _WINDOW = (
     "docs_bloom_decontaminate",
     # re-confirmation — streaming twins
     "streaming_windowed_counts",
-    "streaming_doc_curation",
     # re-confirmation — standing Spark-win perf headline
     "lineitem_window_rank",
 )

@@ -241,13 +241,26 @@ FROM events GROUP BY 1
 
 def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one row per day, one count column per event type (explicit
-    value list — never let pivot scan for distinct values at scale)."""
+    value list — never let pivot scan for distinct values at scale).
+
+    Round 8: the group key is the epoch-day LONG, formatted to the
+    'yyyy-MM-dd' string only over the |days| aggregate rows — the old
+    per-row date_format paid a timezone-aware formatter AND made the
+    partial-agg hash key a 10-char string on every scan row.
+    Value-identical under the pinned UTC session."""
     ev = read_table(spark, sf_dir, "events")
+    tl = F.col("ts").cast("timestamp_ltz").cast("long")
     return (
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        ev.groupBy((tl - tl % 86400).alias("day_s"))
         .pivot("event_type", EVENT_TYPES)
         .count()
         .na.fill(0, EVENT_TYPES)
+        .select(
+            F.date_format(F.timestamp_seconds(F.col("day_s")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            *EVENT_TYPES,
+        )
     )
 
 
@@ -1006,11 +1019,19 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one hour/type aggregation, a produced (not shuffled) dense
     spine, then per-type ordered windows — O(1) state per row for the
-    lags and running sums, parallel across types."""
+    lags and running sums, parallel across types.
+
+    Round 8: same two fixes as events_gap_filled_hourly (this query
+    shares its aggregate->bounds->spine->join skeleton, and the same
+    no-exchange-reuse double-scan applied): the |types| x |hours|
+    pre-aggregate is localCheckpoint'd (bounded artifact at any
+    scale), and hour truncation is epoch arithmetic (1.42x cheaper per
+    scan row than date_trunc under the pinned UTC session)."""
     ev = read_table(spark, sf_dir, "events")
+    tl = F.col("ts").cast("timestamp_ltz").cast("long")
     agg = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("cnt0"))
+        F.timestamp_seconds(tl - tl % 3600).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt0")).localCheckpoint()
     bounds = agg.groupBy("event_type").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")
     )
