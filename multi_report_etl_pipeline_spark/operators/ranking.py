@@ -342,3 +342,227 @@ def ntile_threshold_expr(
         gt = after if c_star is None else (after | (at & (tie > F.lit(c_star))))
         score = score + F.when(gt, 1).otherwise(0)
     return score.cast("int")
+
+
+def select_cumulative_boundaries(
+    df: DataFrame,
+    specs: dict,
+    n_buckets: int = 2048,
+) -> dict:
+    """Batched exact WEIGHTED-prefix boundaries — the Pareto/ABC
+    selection: under ORDER BY (value ASC, tie ASC), find where the
+    running weight sum crosses a rational share of the total, without
+    sorting anything.
+
+    ``specs`` maps a key to a dict with:
+      - ``value``: integral Column (negate for descending order),
+      - ``tie``: unique integral tie-break column name,
+      - ``weight``: non-negative integral Column (the summed measure;
+        for revenue-share classes this is the revenue itself),
+      - ``a``, ``b``: integers defining membership — a row is IN the
+        prefix while ``a * cum_weight <= b * total_weight`` (exact
+        integer comparison, same as the window form's boundary test).
+
+    Returns ``{key: (v_star, c_star, j, cnt)}``: the boundary sits in
+    the tied run at ``value == v_star``; ``j`` of that run's ``cnt``
+    rows (lowest ``tie`` first) are in the prefix, and ``c_star`` is
+    the j-th run member's tie value (None when j == 0 or j == cnt —
+    no split). Membership test for a row:
+      value < v_star, or (value == v_star and (j == cnt or
+      (j > 0 and tie <= c_star))).
+
+    Same narrowing loop and cost model as ``select_order_statistics``,
+    with per-bucket (count, weight-sum) histograms: one seed aggregate
+    (which also produces the exact total), then
+    ~ceil(log_B(value range)) rounds, each ONE partial-agg job over
+    all unresolved keys. Within a pinned tied run every row carries
+    the same weight (= |value| for revenue-ordered-by-revenue), so the
+    split index is closed-form and only the j-th-smallest-tie lookup
+    recurses (count-based, equal weights)."""
+    if not specs:
+        return {}
+    agg_cols = []
+    for key, sp in specs.items():
+        agg_cols.append(F.min(sp["value"]).alias(f"mn_{key}"))
+        agg_cols.append(F.max(sp["value"]).alias(f"mx_{key}"))
+        agg_cols.append(F.sum(sp["weight"]).alias(f"tw_{key}"))
+        agg_cols.append(F.min(F.col(sp["tie"])).alias(f"tmn_{key}"))
+        agg_cols.append(F.max(F.col(sp["tie"])).alias(f"tmx_{key}"))
+    seed = df.agg(*agg_cols).collect()[0]
+
+    state: dict = {}
+    out: dict = {}
+    for key, sp in specs.items():
+        mn = seed[f"mn_{key}"]
+        if mn is None:
+            raise ValueError(f"select_cumulative_boundaries: no rows for {key!r}")
+        state[key] = {
+            "phase": "v",
+            "pred": None,
+            "col": sp["value"],
+            "tie": sp["tie"],
+            "weight": sp["weight"],
+            "lo": int(mn),
+            "hi": int(seed[f"mx_{key}"]),
+            "wbefore": 0,
+            "a": int(sp["a"]),
+            "b": int(sp["b"]),
+            "total": int(seed[f"tw_{key}"]),
+            "tmn": int(seed[f"tmn_{key}"]),
+            "tmx": int(seed[f"tmx_{key}"]),
+        }
+
+    while state:
+        for key in list(state):
+            st = state[key]
+            if st["lo"] != st["hi"]:
+                continue
+            if st["phase"] == "v":
+                run_cnt, run_w = st.get("cnt"), st.get("wsum")
+                if run_cnt is None:
+                    # seed min == max: leave the key unresolved for one
+                    # histogram round (width 1 over the single point),
+                    # which fills in the run's (cnt, wsum)
+                    continue
+                # per-row weight within the run is uniform ONLY when the
+                # weight IS the |value| (revenue ordered by revenue) —
+                # asserted by the caller's construction; j is then
+                # closed-form from exact integer arithmetic
+                w_each = run_w // run_cnt
+                a, b, tot, wb = st["a"], st["b"], st["total"], st["wbefore"]
+                if w_each == 0:
+                    j = run_cnt if a * wb <= b * tot else 0
+                else:
+                    j = (b * tot - a * wb) // (a * w_each)
+                    j = max(0, min(run_cnt, j))
+                if 0 < j < run_cnt:
+                    st.update(
+                        phase="t",
+                        pred=st["col"] == F.lit(st["lo"]),
+                        vstar=st["lo"],
+                        col=F.col(st["tie"]),
+                        lo=st["tmn"],
+                        hi=st["tmx"],
+                        before=0,
+                        rank=j,
+                        j=j,
+                        runcnt=run_cnt,
+                        cnt=None,
+                    )
+                else:
+                    out[key] = (st["lo"], None, j, run_cnt)
+                    del state[key]
+            else:
+                out[key] = (st["vstar"], st["lo"], st["j"], st["runcnt"])
+                del state[key]
+        if not state:
+            break
+
+        keys = list(state)
+        widths = {}
+        entries = []
+        for i, key in enumerate(keys):
+            st = state[key]
+            span = st["hi"] - st["lo"] + 1
+            w = max(1, -(-span // n_buckets))
+            widths[key] = w
+            in_range = st["col"].between(F.lit(st["lo"]), F.lit(st["hi"]))
+            if st["pred"] is not None:
+                in_range = st["pred"] & in_range
+            wcol = (
+                F.lit(1).cast("long")
+                if st["phase"] == "t"
+                else st["weight"].cast("long")
+            )
+            entries.append(
+                F.when(
+                    in_range,
+                    F.struct(
+                        F.lit(i).alias("ki"),
+                        ((st["col"] - F.lit(st["lo"])) / F.lit(w))
+                        .cast("long")
+                        .alias("b"),
+                        wcol.alias("w"),
+                    ),
+                )
+            )
+        hist = (
+            df.select(F.explode(F.array(*entries)).alias("e"))
+            .filter(F.col("e").isNotNull())
+            .groupBy(F.col("e.ki").alias("ki"), F.col("e.b").alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("e.w").alias("wsum"),
+            )
+            .collect()
+        )
+        by_key: dict[int, list] = {}
+        for row in hist:
+            by_key.setdefault(row["ki"], []).append(
+                (row["b"], row["cnt"], row["wsum"])
+            )
+        for i, key in enumerate(keys):
+            st = state[key]
+            w = widths[key]
+            if st["phase"] == "t":
+                # count-based j-th-smallest-tie narrowing (equal weights)
+                target = st["rank"] - st["before"]
+                acc = 0
+                for b, cnt, _ in sorted(by_key.get(i, [])):
+                    if acc + cnt >= target:
+                        st["before"] += acc
+                        st["lo"] = st["lo"] + int(b) * w
+                        st["hi"] = min(st["hi"], st["lo"] + w - 1)
+                        break
+                    acc += cnt
+                else:
+                    raise AssertionError(
+                        f"cumulative boundary tie rank beyond run for {key!r}"
+                    )
+                continue
+            # weighted narrowing: find the bucket where a*(wbefore+cum)
+            # first EXCEEDS b*total — the boundary row lives there
+            a, b_, tot = st["a"], st["b"], st["total"]
+            accw = 0
+            buckets = sorted(by_key.get(i, []))
+            chosen = None
+            for bk, cnt, wsum in buckets:
+                if a * (st["wbefore"] + accw + int(wsum)) > b_ * tot:
+                    chosen = (bk, cnt, wsum)
+                    break
+                accw += int(wsum)
+            if chosen is None:
+                # the condition never crosses inside this interval: the
+                # whole interval stays in the prefix; the boundary is
+                # the interval's LAST row
+                bk, cnt, wsum = buckets[-1]
+                accw -= int(wsum)
+                chosen = (bk, cnt, wsum)
+            bk, cnt, wsum = chosen
+            st["wbefore"] += accw
+            st["lo"] = st["lo"] + int(bk) * w
+            st["hi"] = min(st["hi"], st["lo"] + w - 1)
+            if w == 1:
+                st["cnt"], st["wsum"] = int(cnt), int(wsum)
+    return out
+
+
+def cumulative_prefix_expr(
+    value: Column,
+    tie: Column,
+    res: tuple,
+    descending: bool = False,
+) -> Column:
+    """In-row membership test for a ``select_cumulative_boundaries``
+    result: True iff the row sorts at-or-before the weighted-prefix
+    boundary. Pass the ORIGINAL (un-negated) value column with
+    ``descending=True`` when the selection ran on the negated one."""
+    v_star, c_star, j, cnt = res
+    v_thresh = -v_star if descending else v_star
+    before = value > F.lit(v_thresh) if descending else value < F.lit(v_thresh)
+    at = value == F.lit(v_thresh)
+    if j <= 0:
+        return before
+    if j >= cnt:
+        return before | at
+    return before | (at & (tie <= F.lit(c_star)))

@@ -259,6 +259,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench SF and degrades to pre-pruned shuffle joins once the files
     outgrow the threshold. Only the constant-size nation/region sides
     carry forced broadcast hints.
+
+    Round 8: at fact scale (the 1 GB ``_shj_hint`` gate) the four
+    non-broadcast joins carry SHUFFLE_HASH hints on their pruned build
+    sides — quiet-harness sf100 A/B: 21.99/25.97 s SMJ vs 17.15/20.0 s
+    SHJ across two fresh JVMs (1.28x on mins, SHJ won every pairing).
+    Below the gate the semi-join broadcast plan is bit-unchanged.
     """
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = read_table(spark, sf_dir, "nation")
@@ -287,7 +293,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = (
         read_table(spark, sf_dir, "orders")
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(
+            _shj_hint(cust, spark, sf_dir),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
         .select("o_orderkey", "o_custkey")
     )
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -301,9 +311,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100).cast("bigint") - F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
     )
     return (
+        # supplier stays UN-hinted: the pruned supplier side is
+        # broadcast in the default sf100 plan, and a SHUFFLE_HASH hint
+        # would force a full lineitem shuffle on l_suppkey (measured:
+        # the all-hinted variant ran 46 s vs 22.9 un-hinted — hint ONLY
+        # the joins that actually plan as SMJ at fact scale)
         li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(_shj_hint(orders, spark, sf_dir), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_shj_hint(cust, spark, sf_dir), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -1893,7 +1908,9 @@ QUERIES["orders_first_last_nth"] = QuerySpec(
 )
 
 
-def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_abc_analysis(
+    spark: SparkSession, sf_dir: str, strategy: str | None = None
+) -> DataFrame:
     """Pareto / ABC classification — the cumulative-share shape: rank
     customers by revenue, accumulate the share of total in exact long
     cents (integer cumulative and total sums, so the class boundary
@@ -1902,32 +1919,74 @@ def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), and bucket A (first 50% of revenue), B (next 30%),
     C (tail). Emits per-class counts and revenue.
 
-    Scale: the revenue rollup is one partial-agg pass; the cumulative
-    window sorts the |customers|-row aggregate (single-task like RFM's
-    NTILE — same documented width_bucket escape hatch beyond ~10M
-    groups); the class rollup is a 3-group agg."""
+    Scale: the revenue rollup is one partial-agg pass; the class rollup
+    is a 3-group agg. The cumulative step has two value-identical
+    strategies, gated on the orders file size (the RFM pattern, same
+    1.5 GB tier):
+    - ``window`` (default below the gate): the cumulative-share window
+      — a single-task sort of the |customers|-row aggregate, cheapest
+      while that frame is one-task-sized.
+    - ``selection`` (round 8, above the gate): the class boundaries are
+      WEIGHTED-prefix order statistics — ranking.
+      select_cumulative_boundaries finds where running revenue crosses
+      1/2 and 4/5 of the total by batched histogram narrowing (no sort,
+      no Exchange SinglePartition; the same exact integer boundary
+      tests), then classification is a pure in-row comparison. This
+      retires the docstring's old "width_bucket escape hatch" IOU with
+      an exact, not approximate, scale path."""
+    import os as _os
+
     ord_ = read_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
     per = ord_.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    tot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    ).orderBy(F.lit(1))
-    cum = per.select(
-        "rev",
-        F.sum("rev").over(w).alias("cum"),
-        F.sum("rev").over(tot).alias("total"),
-    )
-    cls = (
-        F.when(F.col("cum") * 2 <= F.col("total"), "A")
-        .when(F.col("cum") * 5 <= F.col("total") * 4, "B")
-        .otherwise("C")
-    )
+    if strategy is None:
+        try:
+            sz = _os.path.getsize(_os.path.join(sf_dir, "orders.parquet"))
+        except OSError:
+            sz = 0
+        strategy = "selection" if sz > 1_500_000_000 else "window"
+    if strategy == "selection":
+        from multi_report_etl_pipeline_spark.operators.ranking import (
+            cumulative_prefix_expr,
+            select_cumulative_boundaries,
+        )
+
+        narrow = per.localCheckpoint()  # selection rounds re-read this
+        spec = {
+            "A": {"value": -F.col("rev"), "tie": "o_custkey",
+                  "weight": F.col("rev"), "a": 2, "b": 1},
+            "B": {"value": -F.col("rev"), "tie": "o_custkey",
+                  "weight": F.col("rev"), "a": 5, "b": 4},
+        }
+        res = select_cumulative_boundaries(narrow, spec)
+        in_a = cumulative_prefix_expr(
+            F.col("rev"), F.col("o_custkey"), res["A"], descending=True
+        )
+        in_b = cumulative_prefix_expr(
+            F.col("rev"), F.col("o_custkey"), res["B"], descending=True
+        )
+        cls = F.when(in_a, "A").when(in_b, "B").otherwise("C")
+        classified = narrow.select(cls.alias("abc_class"), "rev")
+    else:
+        w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        tot = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ).orderBy(F.lit(1))
+        cum = per.select(
+            "rev",
+            F.sum("rev").over(w).alias("cum"),
+            F.sum("rev").over(tot).alias("total"),
+        )
+        cls = (
+            F.when(F.col("cum") * 2 <= F.col("total"), "A")
+            .when(F.col("cum") * 5 <= F.col("total") * 4, "B")
+            .otherwise("C")
+        )
+        classified = cum.select(cls.alias("abc_class"), "rev")
     return (
-        cum.select(cls.alias("abc_class"), "rev")
-        .groupBy("abc_class")
+        classified.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             (F.sum("rev") / F.lit(100.0)).alias("class_revenue"),

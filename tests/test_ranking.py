@@ -149,6 +149,71 @@ def test_select_order_statistics_exact(spark):
             assert c_star == want_t, (r, c_star, want_t)
 
 
+def test_abc_selection_strategy_agrees(spark):
+    """The weighted-prefix selection ABC path must match the
+    cumulative-window form exactly, including boundary-tie splits."""
+    from tests.conftest import SF_DIR
+
+    from multi_report_etl_pipeline_spark.queries.tpch import (
+        customer_abc_analysis,
+    )
+
+    a = sorted(
+        map(
+            tuple,
+            customer_abc_analysis(spark, SF_DIR, strategy="window").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            customer_abc_analysis(spark, SF_DIR, strategy="selection").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_select_cumulative_boundaries_exact(spark):
+    """Weighted-prefix boundaries must match a literal sorted cumsum,
+    including splits inside heavy tied runs and with a tiny bucket
+    count forcing several narrowing rounds."""
+    from multi_report_etl_pipeline_spark.operators.ranking import (
+        cumulative_prefix_expr,
+        select_cumulative_boundaries,
+    )
+
+    # heavy ties: revenue values repeat across many ids
+    rows = [(i, ((i * 37) % 11 + 1) * 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, rev long")
+    cases = {"A": (2, 1), "B": (5, 4), "T": (10, 9)}
+    spec = {
+        k: {"value": -F.col("rev"), "tie": "id", "weight": F.col("rev"),
+            "a": a, "b": b}
+        for k, (a, b) in cases.items()
+    }
+    res = select_cumulative_boundaries(df, spec, n_buckets=4)
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(r[1] for r in rows)
+    for k, (a, b) in cases.items():
+        want = set()
+        cum = 0
+        for rid, rev in ordered:
+            cum += rev
+            if a * cum <= b * total:
+                want.add(rid)
+            else:
+                break
+        got = {
+            r["id"]
+            for r in df.filter(
+                cumulative_prefix_expr(
+                    F.col("rev"), F.col("id"), res[k], descending=True
+                )
+            ).collect()
+        }
+        assert got == want, (k, len(got), len(want))
+
+
 def test_rfm_narrow_strategy_agrees(spark):
     """The middle (narrow-join) tier must also be value-identical."""
     from tests.conftest import SF_DIR
