@@ -51,11 +51,14 @@ Round-8 window derivation:
   pre-aggregate — the no-exchange-reuse double-scan — plus epoch-hour
   truncation); events_hourly_unique_users (epoch-hour truncation,
   projection-bound); events_daily_type_pivot + events_daily_type_unpivot
-  (epoch-day group key, string formatting moved post-agg); emb_cosine_topk / emb_int8_topk / emb_ivf_topk /
+  (epoch-day group key, string formatting moved post-agg);
+  customer_abc_analysis (weighted-prefix selection strategy + gate);
+  tpch_q5_local_supplier_volume (gated SHUFFLE_HASH hints, moved from
+  the re-confirmation block to rule 1); emb_cosine_topk / emb_int8_topk / emb_ivf_topk /
   emb_ivf_indexed_topk (ADVICE r7: deterministic lowest-c_id prune
   tie-breaks in every GEMM kernel + empty-query short-circuits +
   fingerprinted construct-cache keys).
-- the remaining 28 seats re-confirm hash-green rows whose newest
+- the remaining 27 seats re-confirm hash-green rows whose newest
   driver evidence is oldest first: the reference-adjacent staging /
   quality family (9), a TPC-H staple spread (10), the events (4),
   docs-dedup (5), and streaming (2) families, plus
@@ -120,6 +123,8 @@ _WINDOW = (
     "emb_int8_topk",
     "emb_ivf_topk",
     "emb_ivf_indexed_topk",
+    "customer_abc_analysis",
+    "tpch_q5_local_supplier_volume",
     # re-confirmation — reference-adjacent staging/quality family
     "stg_activities",
     "clean_accounts",
@@ -133,9 +138,7 @@ _WINDOW = (
     # re-confirmation — TPC-H staples
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier_volume",
     "tpch_q7_volume_shipping",
-    "tpch_q12_ship_mode_delay",
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
