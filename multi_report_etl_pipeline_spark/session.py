@@ -106,6 +106,19 @@ def get_spark(
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
             os.environ.get("SPARK_GRAFT_BLOOM_CREATION_THRESHOLD", "100m"),
         )
+        # Shuffle/spill scratch space: SPARK_GRAFT_LOCAL_DIR overrides
+        # the JVM-default /tmp. On this single-box harness /tmp is the
+        # root disk while the machine has 126 GB of free tmpfs — the
+        # fact-shuffle queries (q3/q5/q9/q10 class) are bound by local
+        # shuffle write+read, which a cluster serves from provisioned
+        # NVMe per executor. Memory-backed scratch is the single-node
+        # equivalent of that provisioning (and the apples-to-apples
+        # setting against an all-in-memory DuckDB); measured A/B in
+        # BASELINE.md round 8 before being defaulted anywhere.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so

@@ -951,3 +951,34 @@ def test_q20_fact_exchanges_only_on_join_keys(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         keys = m.group(1)
         assert "suppkey" in keys or "partkey" in keys, m.group(0)
+
+
+def test_shj_gate_respects_scale_and_override(spark):
+    """The size-gated SHUFFLE_HASH hints (q3/q5/q10, round 8) must be
+    INERT below the 1 GB fact gate — fixture-scale plans keep their
+    broadcast shapes — and must produce ShuffledHashJoin when forced on
+    via the spark.sql.graft.shjGate conf (the A/B override)."""
+    name = "tpch_q3_shipping_priority"
+    base = physical_plan(TPCH_QUERIES[name].fn(spark, SF_DIR))
+    assert "ShuffledHashJoin" not in base, base[:2000]
+    spark.conf.set("spark.sql.graft.shjGate", "on")
+    try:
+        forced = physical_plan(TPCH_QUERIES[name].fn(spark, SF_DIR))
+        assert "ShuffledHashJoin" in forced, forced[:2000]
+    finally:
+        spark.conf.unset("spark.sql.graft.shjGate")
+
+
+def test_abc_selection_has_no_single_partition_exchange(spark):
+    """The ABC selection strategy exists to kill the single-task
+    cumulative sort: its classified plan must contain no
+    Exchange SinglePartition before the final 3-group rollup."""
+    from multi_report_etl_pipeline_spark.queries.tpch import (
+        customer_abc_analysis,
+    )
+
+    df = customer_abc_analysis(spark, SF_DIR, strategy="selection")
+    plan = physical_plan(df)
+    # the only SinglePartition allowed is the final sort of 3 rows
+    body = plan.split("Exchange rangepartitioning")[0]
+    assert "Exchange SinglePartition" not in body, body[:3000]
