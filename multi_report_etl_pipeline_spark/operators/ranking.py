@@ -282,9 +282,13 @@ def select_order_statistics(
                     in_range,
                     F.struct(
                         F.lit(i).alias("ki"),
-                        ((st["col"] - F.lit(st["lo"])) / F.lit(w))
-                        .cast("long")
-                        .alias("b"),
+                        # exact long division (`div`): double division can
+                        # misbucket once the value span exceeds 2^53
+                        F.call_function(
+                            "div",
+                            (st["col"] - F.lit(st["lo"])).cast("long"),
+                            F.lit(w),
+                        ).alias("b"),
                     ),
                 )
             )
@@ -358,7 +362,12 @@ def select_cumulative_boundaries(
       - ``value``: integral Column (negate for descending order),
       - ``tie``: unique integral tie-break column name,
       - ``weight``: non-negative integral Column (the summed measure;
-        for revenue-share classes this is the revenue itself),
+        for revenue-share classes this is the revenue itself).
+        PRECONDITION: within any tied ``value`` run all rows must carry
+        the SAME weight — guaranteed when weight == the ordering value,
+        asserted at runtime via ``wsum % cnt == 0`` (necessary, not
+        sufficient; callers with independent weights need a different
+        split rule),
       - ``a``, ``b``: integers defining membership — a row is IN the
         prefix while ``a * cum_weight <= b * total_weight`` (exact
         integer comparison, same as the window form's boundary test).
@@ -425,9 +434,16 @@ def select_cumulative_boundaries(
                     # which fills in the run's (cnt, wsum)
                     continue
                 # per-row weight within the run is uniform ONLY when the
-                # weight IS the |value| (revenue ordered by revenue) —
-                # asserted by the caller's construction; j is then
-                # closed-form from exact integer arithmetic
+                # weight IS the |value| (revenue ordered by revenue); a
+                # caller violating that would get silently-truncated
+                # boundaries, so check the cheap necessary condition
+                if run_w % run_cnt != 0:
+                    raise AssertionError(
+                        "select_cumulative_boundaries: tied-value run has "
+                        f"non-uniform weights (wsum={run_w}, cnt={run_cnt} "
+                        f"for {key!r}) — the closed-form split requires "
+                        "weight == ordering value within each run"
+                    )
                 w_each = run_w // run_cnt
                 a, b, tot, wb = st["a"], st["b"], st["total"], st["wbefore"]
                 if w_each == 0:
@@ -479,9 +495,12 @@ def select_cumulative_boundaries(
                     in_range,
                     F.struct(
                         F.lit(i).alias("ki"),
-                        ((st["col"] - F.lit(st["lo"])) / F.lit(w))
-                        .cast("long")
-                        .alias("b"),
+                        # exact long division, as in select_order_statistics
+                        F.call_function(
+                            "div",
+                            (st["col"] - F.lit(st["lo"])).cast("long"),
+                            F.lit(w),
+                        ).alias("b"),
                         wcol.alias("w"),
                     ),
                 )

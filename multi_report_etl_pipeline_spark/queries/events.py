@@ -251,7 +251,7 @@ def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     tl = F.col("ts").cast("timestamp_ltz").cast("long")
     return (
-        ev.groupBy((tl - tl % 86400).alias("day_s"))
+        ev.groupBy((tl - F.pmod(tl, F.lit(86400))).alias("day_s"))
         .pivot("event_type", EVENT_TYPES)
         .count()
         .na.fill(0, EVENT_TYPES)
@@ -895,7 +895,7 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     tl = F.col("ts").cast("timestamp_ltz").cast("long")
     agg = ev.groupBy(
-        F.timestamp_seconds(tl - tl % 3600).alias("h"), "event_type"
+        F.timestamp_seconds(tl - F.pmod(tl, F.lit(3600))).alias("h"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.avg("value"), 6).alias("av"),
@@ -1030,7 +1030,7 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     tl = F.col("ts").cast("timestamp_ltz").cast("long")
     agg = ev.groupBy(
-        F.timestamp_seconds(tl - tl % 3600).alias("h"), "event_type"
+        F.timestamp_seconds(tl - F.pmod(tl, F.lit(3600))).alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("cnt0")).localCheckpoint()
     bounds = agg.groupBy("event_type").agg(
         F.min("h").alias("mn"), F.max("h").alias("mx")

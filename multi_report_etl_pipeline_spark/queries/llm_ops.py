@@ -4594,7 +4594,7 @@ def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sf100ev A/B, BASELINE.md round 8), and this query pays it on
     # BOTH its scans (exact + sketch).
     _tl = F.col("ts").cast("timestamp_ltz").cast("long")
-    hour_t = F.timestamp_seconds(_tl - _tl % 3600)
+    hour_t = F.timestamp_seconds(_tl - F.pmod(_tl, F.lit(3600)))
     regs = (
         ev.select(
             hour_t.alias("hour_t"),
@@ -4776,11 +4776,13 @@ def docs_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ct = clt.groupBy("token").agg(F.sum("c_lt").alias("c_t"))
     nl = clt.groupBy("lang").agg(F.sum("c_lt").alias("n_l"))
-    n = F.sum("c_t").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    # corpus total as a 1-row aggregate broadcast back via crossJoin
+    # (the q11/q15 pattern): a partition-less window here would plan as
+    # Exchange SinglePartition + a one-task pass over |vocab| rows —
+    # ~1e8 rows single-threaded on a 100 TB corpus by Heaps' law
+    ntot = ct.agg(F.sum("c_t").alias("n"))
     full = (
-        nl.crossJoin(ct.withColumn("n", n))
+        nl.crossJoin(ct.crossJoin(F.broadcast(ntot)))
         .join(clt, ["lang", "token"], "left")
         .withColumn("c_lt", F.coalesce("c_lt", F.lit(0)))
         .withColumn(

@@ -57,8 +57,18 @@ def _shj_hint(
     if mode == "off":
         return df
     if mode != "on":
+        path = os.path.join(sf_dir, table + ".parquet")
         try:
-            sz = os.path.getsize(os.path.join(sf_dir, table + ".parquet"))
+            if os.path.isdir(path):
+                # directory-layout parquet: getsize on the dir entry is
+                # ~4 KB and would silently drop the hint at every scale
+                sz = sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _, files in os.walk(path)
+                    for f in files
+                )
+            else:
+                sz = os.path.getsize(path)
         except OSError:
             sz = 0
         if sz <= gate_bytes:

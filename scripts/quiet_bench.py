@@ -135,7 +135,7 @@ def parent_run(args) -> None:
 
     spark_t: dict[str, float] = {probe: min(p1, p2)}
     spark_samples: dict[str, list[float]] = {probe: [p1, p2]}
-    for name in queries[1:] if probe in queries else queries:
+    for name in queries[1:]:  # probe == queries[0], already measured twice
         res = _run_child(["--child-run", args.sf_dir, name, str(reps)])
         spark_t[name] = min(res["samples"])
         spark_samples[name] = res["samples"]

@@ -982,3 +982,21 @@ def test_abc_selection_has_no_single_partition_exchange(spark):
     # the only SinglePartition allowed is the final sort of 3 rows
     body = plan.split("Exchange rangepartitioning")[0]
     assert "Exchange SinglePartition" not in body, body[:3000]
+
+
+def test_lang_divergence_corpus_total_is_broadcast_not_window(spark):
+    """The corpus token total must come from a 1-row aggregate broadcast
+    back via crossJoin (the q11/q15 pattern), never a partition-less
+    window — that would plan Exchange SinglePartition + a one-task pass
+    over the full vocabulary (~1e8 rows at 100 TB by Heaps' law). The
+    only single-partition exchange allowed is the 1-row total itself."""
+    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+
+    df = QUERIES["docs_lang_divergence"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    # a partition-less window over the vocab would show as a Window
+    # operator fed by Exchange SinglePartition; the rewrite has neither
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        head = seg[:400]
+        assert "Window" not in head.split("Exchange")[0], plan[:4000]
