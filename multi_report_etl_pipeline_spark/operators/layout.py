@@ -174,3 +174,118 @@ def compact_parquet(
         "files_after": n_out,
         "bytes_total": total,
     }
+
+
+# ------------------------------------------------ bucketed fact layout ---
+
+
+def table_fingerprint(sf_dir: str, table: str) -> object:
+    """Cheap (name, mtime_ns, size) fingerprint of a table's parquet
+    footprint — the same identity+version key the ANN index cache uses
+    (queries/llm_ops._snapshot_key), duplicated here so an OPERATOR
+    module never imports from the query layer."""
+    import os  # noqa: PLC0415
+
+    p = os.path.join(sf_dir, table + ".parquet")
+    try:
+        if os.path.isdir(p):
+            return tuple(
+                (f, s.st_mtime_ns, s.st_size)
+                for f in sorted(os.listdir(p))
+                for s in (os.stat(os.path.join(p, f)),)
+            )
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def bucket_facts(
+    spark,
+    sf_dir: str,
+    specs: dict[str, str] | None = None,
+    n_buckets: int | None = None,
+    base_dir: str | None = None,
+) -> dict[str, str]:
+    """Persist the big fact tables as hash-BUCKETED saved tables keyed
+    on their join key, and return ``{table: catalog_table_name}``.
+
+    This is the Spark port of the reference's only physical-design
+    artifact (01_staging_layer.sql:13-14 ``CREATE INDEX`` on the join
+    keys): two tables bucketed by the same key with the same bucket
+    count zip bucket-for-bucket in a join — no Exchange on EITHER fact
+    side, the shuffle that dominates the fact-heavy TPC-H rows
+    (q3/q5/q9/q10) at sf100. On a 1000-executor cluster this is the
+    layout the ingest job writes ONCE so every downstream join/groupBy
+    on the key is shuffle-free; ``SORTED BY`` with one file per bucket
+    additionally lets SortMergeJoin skip both sorts.
+
+    Mechanics:
+    - rows are ``repartition(n, key)``-ed before ``bucketBy(n, key)``:
+      repartition and bucketBy share Murmur3(key) % n, so each task
+      holds exactly one bucket and writes exactly ONE file — the
+      one-file-per-bucket invariant the sorted-scan optimization needs.
+    - the layout is a PERSISTED artifact (like a database index), not a
+      temp: it lives under ``base_dir`` with a ``_GRAFT_COMPLETE``
+      marker recording the source fingerprint. A new process
+      re-registers the existing files as an external bucketed table
+      (metadata-only, no rewrite); a fixture rewrite changes the
+      fingerprint, which renames the target and eagerly deletes the
+      superseded layout (bounded disk, no stale serving).
+    """
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from multi_report_etl_pipeline_spark.io import read_table  # noqa: PLC0415
+
+    specs = specs or {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.graft.bucketCount", "64"))
+    base_dir = base_dir or os.path.join(
+        tempfile.gettempdir(), "graft_bucketed_facts"
+    )
+    os.makedirs(base_dir, exist_ok=True)
+
+    names: dict[str, str] = {}
+    for table, key in specs.items():
+        fp = table_fingerprint(sf_dir, table)
+        h = hashlib.md5(
+            repr((sf_dir, table, key, n_buckets, fp)).encode()
+        ).hexdigest()[:10]
+        prefix = f"graft_b{n_buckets}_{table}_"
+        name = prefix + h
+        names[table] = name
+        if spark.catalog.tableExists(name):
+            continue
+        # eager cleanup of superseded fingerprints for this (table, n)
+        for d in os.listdir(base_dir):
+            if d.startswith(prefix) and d != name:
+                shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+        path = os.path.join(base_dir, name)
+        marker = os.path.join(path, "_GRAFT_COMPLETE")
+        src = read_table(spark, sf_dir, table)
+        if os.path.exists(marker):
+            # files already on disk from a previous process: register
+            # the external bucketed table (metadata-only)
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            (
+                src.repartition(n_buckets, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(name)
+            )
+            with open(marker, "w") as f:
+                f.write(repr(fp))
+    return names

@@ -35,6 +35,7 @@ def _shj_hint(
     sf_dir: str,
     table: str = "lineitem",
     gate_bytes: int = 1 << 30,
+    layout: str = "flat",
 ) -> DataFrame:
     """SHUFFLE_HASH hint, gated on fact-file size (the same stats-based
     planner-decision pattern as customer_rfm_segments' strategy pick).
@@ -50,11 +51,19 @@ def _shj_hint(
     SMJ choice stands unchanged. Gate: the named fact file over 1 GB
     (sf10's 1.37 GB lineitem is the smallest scale that clears it).
     ``spark.sql.graft.shjGate`` = on / off / auto overrides the gate
-    for interleaved A/Bs without a code edit."""
+    for interleaved A/Bs without a code edit.
+
+    ``layout="bucketed"``: the hint is suppressed (unless forced on) —
+    both fact sides are already hash-partitioned by the bucket layout,
+    so SortMergeJoin runs with NO exchange and NO sort (SORTED BY, one
+    file per bucket), and a SHUFFLE_HASH hint would only replace the
+    free merge with a per-bucket hash build."""
     import os  # noqa: PLC0415
 
     mode = spark.conf.get("spark.sql.graft.shjGate", "auto")
     if mode == "off":
+        return df
+    if layout == "bucketed" and mode != "on":
         return df
     if mode != "on":
         path = os.path.join(sf_dir, table + ".parquet")
@@ -74,6 +83,31 @@ def _shj_hint(
         if sz <= gate_bytes:
             return df
     return df.hint("shuffle_hash")
+
+def _fact(
+    spark: SparkSession, sf_dir: str, table: str, layout: str = "flat"
+) -> DataFrame:
+    """Fact-table scan under the chosen physical layout. ``flat`` reads
+    the plain parquet fixture; ``bucketed`` serves from the persisted
+    hash-bucketed layout (operators/layout.bucket_facts — the Spark
+    port of the reference's CREATE INDEX, 01_staging_layer.sql:13-14),
+    building it on first touch of a new fixture fingerprint. Queries
+    default to ``spark.sql.graft.factLayout`` (flat) so fixture-scale
+    plans are unchanged; the bucketed arms are opt-in per query or per
+    session."""
+    if layout == "bucketed" and table in ("lineitem", "orders"):
+        from multi_report_etl_pipeline_spark.operators.layout import (  # noqa: PLC0415
+            bucket_facts,
+        )
+
+        names = bucket_facts(spark, sf_dir)
+        return spark.table(names[table])
+    return read_table(spark, sf_dir, table)
+
+
+def _layout(spark: SparkSession, layout: str | None) -> str:
+    return layout or spark.conf.get("spark.sql.graft.factLayout", "flat")
+
 
 DEC = "decimal(18,2)"
 
@@ -159,7 +193,9 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q3_shipping_priority(
+    spark: SparkSession, sf_dir: str, layout: str | None = None
+) -> DataFrame:
     """TPC-H Q3 shape: selective 3-way join + grouped revenue + top-10.
 
     Join order propagates the BUILDING filter into orders BEFORE the
@@ -187,23 +223,39 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides stay the smaller inputs (pruned customer keys; the
     date+segment-pruned orders), so the per-partition hash map is
     bounded by the SMALL side's partition share at any scale.
+
+    ``layout="bucketed"`` (round 9): both facts serve from the
+    persisted orderkey-bucketed layout (_fact), and the customer
+    pruning switches from a custkey SHUFFLE (which would destroy the
+    orders scan's bucket partitioning before the orderkey join) to a
+    forced broadcast of the single pruned key column — one bounded
+    broadcast buys a plan with NO fact exchange at all: bucketed scan
+    ⋈ bucketed scan zip on orderkey, the groupBy reuses the same
+    partitioning, TakeOrdered caps the result. Pinned in
+    tests/test_plans.py.
     """
+    layout = _layout(spark, layout)
     cust = (
         read_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
+    prune = (
+        F.broadcast(cust)
+        if layout == "bucketed"
+        else _shj_hint(cust, spark, sf_dir)
+    )
     orders = (
-        read_table(spark, sf_dir, "orders")
+        _fact(spark, sf_dir, "orders", layout)
         .filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         .join(
-            _shj_hint(cust, spark, sf_dir),
+            prune,
             F.col("o_custkey") == F.col("c_custkey"),
             "left_semi",
         )
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    li = read_table(spark, sf_dir, "lineitem").filter(
+    li = _fact(spark, sf_dir, "lineitem", layout).filter(
         F.col("l_shipdate") >= F.lit("1998-01-02 00:00:00").cast("timestamp")
     )
     # revenue in long cents (scale 4), the q1 convention: the DECIMAL
@@ -216,7 +268,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100).cast("bigint") - F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
     )
     return (
-        li.join(_shj_hint(orders, spark, sf_dir), li.l_orderkey == F.col("o_orderkey"))
+        li.join(
+            _shj_hint(orders, spark, sf_dir, layout=layout),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -246,7 +301,9 @@ LIMIT 10
 """
 
 
-def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str, layout: str | None = None
+) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join with join-filter propagation.
 
     The round-2 plan joined the full lineitem to the full orders before
@@ -275,7 +332,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides — quiet-harness sf100 A/B: 21.99/25.97 s SMJ vs 17.15/20.0 s
     SHJ across two fresh JVMs (1.28x on mins, SHJ won every pairing).
     Below the gate the semi-join broadcast plan is bit-unchanged.
+
+    ``layout="bucketed"`` (round 9): both facts serve from the
+    orderkey-bucketed layout and the orders-side custkey SEMI-PRUNE IS
+    DROPPED — a custkey shuffle would destroy the bucket partitioning
+    the orderkey join exists to exploit, and the final inner
+    orders⋈customer join (against the ASIA-pruned customer) enforces
+    the same predicate, so results are identical. The trade: the
+    orderkey merge sees the full orders table but pays NO exchange on
+    either fact; the custkey shuffle moves downstream to the joined
+    (supplier-pruned) rows.
     """
+    layout = _layout(spark, layout)
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = read_table(spark, sf_dir, "nation")
     # 5 rows: the ASIA nation keys + display names
@@ -301,16 +369,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_nationkey")
     )
-    orders = (
-        read_table(spark, sf_dir, "orders")
-        .join(
+    orders = _fact(spark, sf_dir, "orders", layout)
+    if layout != "bucketed":
+        orders = orders.join(
             _shj_hint(cust, spark, sf_dir),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_semi",
         )
-        .select("o_orderkey", "o_custkey")
-    )
-    li = read_table(spark, sf_dir, "lineitem").select(
+    orders = orders.select("o_orderkey", "o_custkey")
+    li = _fact(spark, sf_dir, "lineitem", layout).select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     # long-cents revenue, q1/q3 convention (codegen-friendly, exact,
@@ -327,7 +394,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the all-hinted variant ran 46 s vs 22.9 un-hinted — hint ONLY
         # the joins that actually plan as SMJ at fact scale)
         li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(_shj_hint(orders, spark, sf_dir), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            _shj_hint(orders, spark, sf_dir, layout=layout),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(_shj_hint(cust, spark, sf_dir), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -617,8 +687,21 @@ SELECT
 """
 
 
+def q3_shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3 served from the persisted orderkey-BUCKETED fact layout
+    (operators/layout.bucket_facts — the Spark port of the reference's
+    CREATE INDEX, 01_staging_layer.sql:13-14): the li⋈orders join zips
+    bucket-for-bucket with NO exchange and no sort, and the revenue
+    groupBy reuses the same partitioning, so the whole query runs
+    shuffle-free — the physical design a 100 TB deployment writes at
+    ingest so every orderkey join downstream is free. Values are
+    identical to tpch_q3_shipping_priority (same oracle)."""
+    return q3_shipping_priority(spark, sf_dir, layout="bucketed")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "tpch_q3_bucketed": QuerySpec(q3_shipping_priority_bucketed, Q3_SQL),
     "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "tpch_q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
     "tpch_q14_type_share": QuerySpec(q14_type_share, Q14_SQL),
@@ -1409,7 +1492,9 @@ QUERIES["orders_trailing_30d_stats"] = QuerySpec(
 )
 
 
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_returned_items(
+    spark: SparkSession, sf_dir: str, layout: str | None = None
+) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): revenue lost to returns per
     customer over a quarter, top 20 — the 4-way star join
     (lineitem⋈orders⋈customer⋈nation) with a selective flag predicate.
@@ -1425,11 +1510,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 8: at fact scale the orderkey join and the rev⋈customer join
     carry SHUFFLE_HASH hints on their smaller sides via the size-gated
     ``_shj_hint`` (quiet-harness sf100 A/B: 12.23 s SHJ vs 13.23 s SMJ
-    min — a mild but consistent win; see the helper's docstring)."""
-    li = read_table(spark, sf_dir, "lineitem").filter(
+    min — a mild but consistent win; see the helper's docstring).
+
+    ``layout="bucketed"`` (round 9): both fact scans serve from the
+    persisted orderkey-bucketed layout, so the only data-proportional
+    join zips bucket-for-bucket with no exchange and no sort; the only
+    remaining shuffles carry post-aggregate custkey rows."""
+    layout = _layout(spark, layout)
+    li = _fact(spark, sf_dir, "lineitem", layout).filter(
         F.col("l_returnflag") == "R"
     )
-    ord_ = read_table(spark, sf_dir, "orders").filter(
+    ord_ = _fact(spark, sf_dir, "orders", layout).filter(
         (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
@@ -1439,7 +1530,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
     rev = (
         li.select("l_orderkey", (pc * (100 - dc)).alias("rc"))
-        .join(_shj_hint(ord_, spark, sf_dir), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            _shj_hint(ord_, spark, sf_dir, layout=layout),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("o_custkey")
         .agg((F.sum("rc") / F.lit(10000.0)).alias("revenue"))
     )
@@ -3119,7 +3213,9 @@ LIMIT 100
 QUERIES["tpch_q2_min_cost_supplier"] = QuerySpec(q2_min_cost_supplier, Q2_SQL)
 
 
-def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9_product_type_profit(
+    spark: SparkSession, sf_dir: str, layout: str | None = None
+) -> DataFrame:
     """TPC-H Q9: profit by supplier nation and order year over one
     product line (p_name LIKE '%bolt%').
 
@@ -3133,7 +3229,15 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides a broadcast onto lineitem pre-shuffle. Two fact shuffles
     remain (li x partsupp on the composite key, then x orders on
     orderkey) — the TPC-H q9 minimum.
+
+    ``layout="bucketed"`` (round 9): the orders side of the orderkey
+    join serves from the bucketed layout, removing ITS exchange
+    outright (the probe side, partitioned on the composite key after
+    li⋈ps, still re-shuffles — bucketing can't satisfy two different
+    keys in one pass). lineitem's own bucketed scan doesn't help here:
+    the first fact join is on (partkey, suppkey).
     """
+    layout = _layout(spark, layout)
     part = F.broadcast(
         read_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%bolt%"))
@@ -3162,7 +3266,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    orders = _fact(spark, sf_dir, "orders", layout).select(
+        "o_orderkey", "o_orderdate"
+    )
     ext_c2 = F.expr("CAST(l_extendedprice * 100 + 0.5 AS BIGINT)")
     disc_c2 = F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
     qty_c2 = F.expr("CAST(l_quantity * 100 + 0.5 AS BIGINT)")

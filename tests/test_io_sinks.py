@@ -196,3 +196,43 @@ def test_events_readers_handle_both_timestamp_encodings(spark, tmp_path):
         assert stream_vals(d) == want, f"stream reader wrong for {enc}"
     assert binned_vals(dirs["us"]) == binned_vals(dirs["ns"])
     assert len(binned_vals(dirs["us"])) > 0
+
+
+def test_bucket_facts_reregisters_persisted_layout(spark, tmp_path):
+    """bucket_facts must (a) build the bucketed layout once, (b) on a
+    fresh catalog (new process) re-register the EXISTING files as an
+    external bucketed table without rewriting, and (c) keep the
+    bucket-zip property through re-registration: the orderkey join
+    plans with no hash exchange."""
+    import os
+
+    from multi_report_etl_pipeline_spark.operators.layout import bucket_facts
+
+    base = str(tmp_path / "bf")
+    names = bucket_facts(spark, SF_DIR, n_buckets=4, base_dir=base)
+    li_name = names["lineitem"]
+    path = os.path.join(base, li_name)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    # one file per bucket (+ marker + _SUCCESS): the repartition(n, key)
+    # alignment invariant the sorted-scan optimization needs
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 4, parts
+    # simulate a new process: drop catalog entries, keep files
+    for name in names.values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    names2 = bucket_facts(spark, SF_DIR, n_buckets=4, base_dir=base)
+    assert names2 == names
+    mtimes2 = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    assert mtimes2 == mtimes, "re-registration must not rewrite files"
+    li = spark.table(names2["lineitem"])
+    orders = spark.table(names2["orders"])
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    from multi_report_etl_pipeline_spark.io import read_table
+
+    assert joined.count() == read_table(spark, SF_DIR, "lineitem").count()

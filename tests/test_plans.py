@@ -1000,3 +1000,32 @@ def test_lang_divergence_corpus_total_is_broadcast_not_window(spark):
     for seg in plan.split("Exchange SinglePartition")[1:]:
         head = seg[:400]
         assert "Window" not in head.split("Exchange")[0], plan[:4000]
+
+
+def test_bucketed_q3_has_no_fact_exchange(spark):
+    """tpch_q3_bucketed must zip the two bucketed fact scans with no
+    Exchange hashpartitioning anywhere — scan ⋈ scan on the bucket key,
+    groupBy reusing the same partitioning (the whole point of
+    layout.bucket_facts). At fixture scale AQE broadcasts the tiny
+    sides, which also has no hash exchange; force the join shape the
+    sf100 plan takes (no broadcast, no AQE) and pin the SMJ-over-
+    buckets shape explicitly."""
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["tpch_q3_bucketed"].fn(spark, SF_DIR)
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # the orderkey join must NOT re-shuffle either bucketed side: the
+    # customer prune rides an EXPLICIT broadcast (a hint, so it
+    # survives the disabled threshold — by design: a custkey shuffle
+    # would destroy the orders bucketing), and no hash exchange may
+    # mention the orderkey fact columns
+    assert "SortMergeJoin [l_orderkey" in plan, plan[:3000]
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",", 1)[0]
+        assert "orderkey" not in key, plan[:4000]
