@@ -79,3 +79,47 @@ def test_matches_trivial_groupby_on_fixture(spark):
         for r in heavy_hitters(tok, "token", 500, capacity=1000).collect()
     }
     assert got == trivial and len(got) > 0
+
+
+def test_grouped_planted_heavy_keys_exact_per_group(spark):
+    """Keyed variant (grouped_heavy_hitters): two groups with planted
+    heavy keys under different noise tails, cardinality >> capacity so
+    the per-group decrement path runs; each group's result must be
+    exactly its keys over n_g/k_inv with exact counts, and a group
+    with no qualifying keys must be absent."""
+    from multi_report_etl_pipeline_spark.operators.frequent import (
+        grouped_heavy_hitters,
+    )
+
+    rows = []
+    # group A: 5000 noise + hot 900, warm 120 -> n_A = 6020
+    rows += [("A", f"na_{i}") for i in range(5000)]
+    rows += [("A", "hot")] * 900 + [("A", "warm")] * 120
+    # group B: 3000 noise + big 800 -> n_B = 3800
+    rows += [("B", f"nb_{i}") for i in range(3000)]
+    rows += [("B", "big")] * 800
+    # group C: pure flat noise -> nothing can qualify
+    rows += [("C", f"nc_{i}") for i in range(2000)]
+    df = (
+        spark.createDataFrame(rows, "g string, k string")
+        .repartition(8, F.crc32(F.col("k")))
+        .persist()
+    )
+    k_inv = 16  # thresholds: A 376.25, B 237.5, C 125
+    out = grouped_heavy_hitters(df, "g", "k", k_inv, capacity=32).collect()
+    got = {(r.g, r.k): (r.cnt, r.n_group) for r in out}
+    assert got == {
+        ("A", "hot"): (900, 6020),
+        ("B", "big"): (800, 3800),
+    }, got
+    df.unpersist()
+
+
+def test_grouped_capacity_contract_is_loud(spark):
+    from multi_report_etl_pipeline_spark.operators.frequent import (
+        grouped_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([("g", "k")], "g string, k string")
+    with pytest.raises(ValueError, match="capacity"):
+        grouped_heavy_hitters(df, "g", "k", k_inv=64, capacity=10)
