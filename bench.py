@@ -98,6 +98,11 @@ HEADLINE = [
     "docs_audio_near_dup",
     "docs_video_dhash",
     "docs_video_near_dup",
+    # round-9: bucketed fact layout (the CREATE INDEX port) + the two
+    # sketch-only serving twins for the pair-shuffle floors
+    "tpch_q3_bucketed",
+    "events_hourly_uniques_sketch",
+    "events_hourly_top_users_sketch",
 ]
 
 

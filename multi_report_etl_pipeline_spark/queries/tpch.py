@@ -695,13 +695,43 @@ def q3_shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     groupBy reuses the same partitioning, so the whole query runs
     shuffle-free — the physical design a 100 TB deployment writes at
     ingest so every orderkey join downstream is free. Values are
-    identical to tpch_q3_shipping_priority (same oracle)."""
+    identical to tpch_q3_shipping_priority (same oracle).
+
+    sf100 quiet-harness A/B (round 9, interleaved arms, 2 fresh JVMs):
+    15.75 s flat -> 9.64 s bucketed (1.63x, consistent across JVMs)."""
     return q3_shipping_priority(spark, sf_dir, layout="bucketed")
+
+
+def q5_local_supplier_volume_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5 on the bucketed fact layout: no exchange on either fact side
+    of the orderkey join; the custkey semi-prune is dropped (see
+    q5_local_supplier_volume docstring). sf100 quiet A/B (round 9):
+    13.95 s flat -> 10.49 s bucketed (1.33x)."""
+    return q5_local_supplier_volume(spark, sf_dir, layout="bucketed")
+
+
+def q9_product_type_profit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 with the orders side of the orderkey join served bucketed —
+    one of the two fact shuffles removed outright (the composite-key
+    li⋈partsupp shuffle remains; bucketing can't satisfy two keys in
+    one layout). sf100 quiet A/B (round 9): 28.66 s flat -> 22.77 s
+    bucketed (1.26x on mins, both JVMs agree; the fresh-JVM swings the
+    r8 negative documented persist in individual samples)."""
+    return q9_product_type_profit(spark, sf_dir, layout="bucketed")
+
+
+def q10_returned_items_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10 on the bucketed fact layout: the returnflag/date-filtered
+    fact scans zip on orderkey with no exchange; only post-aggregate
+    custkey rows shuffle. sf100 quiet A/B (round 9): 10.47 s flat ->
+    6.03 s bucketed (1.74x)."""
+    return q10_returned_items(spark, sf_dir, layout="bucketed")
 
 
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "tpch_q3_bucketed": QuerySpec(q3_shipping_priority_bucketed, Q3_SQL),
+    "tpch_q5_bucketed": QuerySpec(q5_local_supplier_volume_bucketed, Q5_SQL),
     "tpch_q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
     "tpch_q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL),
     "tpch_q14_type_share": QuerySpec(q14_type_share, Q14_SQL),
@@ -1572,6 +1602,7 @@ LIMIT 20
 
 
 QUERIES["tpch_q10_returned_items"] = QuerySpec(q10_returned_items, Q10_SQL)
+QUERIES["tpch_q10_bucketed"] = QuerySpec(q10_returned_items_bucketed, Q10_SQL)
 
 
 def customer_rfm_segments(
@@ -3314,6 +3345,7 @@ GROUP BY n_name, o_year
 
 
 QUERIES["tpch_q9_product_type_profit"] = QuerySpec(q9_product_type_profit, Q9_SQL)
+QUERIES["tpch_q9_bucketed"] = QuerySpec(q9_product_type_profit_bucketed, Q9_SQL)
 
 
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
