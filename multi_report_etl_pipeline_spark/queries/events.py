@@ -1187,23 +1187,30 @@ _MG_KINV = 64  # heavy = share > 1/64 of the hour's events
 
 
 def events_hourly_top_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries serving twin of events_hourly_top_users (VERDICT r8
-    item 5): top-{_TOPU_K} per hour among users CERTIFIED heavy
-    (cnt * {_MG_KINV} > n_hour), via operators/frequent.
-    grouped_heavy_hitters — per-partition keyed MG summaries, one
-    bounded per-group merge, then an exact verify pass over the
-    broadcast candidate set. The exchanges carry <= |hours| x capacity
-    cells instead of the exact twin's ~|events| distinct (hour, user)
-    pairs (95.6M at sf100ev — the documented irreducible floor this
-    row exists to avoid at 100 TB).
+    """Sketch-then-verify serving twin of events_hourly_top_users
+    (VERDICT r8 item 5): top-{_TOPU_K} per hour among users CERTIFIED
+    heavy (cnt * {_MG_KINV} > n_hour), via operators/frequent.
+    bucket_sketch_heavy_hitters — one codegen scan aggregates
+    (hour, xxhash64(user) % 8192) bucket counts (exchange bounded at
+    |hours| x 8192 cells at ANY event volume), heavy buckets broadcast
+    back as a semi-filter, survivors counted exactly. The exact twin
+    shuffles ~|events| distinct (hour, user) pairs (95.6M at sf100ev —
+    the documented irreducible floor this row exists to avoid at
+    100 TB).
+
+    The Misra-Gries form (grouped_heavy_hitters) computes the same
+    output but streams every row through the Arrow/pandas boundary —
+    measured 37-105 s vs this plan's all-JVM passes at sf100ev; the
+    bucket sketch is the serving choice for full-volume streams, MG
+    for pre-bounded inputs (see the operator docstrings).
 
     The serving CONTRACT is deliberately share-thresholded, not
     unconditional top-k: on pairwise-flat data (the sf100ev fixture's
     per-hour top counts are 1-4 events in ~139k) no sub-linear summary
     can certify a count-1 "top" user, so the honest result is empty
     there; where real heavy users exist they are returned exactly
-    (verify pass), rank-ordered and value-oracled. The planted-skew
-    property test exercises that path (tests/test_frequent.py)."""
+    (verify pass), rank-ordered and value-oracled. Planted-skew
+    property tests exercise that path (tests/test_frequent.py)."""
     from multi_report_etl_pipeline_spark.operators import frequent  # noqa: PLC0415
 
     ev = read_table(spark, sf_dir, "events")
@@ -1212,7 +1219,7 @@ def events_hourly_top_users_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         F.timestamp_seconds(tl - F.pmod(tl, F.lit(3600))).alias("h"),
         "user_id",
     )
-    heavy = frequent.grouped_heavy_hitters(
+    heavy = frequent.bucket_sketch_heavy_hitters(
         pairs, "h", "user_id", k_inv=_MG_KINV
     )
     w = Window.partitionBy("h").orderBy(F.desc("cnt"), F.asc("user_id"))

@@ -123,3 +123,46 @@ def test_grouped_capacity_contract_is_loud(spark):
     df = spark.createDataFrame([("g", "k")], "g string, k string")
     with pytest.raises(ValueError, match="capacity"):
         grouped_heavy_hitters(df, "g", "k", k_inv=64, capacity=10)
+
+
+def test_bucket_sketch_planted_heavy_keys_exact_per_group(spark):
+    """bucket_sketch_heavy_hitters must return the same exact rows as
+    the MG form on planted per-group skew (same scenario as the
+    grouped MG test), including the empty flat group."""
+    from multi_report_etl_pipeline_spark.operators.frequent import (
+        bucket_sketch_heavy_hitters,
+    )
+
+    rows = []
+    rows += [("A", f"na_{i}") for i in range(5000)]
+    rows += [("A", "hot")] * 900 + [("A", "warm")] * 120
+    rows += [("B", f"nb_{i}") for i in range(3000)]
+    rows += [("B", "big")] * 800
+    rows += [("C", f"nc_{i}") for i in range(2000)]
+    df = (
+        spark.createDataFrame(rows, "g string, k string")
+        .repartition(8, F.crc32(F.col("k")))
+        .persist()
+    )
+    out = bucket_sketch_heavy_hitters(df, "g", "k", k_inv=16).collect()
+    got = {(r.g, r.k): (r.cnt, r.n_group) for r in out}
+    assert got == {
+        ("A", "hot"): (900, 6020),
+        ("B", "big"): (800, 3800),
+    }, got
+    df.unpersist()
+
+
+def test_bucket_sketch_collisions_are_verified_away(spark):
+    """With a tiny bucket count every noise key collides into the heavy
+    key's bucket — the verify pass must still emit ONLY the truly
+    heavy key with its exact count."""
+    from multi_report_etl_pipeline_spark.operators.frequent import (
+        bucket_sketch_heavy_hitters,
+    )
+
+    rows = [("g", "hot")] * 500 + [("g", f"n_{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    out = bucket_sketch_heavy_hitters(df, "g", "k", k_inv=10, n_buckets=2).collect()
+    got = {(r.g, r.k): (r.cnt, r.n_group) for r in out}
+    assert got == {("g", "hot"): (500, 1000)}, got
