@@ -965,16 +965,38 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     family sessionization uses — co-partitioned pipelines share it);
     the pair aggregation is |types|^2-bounded with map-side combine,
     and the row-probability normalization window runs over that
-    25-row aggregate, not the event stream."""
+    25-row aggregate, not the event stream.
+
+    The event_type STRING is dictionary-encoded to its EVENT_TYPES
+    index in the scan projection, so the user_id exchange and the
+    window sort carry a 4-byte int instead of a ~10-char string; the
+    strings come back via element_at over the 5-element literal AFTER
+    the pair aggregation (25 rows). ``spark.sql.graft.transitionNarrow
+    = off`` restores the string plan for interleaved A/Bs."""
     ev = read_table(spark, sf_dir, "events")
+    if spark.conf.get("spark.sql.graft.transitionNarrow", "on") == "off":
+        nxt_src = ev.select("user_id", "ts", "event_id", "event_type")
+        back = lambda c: F.col(c)  # noqa: E731
+    else:
+        type_arr = F.array(*[F.lit(t) for t in EVENT_TYPES])
+        nxt_src = ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.array_position(type_arr, F.col("event_type"))
+            .cast("int")
+            .alias("event_type"),
+        )
+        back = lambda c: F.element_at(  # noqa: E731
+            F.array(*[F.lit(t) for t in EVENT_TYPES]), F.col(c)
+        ).alias(c)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = ev.select(
-        "user_id", "ts", "event_id", "event_type"
-    ).withColumn("next_type", F.lead("event_type").over(w))
+    nxt = nxt_src.withColumn("next_type", F.lead("event_type").over(w))
     pairs = (
         nxt.filter(F.col("next_type").isNotNull())
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(back("event_type"), back("next_type"), "n")
     )
     tot = Window.partitionBy("event_type")
     return pairs.select(
