@@ -34,38 +34,34 @@ under these rules, in priority order:
    ``scripts/validate.py`` runs the driver-equivalent oracle harness
    over any subset on demand.
 
-Round-8 window derivation:
+Round-9 window derivation:
 - rule 4: the 5 reference-surface rows.
-- rule 3: the FINAL 5 never-driver-audited entries (VERDICT r7 item 4
-  — after this round 100% of the registry has held a driver seat):
-  docs_canonical_selection, docs_dedup_sample, docs_substring_clean,
-  tpch_q10_returned_items, tpch_q6_forecast_revenue.
-- rule 1 (changed since the round-7 driver run):
-  tpch_q3_shipping_priority + tpch_q10_returned_items (size-gated
-  SHUFFLE_HASH hints settled under the quiet harness — audit-scale
-  plans are below the gate and bit-unchanged, seats are conservative
-  coverage); customer_rfm_segments (new `selection` extreme-scale
-  strategy + auto-pick change); lineitem_grouping_sets (Spark-side SQL
-  text split off the oracle string for the long-cents fast path);
-  events_gap_filled_hourly + events_ewma_anomaly (checkpointed
-  pre-aggregate — the no-exchange-reuse double-scan — plus epoch-hour
-  truncation); events_hourly_unique_users (epoch-hour truncation,
-  projection-bound); events_daily_type_pivot + events_daily_type_unpivot
-  (epoch-day group key, string formatting moved post-agg);
-  customer_abc_analysis (weighted-prefix selection strategy + gate);
-  tpch_q5_local_supplier_volume (gated SHUFFLE_HASH hints, moved from
-  the re-confirmation block to rule 1); emb_cosine_topk / emb_int8_topk / emb_ivf_topk /
-  emb_ivf_indexed_topk (ADVICE r7: deterministic lowest-c_id prune
-  tie-breaks in every GEMM kernel + empty-query short-circuits +
-  fingerprinted construct-cache keys).
-- the remaining 27 seats re-confirm hash-green rows whose newest
-  driver evidence is oldest first: the reference-adjacent staging /
-  quality family (9), a TPC-H staple spread (10), the events (4),
-  docs-dedup (5), and streaming (2) families, plus
-  lineitem_window_rank (the standing Spark-win headline).
-Demoted in exchange: the r7 media-matrix and partsupp batches (all
-hash-green r07 on code untouched since) and everything else r5-r7
-green — every demoted entry stays pytest-oracle-checked per round.
+- rule 2 (new this round): tpch_q3_bucketed / tpch_q5_bucketed /
+  tpch_q9_bucketed / tpch_q10_bucketed (the persisted bucketed fact
+  layout's serving rows) and events_hourly_uniques_sketch /
+  events_hourly_top_users_sketch (the sketch-only serving twins for
+  the two pair-shuffle floors, VERDICT r8 item 5).
+- rule 1 (changed since the round-8 driver run):
+  tpch_q3/q5/q9/q10 flat rows (layout threading through _fact +
+  layout-aware _shj_hint — default plans audited unchanged, seats are
+  conservative coverage); customer_rfm_segments + customer_abc_analysis
+  (ranking.py exact `div` bucketing + uniform-weight assertion, ADVICE
+  r8); events_daily_type_pivot + events_daily_type_unpivot +
+  events_gap_filled_hourly + events_ewma_anomaly +
+  events_hourly_unique_users (pmod epoch truncation, ADVICE r8; the
+  uniques row also refactored onto the shared _hourly_hll_sketch);
+  events_transition_matrix (event_type dictionary-encoded through the
+  window shuffle, A/B 6.75 vs 8.46 s); events_binned_percentiles
+  (frozen construct-cached bounds — single scan, VERDICT r8 item 7);
+  docs_lang_divergence (corpus total as broadcast 1-row agg, VERDICT
+  r8 item 4).
+- the remaining 25 seats re-confirm the OLDEST driver evidence in the
+  registry: the r1 pair (customers_without_orders, parts_at_max_size),
+  the full r2 cohort (9), and the 14 oldest r3 rows — after this round
+  no seated query's newest evidence predates r3's successors.
+Demoted in exchange: the r8 re-confirmation cohorts (staging/quality,
+TPC-H staples, events/docs-dedup/streaming families — all hash-green
+r08 on code untouched since; pytest re-proves them every round).
 """
 
 from __future__ import annotations
@@ -104,59 +100,56 @@ _WINDOW = (
     "report_mortgage_portfolio",
     "report_restructuring_pipeline",
     "report_commercial_promises",
-    # rule 3 — the final never-audited five (r7 item 4)
-    "docs_canonical_selection",
-    "docs_dedup_sample",
-    "docs_substring_clean",
-    "tpch_q10_returned_items",
-    "tpch_q6_forecast_revenue",
-    # rule 1 — round-8 changes (see module docstring)
+    # rule 2 — new this round
+    "tpch_q3_bucketed",
+    "tpch_q5_bucketed",
+    "tpch_q9_bucketed",
+    "tpch_q10_bucketed",
+    "events_hourly_uniques_sketch",
+    "events_hourly_top_users_sketch",
+    # rule 1 — round-9 changes (see module docstring)
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
     "customer_rfm_segments",
-    "lineitem_grouping_sets",
-    "events_gap_filled_hourly",
-    "events_hourly_unique_users",
-    "events_ewma_anomaly",
+    "customer_abc_analysis",
     "events_daily_type_pivot",
     "events_daily_type_unpivot",
-    "emb_cosine_topk",
-    "emb_int8_topk",
-    "emb_ivf_topk",
-    "emb_ivf_indexed_topk",
-    "customer_abc_analysis",
-    "tpch_q5_local_supplier_volume",
-    # re-confirmation — reference-adjacent staging/quality family
-    "stg_activities",
-    "clean_accounts",
-    "clean_contacts_field",
-    "clean_contacts_promise",
-    "clean_contacts_restructure",
-    "quality_view_counts",
-    "quality_duplicate_operations",
-    "quality_null_keys",
-    "quality_date_parse_failures",
-    # re-confirmation — TPC-H staples
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q21_suppliers_kept_waiting",
-    # re-confirmation — events family
-    "events_windowed_counts",
-    "events_sessionization",
+    "events_gap_filled_hourly",
+    "events_ewma_anomaly",
+    "events_hourly_unique_users",
     "events_transition_matrix",
-    # re-confirmation — docs dedup family
-    "docs_exact_dedup",
-    "docs_minhash_near_dup",
-    "docs_simhash_near_dup",
-    "docs_span_dedup",
-    "docs_bloom_decontaminate",
-    # re-confirmation — streaming twins
-    "streaming_windowed_counts",
-    # re-confirmation — standing Spark-win perf headline
-    "lineitem_window_rank",
+    "events_binned_percentiles",
+    "docs_lang_divergence",
+    # re-confirmation — oldest evidence first: the r1 pair
+    "customers_without_orders",
+    "parts_at_max_size",
+    # re-confirmation — the full r2 cohort
+    "orders_semi_anti_join",
+    "customer_set_ops",
+    "docs_token_stats",
+    "docs_language_id",
+    "docs_text_quality",
+    "docs_ngram_jaccard",
+    "emb_label_centroids",
+    "docs_dedup_groups",
+    "lineitem_quantity_quantiles",
+    # re-confirmation — the 14 oldest r3 rows
+    "tpch_q14_type_share",
+    "lineitem_distinct_counts",
+    "orders_above_customer_avg",
+    "orders_snapshot_merge",
+    "docs_pii_scrub",
+    "docs_fingerprint",
+    "docs_rolling_fingerprint",
+    "docs_contamination",
+    "emb_lsh_ann",
+    "docs_media_features",
+    "docs_chunks",
+    "docs_vocabulary",
+    "docs_tfidf_top_terms",
+    "emb_cosine_dedup",
 )
 
 
