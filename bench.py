@@ -101,6 +101,8 @@ HEADLINE = [
     # round-9: bucketed fact layout (the CREATE INDEX port) + the two
     # sketch-only serving twins for the pair-shuffle floors
     "tpch_q3_bucketed",
+    "tpch_q18_bucketed",
+    "tpch_q21_bucketed",
     "events_hourly_uniques_sketch",
     "events_hourly_top_users_sketch",
 ]

@@ -57,7 +57,7 @@ Round-9 window derivation:
   r8 item 4).
 - the remaining 25 seats re-confirm the OLDEST driver evidence in the
   registry: the r1 pair (customers_without_orders, parts_at_max_size),
-  the full r2 cohort (9), and the 14 oldest r3 rows — after this round
+  the full r2 cohort (9), and the 10 oldest r3 rows (docs_chunks/docs_vocabulary/docs_tfidf_top_terms/emb_cosine_dedup rotated to next round when the late q18/q21 bucketed batch claimed their seats) — after this round
   no seated query's newest evidence predates r3's successors.
 Demoted in exchange: the r8 re-confirmation cohorts (staging/quality,
 TPC-H staples, events/docs-dedup/streaming families — all hash-green
@@ -107,11 +107,15 @@ _WINDOW = (
     "tpch_q10_bucketed",
     "events_hourly_uniques_sketch",
     "events_hourly_top_users_sketch",
+    "tpch_q18_bucketed",
+    "tpch_q21_bucketed",
     # rule 1 — round-9 changes (see module docstring)
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q9_product_type_profit",
     "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_suppliers_kept_waiting",
     "customer_rfm_segments",
     "customer_abc_analysis",
     "events_daily_type_pivot",
@@ -135,7 +139,7 @@ _WINDOW = (
     "emb_label_centroids",
     "docs_dedup_groups",
     "lineitem_quantity_quantiles",
-    # re-confirmation — the 14 oldest r3 rows
+    # re-confirmation — the 10 oldest r3 rows (docs_chunks/docs_vocabulary/docs_tfidf_top_terms/emb_cosine_dedup rotated to next round when the late q18/q21 bucketed batch claimed their seats)
     "tpch_q14_type_share",
     "lineitem_distinct_counts",
     "orders_above_customer_avg",
@@ -146,10 +150,6 @@ _WINDOW = (
     "docs_contamination",
     "emb_lsh_ann",
     "docs_media_features",
-    "docs_chunks",
-    "docs_vocabulary",
-    "docs_tfidf_top_terms",
-    "emb_cosine_dedup",
 )
 
 

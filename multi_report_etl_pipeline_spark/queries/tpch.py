@@ -1411,7 +1411,9 @@ QUERIES.update(
 _Q18_MIN_QTY = 200
 
 
-def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str, layout: str | None = None
+) -> DataFrame:
     """TPC-H Q18 (large-volume customers): orders whose total lineitem
     quantity exceeds the threshold, with their customer and order
     detail, top 100 by order value. The reference's IN-subquery over a
@@ -1424,9 +1426,17 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: lineitem aggregates to |orders| rows before anything joins;
     the orders join is key-co-partitioned (orderkey), the customer join
     shuffles on custkey, and the final cut is TakeOrdered — no global
-    sort. A 100 TB lineitem flows through one map-side-combined agg."""
-    li = read_table(spark, sf_dir, "lineitem")
-    ord_ = read_table(spark, sf_dir, "orders")
+    sort. A 100 TB lineitem flows through one map-side-combined agg.
+
+    ``layout="bucketed"`` (round 9): the per-order quantity aggregate —
+    the query's dominant exchange, 600M full-width rows on orderkey —
+    runs EXCHANGE-FREE on the bucketed lineitem scan (the scan
+    partitioning satisfies the groupBy clustering), and the orders
+    join zips against the bucketed orders scan; only the |qualifying
+    orders| customer join shuffles."""
+    layout = _layout(spark, layout)
+    li = _fact(spark, sf_dir, "lineitem", layout)
+    ord_ = _fact(spark, sf_dir, "orders", layout)
     cust = read_table(spark, sf_dir, "customer")
     qc = F.expr("CAST(l_quantity * 100 + 0.5 AS BIGINT)")
     big = (
@@ -1603,6 +1613,30 @@ LIMIT 20
 
 QUERIES["tpch_q10_returned_items"] = QuerySpec(q10_returned_items, Q10_SQL)
 QUERIES["tpch_q10_bucketed"] = QuerySpec(q10_returned_items_bucketed, Q10_SQL)
+
+
+def q18_large_volume_customers_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q18 on the bucketed fact layout: the 600M-row per-order quantity
+    aggregate AND the orders join run exchange-free (see the flat
+    docstring); registered serving row under the same oracle."""
+    return q18_large_volume_customers(spark, sf_dir, layout="bucketed")
+
+
+def q21_suppliers_kept_waiting_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q21 on the bucketed fact layout: zero-exchange fact pipeline
+    (zip-merge + two cascaded orderkey-clustered aggs); registered
+    serving row under the same oracle."""
+    return q21_suppliers_kept_waiting(spark, sf_dir, layout="bucketed")
+
+
+QUERIES["tpch_q18_bucketed"] = QuerySpec(
+    q18_large_volume_customers_bucketed, Q18_SQL
+)
+
 
 
 def customer_rfm_segments(
@@ -2682,7 +2716,9 @@ WHERE l_quantity >= 1 AND l_quantity <= 30
 """
 
 
-def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_suppliers_kept_waiting(
+    spark: SparkSession, sf_dir: str, layout: str | None = None
+) -> DataFrame:
     """TPC-H Q21: suppliers who alone held up multi-supplier orders
     (EXISTS + NOT EXISTS over the same fact).
 
@@ -2710,11 +2746,18 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nation pruning broadcasts ~1/25 of suppliers POST-aggregation
     (|qualifying orders| rows, not |late lines|). Top-100 runs as
     TakeOrderedAndProject with suppkey tiebreak.
+
+    ``layout="bucketed"`` (round 9): the li⋈F-orders join, the
+    (orderkey, suppkey) pair agg and the per-order agg ALL cluster on
+    l_orderkey, so on the bucketed scans the ENTIRE fact pipeline runs
+    with zero exchange — scan, zip-merge, two cascaded partial aggs,
+    broadcast supplier probe, TakeOrdered.
     """
-    orders = read_table(spark, sf_dir, "orders").filter(
+    layout = _layout(spark, layout)
+    orders = _fact(spark, sf_dir, "orders", layout).filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
-    li = read_table(spark, sf_dir, "lineitem").select(
+    li = _fact(spark, sf_dir, "lineitem", layout).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
@@ -2870,6 +2913,9 @@ QUERIES.update(
         "tpch_q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_SQL),
         "tpch_q21_suppliers_kept_waiting": QuerySpec(
             q21_suppliers_kept_waiting, Q21_SQL
+        ),
+        "tpch_q21_bucketed": QuerySpec(
+            q21_suppliers_kept_waiting_bucketed, Q21_SQL
         ),
         "tpch_q22_global_sales_opportunity": QuerySpec(
             q22_global_sales_opportunity, Q22_SQL

@@ -1029,3 +1029,47 @@ def test_bucketed_q3_has_no_fact_exchange(spark):
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         key = seg.split(",", 1)[0]
         assert "orderkey" not in key, plan[:4000]
+
+
+def test_bucketed_q21_fact_pipeline_is_exchange_free(spark):
+    """tpch_q21_bucketed: the li⋈F-orders join and BOTH cascaded aggs
+    cluster on l_orderkey, so with the bucketed scans the entire fact
+    pipeline must plan without any hash exchange on the fact columns —
+    the zero-exchange pipeline the layout exists for. (Force the
+    non-broadcast join shape the sf100 plan takes.)"""
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["tpch_q21_bucketed"].fn(spark, SF_DIR)
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin [l_orderkey" in plan, plan[:3000]
+    # the ONLY allowed hash exchange is the bounded final supplier
+    # rollup (s_suppkey, post-fact) — nothing on the fact columns
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",", 1)[0]
+        assert "orderkey" not in key and "l_suppkey" not in key, plan[:4000]
+
+
+def test_bucketed_q18_order_agg_has_no_exchange(spark):
+    """tpch_q18_bucketed: the 600M-row-at-scale per-order quantity
+    aggregate must reuse the bucketed scan's partitioning — no hash
+    exchange on l_orderkey/o_orderkey anywhere; only the custkey join
+    may shuffle."""
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["tpch_q18_bucketed"].fn(spark, SF_DIR)
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",", 1)[0]
+        assert "orderkey" not in key, plan[:4000]
