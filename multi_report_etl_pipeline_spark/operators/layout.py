@@ -203,7 +203,7 @@ def table_fingerprint(sf_dir: str, table: str) -> object:
 def bucket_facts(
     spark,
     sf_dir: str,
-    specs: dict[str, str] | None = None,
+    specs: dict[str, str | tuple[str, ...]] | None = None,
     n_buckets: int | None = None,
     base_dir: str | None = None,
 ) -> dict[str, str]:
@@ -250,11 +250,17 @@ def bucket_facts(
 
     names: dict[str, str] = {}
     for table, key in specs.items():
+        cols = [key] if isinstance(key, str) else list(key)
         fp = table_fingerprint(sf_dir, table)
         h = hashlib.md5(
-            repr((sf_dir, table, key, n_buckets, fp)).encode()
+            repr((sf_dir, table, tuple(cols), n_buckets, fp)).encode()
         ).hexdigest()[:10]
-        prefix = f"graft_b{n_buckets}_{table}_"
+        # the key participates in the prefix so layouts on DIFFERENT
+        # keys coexist (e.g. lineitem by orderkey AND by partkey+suppkey
+        # — per-query layout choice, the multi-index analog); only a
+        # superseded fingerprint of the SAME (table, key) is deleted
+        kslug = "_".join(c.replace("l_", "").replace("o_", "") for c in cols)
+        prefix = f"graft_b{n_buckets}_{table}_{kslug}_"
         name = prefix + h
         names[table] = name
         if spark.catalog.tableExists(name):
@@ -266,6 +272,7 @@ def bucket_facts(
         path = os.path.join(base_dir, name)
         marker = os.path.join(path, "_GRAFT_COMPLETE")
         src = read_table(spark, sf_dir, table)
+        key_sql = ", ".join(cols)
         if os.path.exists(marker):
             # files already on disk from a previous process: register
             # the external bucketed table (metadata-only)
@@ -274,15 +281,15 @@ def bucket_facts(
             )
             spark.sql(
                 f"CREATE TABLE {name} ({ddl}) USING parquet "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"CLUSTERED BY ({key_sql}) SORTED BY ({key_sql}) "
                 f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
             )
         else:
             (
-                src.repartition(n_buckets, F.col(key))
+                src.repartition(n_buckets, *[F.col(c) for c in cols])
                 .write.mode("overwrite")
-                .bucketBy(n_buckets, key)
-                .sortBy(key)
+                .bucketBy(n_buckets, *cols)
+                .sortBy(*cols)
                 .option("path", path)
                 .saveAsTable(name)
             )

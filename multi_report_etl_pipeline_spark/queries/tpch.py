@@ -3307,12 +3307,17 @@ def q9_product_type_profit(
     remain (li x partsupp on the composite key, then x orders on
     orderkey) — the TPC-H q9 minimum.
 
-    ``layout="bucketed"`` (round 9): the orders side of the orderkey
-    join serves from the bucketed layout, removing ITS exchange
-    outright (the probe side, partitioned on the composite key after
-    li⋈ps, still re-shuffles — bucketing can't satisfy two different
-    keys in one pass). lineitem's own bucketed scan doesn't help here:
-    the first fact join is on (partkey, suppkey).
+    ``layout="bucketed"`` (round 9): TWO layouts serve this query —
+    lineitem from its COMPOSITE (l_partkey, l_suppkey) bucketing (a
+    second persisted layout of the same table; per-query layout choice
+    is the multi-index analog) and orders from the orderkey layout.
+    The li⋈ps join then reads lineitem with NO exchange (only the
+    derived, part-pruned ps side shuffles — ~1/8 of partsupp vs the
+    600M-row fact), and the orders side of the orderkey join keeps its
+    bucket partitioning; the one remaining fact exchange is the joined
+    frame's re-key onto orderkey, the TPC-H q9 minimum for a
+    single-copy... which two layouts of lineitem exactly circumvent on
+    the scan side.
     """
     layout = _layout(spark, layout)
     part = F.broadcast(
@@ -3335,9 +3340,20 @@ def q9_product_type_profit(
         )
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
+    if layout == "bucketed":
+        from multi_report_etl_pipeline_spark.operators.layout import (  # noqa: PLC0415
+            bucket_facts,
+        )
+
+        li_src = spark.table(
+            bucket_facts(
+                spark, sf_dir, {"lineitem": ("l_partkey", "l_suppkey")}
+            )["lineitem"]
+        )
+    else:
+        li_src = read_table(spark, sf_dir, "lineitem")
     li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(
+        li_src.select(
             "l_orderkey", "l_partkey", "l_suppkey",
             "l_quantity", "l_extendedprice", "l_discount",
         )
