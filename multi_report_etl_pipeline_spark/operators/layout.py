@@ -241,6 +241,14 @@ def bucket_facts(
     from multi_report_etl_pipeline_spark.io import read_table  # noqa: PLC0415
 
     specs = specs or {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+    # report SORTED BY from these scans: Spark gates bucketed-scan
+    # ordering behind this legacy conf (the generic one-file-per-bucket
+    # check was dropped in 3.1) — our writer ENFORCES one file per
+    # bucket via the aligned repartition below, so the ordering is
+    # sound, and without it every merge-join consumer re-sorts the
+    # whole fact (measured: a 600M-row 64-way re-sort OOMed q9's
+    # composite arm at sf100)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.graft.bucketCount", "64"))
     base_dir = base_dir or os.path.join(

@@ -3352,13 +3352,14 @@ def q9_product_type_profit(
         )
     else:
         li_src = read_table(spark, sf_dir, "lineitem")
-    li = (
-        li_src.select(
-            "l_orderkey", "l_partkey", "l_suppkey",
-            "l_quantity", "l_extendedprice", "l_discount",
-        )
-        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+    li = li_src.select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
     )
+    if layout != "bucketed":
+        # flat: nation rides the broadcast onto lineitem BEFORE its
+        # composite-key shuffle (one pass, the string is small)
+        li = li.join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
     orders = _fact(spark, sf_dir, "orders", layout).select(
         "o_orderkey", "o_orderdate"
     )
@@ -3366,13 +3367,23 @@ def q9_product_type_profit(
     disc_c2 = F.expr("CAST(l_discount * 100 + 0.5 AS BIGINT)")
     qty_c2 = F.expr("CAST(l_quantity * 100 + 0.5 AS BIGINT)")
     cost_c2 = F.expr("CAST(ps_supplycost * 100 + 0.5 AS BIGINT)")
-    return (
-        li.join(
-            ps,
-            (F.col("l_partkey") == F.col("ps_partkey"))
-            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+    joined = li.join(
+        ps,
+        (F.col("l_partkey") == F.col("ps_partkey"))
+        & (F.col("l_suppkey") == F.col("ps_suppkey")),
+    )
+    if layout == "bucketed":
+        # bucketed: the SMJ must consume the SORTED bucketed scan
+        # DIRECTLY (an intervening broadcast join erases the scan's
+        # reported ordering and forces a 600M-row 64-way re-sort —
+        # measured as an executor OOM at sf100); the bounded
+        # supplier⋈nation broadcast attaches to the ~1/8-pruned joined
+        # stream instead
+        joined = joined.join(
+            supp_nation, F.col("l_suppkey") == F.col("s_suppkey")
         )
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        joined.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.col("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
