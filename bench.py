@@ -47,7 +47,8 @@ HEADLINE = [
     "docs_text_quality",
     "docs_language_id",
     "emb_cosine_topk",
-    "emb_lsh_ann",
+    # emb_lsh_ann retired from the registry round 10 (VERDICT r9 item
+    # 6) — the value-oracled ANN family (int8/IVF/PQ/indexed) serves
     "emb_ivf_topk",
     "events_asof_last_click",
     "docs_dedup_groups",
@@ -237,6 +238,22 @@ def main() -> None:
     _sentinel()
 
     total = round(sum(timings.values()), 3)
+    # Dirty-sitting marker (VERDICT r9 item 3): BENCH_r09's sentinel
+    # spread (0.167-0.567) silently entered the record while the judge's
+    # quiet rerun contradicted its movers. A sitting whose sentinel
+    # max/min exceeds 1.5x is flagged IN the artifact so cross-round
+    # comparisons skip it — the artifact still prints (the driver always
+    # records one), but it self-declares as not decision-grade.
+    sentinel_spread = round(
+        max(sentinel_samples) / max(min(sentinel_samples), 1e-9), 3
+    )
+    dirty = sentinel_spread > 1.5
+    if dirty:
+        print(
+            f"WARNING: contended sitting (sentinel spread {sentinel_spread}"
+            " > 1.5) — totals not comparable across rounds",
+            file=sys.stderr,
+        )
     # VERDICT r7 item 5: the driver's artifact capture window clipped one
     # end of the r07 line, losing the headline total. Make the line
     # self-contained under truncation from EITHER end: summary fields
@@ -260,7 +277,9 @@ def main() -> None:
                     "n": len(sentinel_samples),
                     "min": min(sentinel_samples),
                     "max": max(sentinel_samples),
+                    "spread": sentinel_spread,
                 },
+                "dirty_sentinel": dirty,
                 "queries": timings,
                 "total_sec": total,
                 "n_queries_tail": len(timings),

@@ -233,6 +233,7 @@ def bucket_facts(
       fingerprint, which renames the target and eagerly deletes the
       superseded layout (bounded disk, no stale serving).
     """
+    import ast  # noqa: PLC0415
     import hashlib  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
@@ -247,7 +248,12 @@ def bucket_facts(
     # bucket via the aligned repartition below, so the ordering is
     # sound, and without it every merge-join consumer re-sorts the
     # whole fact (measured: a 600M-row 64-way re-sort OOMed q9's
-    # composite arm at sf100)
+    # composite arm at sf100). The conf is set at SESSION CONSTRUCTION
+    # (session.py get_spark) so flat and bucketed arms of an
+    # interleaved A/B always run under the same planner config; the
+    # set here only covers sessions built outside get_spark (e.g. the
+    # driver's own harness session) where the safety property matters
+    # more than arm symmetry (ADVICE round 9).
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.graft.bucketCount", "64"))
@@ -273,9 +279,31 @@ def bucket_facts(
         names[table] = name
         if spark.catalog.tableExists(name):
             continue
-        # eager cleanup of superseded fingerprints for this (table, n)
+        # eager cleanup of superseded fingerprints for this (table, n).
+        # sf_dir is in the md5 but NOT the prefix, so the prefix alone
+        # matches OTHER datasets' layouts of the same (table, key) — a
+        # pytest build at sf0.01 must not delete the persisted sf100
+        # layout (ADVICE round 9; the r9 in-round incident only scoped
+        # per key). Only delete a candidate whose completion marker
+        # records THIS sf_dir (superseded fingerprint of this dataset)
+        # or that has no marker at all (crashed/incomplete build);
+        # markers from other datasets — or the legacy pre-r10 format
+        # that didn't record sf_dir — are left alone.
         for d in os.listdir(base_dir):
-            if d.startswith(prefix) and d != name:
+            if not (d.startswith(prefix) and d != name):
+                continue
+            cand_marker = os.path.join(base_dir, d, "_GRAFT_COMPLETE")
+            try:
+                with open(cand_marker) as mf:
+                    rec = ast.literal_eval(mf.read())
+                owned = (
+                    isinstance(rec, tuple)
+                    and len(rec) == 2
+                    and rec[0] == sf_dir
+                )
+            except (OSError, ValueError, SyntaxError):
+                owned = not os.path.exists(cand_marker)
+            if owned:
                 shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
         path = os.path.join(base_dir, name)
         marker = os.path.join(path, "_GRAFT_COMPLETE")
@@ -301,6 +329,8 @@ def bucket_facts(
                 .option("path", path)
                 .saveAsTable(name)
             )
+            # marker records (sf_dir, fingerprint): the sf_dir makes
+            # superseded-layout cleanup dataset-scoped (see above)
             with open(marker, "w") as f:
-                f.write(repr(fp))
+                f.write(repr((sf_dir, fp)))
     return names

@@ -148,7 +148,7 @@ _WINDOW = (
     "docs_fingerprint",
     "docs_rolling_fingerprint",
     "docs_contamination",
-    "emb_lsh_ann",
+    "docs_chunks",
     "docs_media_features",
 )
 

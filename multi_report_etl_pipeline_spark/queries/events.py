@@ -969,8 +969,15 @@ def _event_type_dict(spark: SparkSession, sf_dir: str) -> list:
     key = (sf_dir, table_fingerprint(sf_dir, "events"))
     if key not in _TYPE_DICT_CACHE:
         ev = read_table(spark, sf_dir, "events")
+        # NULL types are dropped from the dictionary, not sorted (None
+        # vs str raises): the narrow path's array_position returns NULL
+        # for an unlisted (NULL) type and element_at passes the NULL
+        # index back through as a NULL type — the same round-trip the
+        # string plan does natively (ADVICE round 9)
         _TYPE_DICT_CACHE[key] = sorted(
-            r[0] for r in ev.select("event_type").distinct().collect()
+            r[0]
+            for r in ev.select("event_type").distinct().collect()
+            if r[0] is not None
         )
     return _TYPE_DICT_CACHE[key]
 

@@ -2084,7 +2084,12 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_cosine_topk": QuerySpec(emb_cosine_topk, COSINE_TOPK_SQL),
     # emb_blocked_near_dup (the near-dup-pairs scale path) registers
     # below, after its unrolled-kmeans oracle generator is defined.
-    "emb_lsh_ann": QuerySpec(emb_lsh_ann, None),
+    # emb_lsh_ann is RETIRED from the registry (round 10, VERDICT r9
+    # item 6): nine rounds as the only rows-only row while the
+    # value-oracled ANN family (int8/IVF/PQ/indexed-IVF, recall-gated)
+    # supersedes it in every serving regime. It stays test-only — the
+    # recall gate in tests/test_llm_ops.py and the single-GEMM plan pin
+    # in tests/test_plans.py still run it every pytest.
     "emb_label_centroids": QuerySpec(emb_label_centroids, CENTROIDS_SQL),
     "docs_media_features": QuerySpec(docs_media_features, MEDIA_FEATURES_SQL),
     "docs_image_decode": QuerySpec(docs_image_decode, IMAGE_DECODE_SQL),
@@ -3835,12 +3840,20 @@ def events_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").select("value")
     key = _snapshot_key("events_value_bounds", sf_dir, "events")
+    empty_input = False
     if key not in _CONSTRUCT_CACHE:
         row = ev.agg(
             F.min("value").alias("mn"), F.max("value").alias("mx")
         ).collect()[0]
-        _CONSTRUCT_CACHE[key] = (float(row["mn"]), float(row["mx"]))
-    mn_v, mx_v = _CONSTRUCT_CACHE[key]
+        if row["mn"] is None:
+            # empty events table: min/max are NULL — don't cache (the
+            # table may be populated later), build the plan with dummy
+            # bounds and return it row-free so the degradation matches
+            # the old in-plan-broadcast-bounds form (ADVICE round 9)
+            empty_input = True
+        else:
+            _CONSTRUCT_CACHE[key] = (float(row["mn"]), float(row["mx"]))
+    mn_v, mx_v = _CONSTRUCT_CACHE.get(key, (0.0, 1.0))
     nb = _QBINS
     width = (F.lit(mx_v) - F.lit(mn_v)) / F.lit(float(nb))
     binned = ev.select(
@@ -3897,7 +3910,8 @@ def events_binned_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         sel.append(F.round(est, 6).alias(_QLABELS[q]))
-    return agged.select(*sel)
+    out = agged.select(*sel)
+    return out.limit(0) if empty_input else out
 
 
 BINNED_PCTL_SQL = f"""

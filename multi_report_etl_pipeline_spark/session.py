@@ -119,6 +119,15 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
         )
+        # Bucketed-scan ordering (operators/layout.bucket_facts): the
+        # writer enforces one file per bucket, so reporting SORTED BY
+        # from bucketed scans is sound; set at construction (not as a
+        # bucket_facts side effect) so flat and bucketed arms of an
+        # interleaved A/B run under identical planner config — ADVICE
+        # round 9 flagged the mid-session set as a measurement-
+        # contamination hazard. Behavior-safe for non-bucketed plans
+        # (the conf only affects bucketed table scans).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so

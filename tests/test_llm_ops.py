@@ -166,7 +166,9 @@ def test_lsh_ann_recall_vs_brute(spark):
     """Random-projection LSH pairs must cover the exact cosine>=0.4 pairs
     (unit-norm vectors: cosine>=0.4 <=> L2 <= sqrt(1.2))."""
     exact = _pair_set(_exact_near_dup_pairs(spark), "id_1", "id_2")
-    approx = _pair_set(QUERIES["emb_lsh_ann"].fn(spark, SF_DIR), "id_1", "id_2")
+    from multi_report_etl_pipeline_spark.queries.llm_ops import emb_lsh_ann
+
+    approx = _pair_set(emb_lsh_ann(spark, SF_DIR), "id_1", "id_2")
     assert exact, "fixture should contain cosine>=0.4 pairs"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"LSH ANN recall {recall:.2f} < 0.9"

@@ -92,9 +92,9 @@ def test_survivor_agg_is_partial_min_by(spark):
 def test_lsh_ann_is_single_gemm_stage(spark):
     """emb_lsh_ann: one Arrow-batched grouped-pandas kernel (the GEMM),
     no nested-loop join anywhere."""
-    from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
+    from multi_report_etl_pipeline_spark.queries.llm_ops import emb_lsh_ann
 
-    plan = physical_plan(QUERIES["emb_lsh_ann"].fn(spark, SF_DIR))
+    plan = physical_plan(emb_lsh_ann(spark, SF_DIR))
     assert plan.count("FlatMapGroupsInPandas") == 1, plan[:3000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
 
