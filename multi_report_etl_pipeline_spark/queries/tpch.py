@@ -1280,9 +1280,24 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand adds 0.37 s over the finest-grain aggregate and its
     exchange carries |tasks| x 6 cells, so the pre-aggregate exchange
     has nothing left to reuse; the gap to DuckDB is scan+eval, which
-    the cents swap attacks."""
+    the cents swap attacks.
+
+    Round 10 (VERDICT r9 item 8): under
+    ``spark.sql.graft.factLayout=bucketed`` the scan serves from the
+    persisted bucketed lineitem table (64 one-per-bucket files with
+    Spark-written 128 MB row groups vs the flat fixture's 4,883
+    ~123k-row groups) — an A/B of row-group geometry on the 3-column
+    scan the r8 decomposition blamed (2.47 s of the 5.65 s total)."""
     _register(spark, sf_dir)
-    return spark.sql(GROUPING_SETS_SPARK_SQL)
+    sql = GROUPING_SETS_SPARK_SQL
+    if _layout(spark, None) == "bucketed":
+        from multi_report_etl_pipeline_spark.operators.layout import (  # noqa: PLC0415
+            bucket_facts,
+        )
+
+        name = bucket_facts(spark, sf_dir)["lineitem"]
+        sql = sql.replace("FROM lineitem", f"FROM {name}")
+    return spark.sql(sql)
 
 
 # Two-stage form: the GROUPING SETS Expand runs over the finest-grain
@@ -3340,7 +3355,15 @@ def q9_product_type_profit(
         )
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
-    if layout == "bucketed":
+    # A/B gate for the composite lineitem layout (round 10, VERDICT r9
+    # item 1): "off" restores the round-9-measured serving arm (flat
+    # lineitem + bucketed orders) so quiet_bench can isolate what the
+    # second layout buys on top of the orders one.
+    composite = (
+        layout == "bucketed"
+        and spark.conf.get("spark.sql.graft.q9Composite", "on") != "off"
+    )
+    if composite:
         from multi_report_etl_pipeline_spark.operators.layout import (  # noqa: PLC0415
             bucket_facts,
         )
