@@ -238,6 +238,7 @@ def bucket_facts(
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
+    import time  # noqa: PLC0415
 
     from multi_report_etl_pipeline_spark.io import read_table  # noqa: PLC0415
 
@@ -302,7 +303,16 @@ def bucket_facts(
                     and rec[0] == sf_dir
                 )
             except (OSError, ValueError, SyntaxError):
-                owned = not os.path.exists(cand_marker)
+                # no marker: crashed-build debris — but ONLY if old
+                # enough that it cannot be a concurrent in-progress
+                # build from another process (2h >> any build)
+                try:
+                    age = time.time() - os.path.getmtime(
+                        os.path.join(base_dir, d)
+                    )
+                except OSError:
+                    age = 0.0
+                owned = not os.path.exists(cand_marker) and age > 7200
             if owned:
                 shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
         path = os.path.join(base_dir, name)

@@ -236,3 +236,56 @@ def test_bucket_facts_reregisters_persisted_layout(spark, tmp_path):
     from multi_report_etl_pipeline_spark.io import read_table
 
     assert joined.count() == read_table(spark, SF_DIR, "lineitem").count()
+
+
+def test_bucket_facts_cleanup_is_dataset_scoped(spark, tmp_path):
+    """Superseded-layout cleanup must be scoped to the BUILDING
+    dataset: a build for one sf_dir must not delete another dataset's
+    persisted layout of the same (table, key, n_buckets) — the ADVICE
+    round-9 incident (pytest at sf0.01 deleted the sf100 layout).
+    Markerless dirs (crashed builds) are reaped only once they are old
+    enough that they cannot be a concurrent in-progress build."""
+    import os
+    import time
+
+    from tests.conftest import SF_DIR_MED
+    from multi_report_etl_pipeline_spark.operators.layout import bucket_facts
+
+    base = str(tmp_path / "bf")
+    names_a = bucket_facts(spark, SF_DIR, n_buckets=4, base_dir=base)
+    dir_a = os.path.join(base, names_a["lineitem"])
+    assert os.path.isdir(dir_a)
+
+    # plant two markerless prefix-matching dirs: one fresh (simulating
+    # a concurrent in-progress build), one stale (crash debris)
+    fresh = os.path.join(base, "graft_b4_lineitem_orderkey_feedface00")
+    stale = os.path.join(base, "graft_b4_lineitem_orderkey_deadbeef00")
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    old = time.time() - 3 * 3600
+    os.utime(stale, (old, old))
+
+    # building the SAME (table, key) for a DIFFERENT dataset: must keep
+    # dataset A's layout and the fresh markerless dir, reap the stale
+    for name in names_a.values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    names_b = bucket_facts(spark, SF_DIR_MED, n_buckets=4, base_dir=base)
+    assert names_b["lineitem"] != names_a["lineitem"]
+    assert os.path.isdir(dir_a), "other dataset's layout was deleted"
+    assert os.path.isdir(fresh), "recent markerless dir (possible "\
+        "concurrent build) was deleted"
+    assert not os.path.isdir(stale), "stale crash debris not reaped"
+
+    # a fingerprint change WITHIN one dataset still reaps the
+    # superseded layout: fake a superseded dir with a marker recording
+    # dataset B
+    for name in names_b.values():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    superseded = os.path.join(base, "graft_b4_lineitem_orderkey_0123456789")
+    os.makedirs(superseded)
+    with open(os.path.join(superseded, "_GRAFT_COMPLETE"), "w") as f:
+        f.write(repr((SF_DIR_MED, (0, 0))))
+    bucket_facts(spark, SF_DIR_MED, n_buckets=4, base_dir=base)
+    assert not os.path.isdir(superseded), "superseded same-dataset "\
+        "layout not reaped"
+    assert os.path.isdir(dir_a)
