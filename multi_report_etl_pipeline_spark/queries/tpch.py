@@ -711,12 +711,18 @@ def q5_local_supplier_volume_bucketed(spark: SparkSession, sf_dir: str) -> DataF
 
 
 def q9_product_type_profit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q9 with the orders side of the orderkey join served bucketed —
-    one of the two fact shuffles removed outright (the composite-key
-    li⋈partsupp shuffle remains; bucketing can't satisfy two keys in
-    one layout). sf100 quiet A/B (round 9): 28.66 s flat -> 22.77 s
-    bucketed (1.26x on mins, both JVMs agree; the fresh-JVM swings the
-    r8 negative documented persist in individual samples)."""
+    """q9 served from TWO persisted layouts — lineitem bucketed on the
+    COMPOSITE (l_partkey, l_suppkey) and orders on o_orderkey — so
+    BOTH fact shuffles are gone: the li⋈partsupp join zips on the
+    composite buckets and the orders join keeps its bucket
+    partitioning (the multi-index analog: per-query layout choice over
+    multiple bucketings of one table). Round-10 adjudication of the
+    late-r9 plan change (VERDICT r9 item 1), sf100 quiet A/Bs, one
+    sitting: flat 29.27 s -> orders-layout-only 16.87 s (the r9 arm)
+    -> composite+orders 8.19 s (3.5x over flat; the composite layout
+    alone buys 2.06x). Fresh-JVM ledger pairing, same sitting: 7.76 s
+    vs DuckDB 9.20 = 0.84x — a WIN (probe ratio 1.08).
+    ``spark.sql.graft.q9Composite=off`` restores the r9 arm for A/Bs."""
     return q9_product_type_profit(spark, sf_dir, layout="bucketed")
 
 
@@ -1259,7 +1265,9 @@ QUERIES["lineitem_regression_stats"] = QuerySpec(
 )
 
 
-def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lineitem_grouping_sets(
+    spark: SparkSession, sf_dir: str, layout: str | None = None
+) -> DataFrame:
     """Explicit GROUPING SETS — the general form rollup/cube specialize
     (lineitem_rollup / lineitem_cube cover those): per-(flag, status),
     per-flag, and grand-total rows in ONE pass with grouping flags
@@ -1290,7 +1298,7 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan the r8 decomposition blamed (2.47 s of the 5.65 s total)."""
     _register(spark, sf_dir)
     sql = GROUPING_SETS_SPARK_SQL
-    if _layout(spark, None) == "bucketed":
+    if _layout(spark, layout) == "bucketed":
         from multi_report_etl_pipeline_spark.operators.layout import (  # noqa: PLC0415
             bucket_facts,
         )
@@ -1410,10 +1418,27 @@ FROM orders
 """
 
 
+def lineitem_grouping_sets_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouping sets served from the persisted bucketed lineitem layout
+    (round 10, VERDICT r9 item 8): no plan change beyond the scan —
+    the win is ROW-GROUP GEOMETRY. The flat fixture packs 600M rows
+    into 4,883 ~123k-row groups; the bucketed table's 64 one-per-bucket
+    files carry Spark-written 128 MB row groups, and the 3-column
+    decode over fewer, larger, dictionary-coherent groups runs 1.27x
+    faster (sf100 interleaved A/B, 2 JVMs: flat 3.60/3.77 vs bucketed
+    2.84/2.89 min-of-3). Values identical — shares the flat oracle."""
+    return lineitem_grouping_sets(spark, sf_dir, layout="bucketed")
+
+
 QUERIES.update(
     {
         "lineitem_grouping_sets": QuerySpec(
             lineitem_grouping_sets, GROUPING_SETS_SQL
+        ),
+        "lineitem_grouping_sets_bucketed": QuerySpec(
+            lineitem_grouping_sets_bucketed, GROUPING_SETS_SQL
         ),
         "orders_price_ntiles": QuerySpec(orders_price_ntiles, NTILES_SQL),
         "orders_running_balance": QuerySpec(

@@ -1073,3 +1073,42 @@ def test_bucketed_q18_order_agg_has_no_exchange(spark):
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         key = seg.split(",", 1)[0]
         assert "orderkey" not in key, plan[:4000]
+
+
+def test_bucketed_q9_has_no_fact_exchange(spark):
+    """tpch_q9_bucketed (round-10 adjudicated composite arm): lineitem
+    serves from the (l_partkey, l_suppkey) composite layout and orders
+    from the orderkey layout, so NO hash exchange may carry the fact
+    columns — the li⋈partsupp join zips on the composite buckets and
+    the orderkey join consumes the orders bucketing directly. Only the
+    bounded, part-pruned ps side may shuffle. (Force the non-broadcast
+    shape the sf100 plan takes.)"""
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["tpch_q9_bucketed"].fn(spark, SF_DIR)
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # no exchange may repartition the LINEITEM or ORDERS scans: every
+    # hash exchange in the plan must sit on the derived partsupp side
+    # (ps_*) or a dim — never on l_* / o_* fact columns
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",", 1)[0]
+        assert not key.startswith("l_") and not key.startswith("o_"), (
+            key, plan[:4000])
+
+
+def test_bucketed_grouping_sets_scans_bucketed_table(spark):
+    """lineitem_grouping_sets_bucketed must serve its scan from the
+    persisted bucketed lineitem table (the row-group-geometry win) —
+    same values as the flat row, different FileScan source."""
+    from multi_report_etl_pipeline_spark.queries.tpch import QUERIES
+
+    plan = physical_plan(QUERIES["lineitem_grouping_sets_bucketed"].fn(
+        spark, SF_DIR))
+    assert "graft_b" in plan and "lineitem" in plan, plan[:3000]
+    flat_plan = physical_plan(QUERIES["lineitem_grouping_sets"].fn(
+        spark, SF_DIR))
+    assert "graft_b" not in flat_plan, flat_plan[:3000]
