@@ -200,6 +200,12 @@ def table_fingerprint(sf_dir: str, table: str) -> object:
         return None
 
 
+# (table_name, base_dir) pairs whose catalog registration has been
+# location-verified this process — makes the DESC FORMATTED check a
+# one-time cost instead of a per-query-construction one
+_VERIFIED_TABLES: set[tuple[str, str]] = set()
+
+
 def bucket_facts(
     spark,
     sf_dir: str,
@@ -278,8 +284,26 @@ def bucket_facts(
         prefix = f"graft_b{n_buckets}_{table}_{kslug}_"
         name = prefix + h
         names[table] = name
+        path = os.path.join(base_dir, name)
         if spark.catalog.tableExists(name):
-            continue
+            if (name, base_dir) in _VERIFIED_TABLES:
+                continue
+            # the name hash does NOT include base_dir, so a catalog
+            # entry can point at ANOTHER base_dir's copy of this layout
+            # (session-scoped catalogs outlive per-caller base dirs —
+            # found via the round-10 cleanup regression test). Serve it
+            # only if it lives where THIS caller asked; else drop the
+            # stale registration and build here.
+            loc = [
+                r[1]
+                for r in spark.sql(f"DESC FORMATTED {name}").collect()
+                if r[0] == "Location"
+            ]
+            want = "file:" + os.path.abspath(path)
+            if loc and loc[0].rstrip("/") == want.rstrip("/"):
+                _VERIFIED_TABLES.add((name, base_dir))
+                continue
+            spark.sql(f"DROP TABLE {name}")
         # eager cleanup of superseded fingerprints for this (table, n).
         # sf_dir is in the md5 but NOT the prefix, so the prefix alone
         # matches OTHER datasets' layouts of the same (table, key) — a
@@ -315,7 +339,6 @@ def bucket_facts(
                 owned = not os.path.exists(cand_marker) and age > 7200
             if owned:
                 shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
-        path = os.path.join(base_dir, name)
         marker = os.path.join(path, "_GRAFT_COMPLETE")
         src = read_table(spark, sf_dir, table)
         key_sql = ", ".join(cols)
@@ -343,4 +366,5 @@ def bucket_facts(
             # superseded-layout cleanup dataset-scoped (see above)
             with open(marker, "w") as f:
                 f.write(repr((sf_dir, fp)))
+        _VERIFIED_TABLES.add((name, base_dir))
     return names

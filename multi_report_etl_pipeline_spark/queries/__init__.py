@@ -34,6 +34,34 @@ under these rules, in priority order:
    ``scripts/validate.py`` runs the driver-equivalent oracle harness
    over any subset on demand.
 
+Round-10 window derivation:
+- rule 4: the 5 reference-surface rows.
+- rule 2 (new): lineitem_grouping_sets_bucketed (the row-group-geometry
+  serving row, VERDICT r9 item 8).
+- rule 1 (changed since the round-9 driver run): tpch_q9_bucketed +
+  tpch_q9_product_type_profit (composite-layout gate threaded through
+  the shared body; the serving arm adjudicated at sf100);
+  lineitem_grouping_sets (layout parameter); events_hourly_uniques_sketch
+  + events_hourly_unique_users (hllHash decomposition arms in the shared
+  _hourly_hll_sketch); events_binned_percentiles (empty-input guard,
+  ADVICE r9); events_transition_matrix (NULL-type dictionary guard,
+  ADVICE r9); tpch_q3/q5/q10/q18/q21_bucketed (served from
+  bucket_facts, whose marker format + cleanup scoping changed —
+  conservative seats, plans audited unchanged).
+- the remaining 31 seats re-confirm the OLDEST driver evidence: the
+  full r3 remainder (11: docs_chunks, docs_vocabulary,
+  docs_tfidf_top_terms, emb_cosine_dedup, docs_hash_sample,
+  docs_stratified_sample, docs_token_packing, lineitem_approx_distinct,
+  events_clicks_before_errors, events_cohort_retention,
+  events_json_props), the full r4 cohort (12), and the 9 oldest r5
+  rows. lineitem_approx_distinct + events_value_percentiles are the
+  registry's two remaining declared engine-internal approximates —
+  their seats record rows-only lines BY DESIGN (each has a
+  value-oracled exact counterpart seated in past windows and re-proven
+  by pytest's accuracy gates every round).
+- emb_lsh_ann left the registry entirely (VERDICT r9 item 6) — its
+  recall gate and plan pin remain in pytest.
+
 Round-9 window derivation:
 - rule 4: the 5 reference-surface rows.
 - rule 2 (new this round): tpch_q3_bucketed / tpch_q5_bucketed /
@@ -101,55 +129,55 @@ _WINDOW = (
     "report_restructuring_pipeline",
     "report_commercial_promises",
     # rule 2 — new this round
+    "lineitem_grouping_sets_bucketed",
+    # rule 1 — round-10 changes (see module docstring)
+    "tpch_q9_bucketed",
+    "tpch_q9_product_type_profit",
+    "lineitem_grouping_sets",
+    "events_hourly_uniques_sketch",
+    "events_hourly_unique_users",
+    "events_binned_percentiles",
+    "events_transition_matrix",
     "tpch_q3_bucketed",
     "tpch_q5_bucketed",
-    "tpch_q9_bucketed",
     "tpch_q10_bucketed",
-    "events_hourly_uniques_sketch",
-    "events_hourly_top_users_sketch",
     "tpch_q18_bucketed",
     "tpch_q21_bucketed",
-    # rule 1 — round-9 changes (see module docstring)
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customers",
-    "tpch_q21_suppliers_kept_waiting",
-    "customer_rfm_segments",
-    "customer_abc_analysis",
-    "events_daily_type_pivot",
-    "events_daily_type_unpivot",
-    "events_gap_filled_hourly",
-    "events_ewma_anomaly",
-    "events_hourly_unique_users",
-    "events_transition_matrix",
-    "events_binned_percentiles",
-    "docs_lang_divergence",
-    # re-confirmation — oldest evidence first: the r1 pair
-    "customers_without_orders",
-    "parts_at_max_size",
-    # re-confirmation — the full r2 cohort
-    "orders_semi_anti_join",
-    "customer_set_ops",
-    "docs_token_stats",
-    "docs_language_id",
-    "docs_text_quality",
-    "docs_ngram_jaccard",
-    "emb_label_centroids",
-    "docs_dedup_groups",
-    "lineitem_quantity_quantiles",
-    # re-confirmation — the 10 oldest r3 rows (docs_chunks/docs_vocabulary/docs_tfidf_top_terms/emb_cosine_dedup rotated to next round when the late q18/q21 bucketed batch claimed their seats)
-    "tpch_q14_type_share",
-    "lineitem_distinct_counts",
-    "orders_above_customer_avg",
-    "orders_snapshot_merge",
-    "docs_pii_scrub",
-    "docs_fingerprint",
-    "docs_rolling_fingerprint",
-    "docs_contamination",
+    # re-confirmation — the full r3 remainder (oldest evidence)
     "docs_chunks",
-    "docs_media_features",
+    "docs_vocabulary",
+    "docs_tfidf_top_terms",
+    "emb_cosine_dedup",
+    "docs_hash_sample",
+    "docs_stratified_sample",
+    "docs_token_packing",
+    "lineitem_approx_distinct",
+    "events_clicks_before_errors",
+    "events_cohort_retention",
+    "events_json_props",
+    # re-confirmation — the full r4 cohort
+    "docs_video_frames",
+    "docs_curation_pipeline",
+    "events_asof_last_click",
+    "events_clicks_before_errors_binned",
+    "events_conversion_funnel",
+    "events_multi_resolution_rollup",
+    "events_sliding_avg",
+    "streaming_sessionization",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "streaming_contact_survivors",
+    "streaming_snapshot_merge",
+    # re-confirmation — the 8 oldest r5 rows
+    "orders_snapshot_diff",
+    "orders_lifecycle_zorder",
+    "customer_fuzzy_matches",
+    "lineitem_regression_stats",
+    "docs_bigram_vocabulary",
+    "docs_mixture_sample",
+    "docs_split_assignment",
+    "events_value_percentiles",
+    "docs_repetition_stats",
 )
 
 
