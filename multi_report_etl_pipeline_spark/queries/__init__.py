@@ -37,7 +37,12 @@ under these rules, in priority order:
 Round-10 window derivation:
 - rule 4: the 5 reference-surface rows.
 - rule 2 (new): lineitem_grouping_sets_bucketed (the row-group-geometry
-  serving row, VERDICT r9 item 8).
+  serving row, VERDICT r9 item 8); events_gap_filled_hourly_rollup +
+  events_ewma_anomaly_rollup (the continuous-aggregate serving rows,
+  operators/rollup.py — one persisted hourly rollup, many consumers).
+  Their 2 seats displace the last 2 oldest-evidence candidates
+  (events_value_percentiles, docs_repetition_stats — first in line
+  next round).
 - rule 1 (changed since the round-9 driver run): tpch_q9_bucketed +
   tpch_q9_product_type_profit (composite-layout gate threaded through
   the shared body; the serving arm adjudicated at sf100);
@@ -53,12 +58,12 @@ Round-10 window derivation:
   docs_tfidf_top_terms, emb_cosine_dedup, docs_hash_sample,
   docs_stratified_sample, docs_token_packing, lineitem_approx_distinct,
   events_clicks_before_errors, events_cohort_retention,
-  events_json_props), the full r4 cohort (12), and the 9 oldest r5
-  rows. lineitem_approx_distinct + events_value_percentiles are the
-  registry's two remaining declared engine-internal approximates —
-  their seats record rows-only lines BY DESIGN (each has a
-  value-oracled exact counterpart seated in past windows and re-proven
-  by pytest's accuracy gates every round).
+  events_json_props), the full r4 cohort (12), and the 7 oldest r5
+  rows. lineitem_approx_distinct is one of the registry's two
+  remaining declared engine-internal approximates — its seat records a
+  rows-only line BY DESIGN (it has a value-oracled exact counterpart
+  and pytest accuracy gates re-prove it every round; the other,
+  events_value_percentiles, rotates in next round).
 - emb_lsh_ann left the registry entirely (VERDICT r9 item 6) — its
   recall gate and plan pin remain in pytest.
 
@@ -130,6 +135,8 @@ _WINDOW = (
     "report_commercial_promises",
     # rule 2 — new this round
     "lineitem_grouping_sets_bucketed",
+    "events_gap_filled_hourly_rollup",
+    "events_ewma_anomaly_rollup",
     # rule 1 — round-10 changes (see module docstring)
     "tpch_q9_bucketed",
     "tpch_q9_product_type_profit",
@@ -176,8 +183,6 @@ _WINDOW = (
     "docs_bigram_vocabulary",
     "docs_mixture_sample",
     "docs_split_assignment",
-    "events_value_percentiles",
-    "docs_repetition_stats",
 )
 
 

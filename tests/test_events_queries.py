@@ -233,3 +233,46 @@ def test_ewma_anomaly_flags_planted_spike(spark, tmp_path):
     # EWMA over the alternating prefix stays within [1, 2]
     steady = out["2024-01-01 20:00:00"]
     assert 1.0 <= steady["ewma"] <= 2.0 and steady["is_anomaly"] == 0
+
+
+def test_hourly_rollup_serves_identical_values_and_reuses_artifact(
+    spark, tmp_path
+):
+    """The continuous-aggregate artifact (operators/rollup) must (a)
+    serve gap-fill and EWMA with values identical to their inline
+    twins, (b) build once and reuse the persisted files on a second
+    call (no rewrite), and (c) invalidate on a fixture fingerprint
+    change (different path)."""
+    import os
+
+    from multi_report_etl_pipeline_spark.operators import rollup as rl
+    from multi_report_etl_pipeline_spark.queries.events import (
+        events_ewma_anomaly,
+        events_gap_filled_hourly,
+    )
+    from tests.conftest import SF_DIR
+
+    base = str(tmp_path / "ru")
+    rl._ROLLUP_CACHE.clear()
+    df = rl.hourly_rollup(spark, SF_DIR, base_dir=base)
+    [path] = [os.path.join(base, d) for d in os.listdir(base)]
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    rl._ROLLUP_CACHE.clear()  # simulate a new process
+    df2 = rl.hourly_rollup(spark, SF_DIR, base_dir=base)
+    mtimes2 = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    assert mtimes2 == mtimes, "reuse must not rewrite the artifact"
+    assert df.count() == df2.count() > 0
+
+    # serving rows == inline rows, value for value (default base_dir
+    # artifact built on demand by the source='rollup' path)
+    for fn in (events_gap_filled_hourly, events_ewma_anomaly):
+        inline = {tuple(map(str, r)) for r in fn(spark, SF_DIR).collect()}
+        served = {
+            tuple(map(str, r))
+            for r in fn(spark, SF_DIR, source="rollup").collect()
+        }
+        assert inline == served and inline
