@@ -106,6 +106,16 @@ HEADLINE = [
     "tpch_q21_bucketed",
     "events_hourly_uniques_sketch",
     "events_hourly_top_users_sketch",
+    # round-10: composite-layout q9, row-group-geometry grouping sets,
+    # continuous-aggregate serving rows, bitmap-exact uniques witness
+    "tpch_q9_bucketed",
+    "tpch_q10_bucketed",
+    "tpch_q5_bucketed",
+    "lineitem_grouping_sets_bucketed",
+    "events_gap_filled_hourly_rollup",
+    "events_ewma_anomaly_rollup",
+    "events_hourly_unique_users",
+    "docs_hybrid_rrf_topk",
 ]
 
 

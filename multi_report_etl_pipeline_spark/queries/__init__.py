@@ -40,9 +40,12 @@ Round-10 window derivation:
   serving row, VERDICT r9 item 8); events_gap_filled_hourly_rollup +
   events_ewma_anomaly_rollup (the continuous-aggregate serving rows,
   operators/rollup.py — one persisted hourly rollup, many consumers).
-  Their 2 seats displace the last 2 oldest-evidence candidates
-  (events_value_percentiles, docs_repetition_stats — first in line
-  next round).
+  Their seats — plus docs_hybrid_rrf_topk's (hybrid lexical+semantic
+  retrieval via reciprocal-rank fusion, composed from the
+  value-oracled BM25 + hash-embedding retrievers) — displace the last
+  3 oldest-evidence candidates (events_value_percentiles,
+  docs_repetition_stats, docs_split_assignment — first in line next
+  round).
 - rule 1 (changed since the round-9 driver run): tpch_q9_bucketed +
   tpch_q9_product_type_profit (composite-layout gate threaded through
   the shared body; the serving arm adjudicated at sf100);
@@ -58,7 +61,7 @@ Round-10 window derivation:
   docs_tfidf_top_terms, emb_cosine_dedup, docs_hash_sample,
   docs_stratified_sample, docs_token_packing, lineitem_approx_distinct,
   events_clicks_before_errors, events_cohort_retention,
-  events_json_props), the full r4 cohort (12), and the 7 oldest r5
+  events_json_props), the full r4 cohort (12), and the 6 oldest r5
   rows. lineitem_approx_distinct is one of the registry's two
   remaining declared engine-internal approximates — its seat records a
   rows-only line BY DESIGN (it has a value-oracled exact counterpart
@@ -137,6 +140,7 @@ _WINDOW = (
     "lineitem_grouping_sets_bucketed",
     "events_gap_filled_hourly_rollup",
     "events_ewma_anomaly_rollup",
+    "docs_hybrid_rrf_topk",
     # rule 1 — round-10 changes (see module docstring)
     "tpch_q9_bucketed",
     "tpch_q9_product_type_profit",
@@ -182,7 +186,6 @@ _WINDOW = (
     "lineitem_regression_stats",
     "docs_bigram_vocabulary",
     "docs_mixture_sample",
-    "docs_split_assignment",
 )
 
 

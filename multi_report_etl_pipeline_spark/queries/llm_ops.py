@@ -4223,18 +4223,10 @@ _HE_QUERY_DOC = 0
 _HE_K = 10
 
 
-def docs_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text -> vector -> retrieval INSIDE the engine: feature-hash every
-    document (text.hash_embedding — a narrow integer map, no learned
-    weights, so the whole pipeline is value-oracled), then exact cosine
-    top-k against the query document's vector. Integer dot products are
-    exact in both engines; only the final norm division is float,
-    absorbed by 6-dp rounding.
-
-    Plan: scan -> narrow embed -> broadcast of the 1-row query vector
-    -> narrow cosine fold -> TakeOrdered. The only exchange is the
-    broadcast; retrieval over 100 TB of text is one map pass."""
-    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+def _hash_embed_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, cosine): every document scored against the fixed query
+    document's feature-hash vector — the shared scoring frame behind
+    docs_hash_embed_topk and the hybrid-RRF fusion row."""
     emb = docs.select(
         "doc_id", text.hash_embedding("text", _HE_DIM).alias("v")
     )
@@ -4277,12 +4269,31 @@ def docs_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    return scored
+
+
+def docs_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> vector -> retrieval INSIDE the engine: feature-hash every
+    document (text.hash_embedding — a narrow integer map, no learned
+    weights, so the whole pipeline is value-oracled), then exact cosine
+    top-k against the query document's vector. Integer dot products are
+    exact in both engines; only the final norm division is float,
+    absorbed by 6-dp rounding.
+
+    Plan: scan -> narrow embed -> broadcast of the 1-row query vector
+    -> narrow cosine fold -> TakeOrdered. The only exchange is the
+    broadcast; retrieval over 100 TB of text is one map pass."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    scored = _hash_embed_scored(docs)
     # desc = NULLS LAST in both engines, so zero-norm rows only surface
     # when fewer than k scored rows exist — same rows either way
     return scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_HE_K)
 
 
-def _hash_embed_sql() -> str:
+def _hash_embed_sql(k: int = _HE_K, require_scored: bool = False) -> str:
+    scored_pred = (
+        "WHERE n.n2 > 0 AND qn.n2 > 0" if require_scored else ""
+    )
     return f"""
 WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
 cells AS (
@@ -4310,14 +4321,114 @@ SELECT n.doc_id,
 FROM norms n
 JOIN norms qn ON qn.doc_id = {_HE_QUERY_DOC}
 LEFT JOIN dots d ON d.doc_id = n.doc_id
+{scored_pred}
 ORDER BY cosine DESC NULLS LAST, n.doc_id ASC
-LIMIT {_HE_K}
+LIMIT {k}
 """
 
 
 QUERIES.update(
     {
         "docs_hash_embed_topk": QuerySpec(docs_hash_embed_topk, _hash_embed_sql()),
+    }
+)
+
+
+# ------------------------------------------- hybrid retrieval (RRF) ---
+
+_RRF_K0 = 60       # the standard RRF damping constant (Cormack 2009)
+_RRF_CAND = 50     # per-retriever candidate depth
+_RRF_K = 20        # fused results returned
+
+
+def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009) — the standard two-retriever serving shape: a LEXICAL
+    ranking (Okapi BM25 over the fixed topic terms) and a SEMANTIC
+    ranking (feature-hash embedding cosine against the query document)
+    each nominate their top-50 candidates, and the fused score is
+    sum(1 / (60 + rank)) over the lists that nominated the doc.
+
+    Everything is composed from already-value-oracled pieces
+    (text.bm25_topk, _hash_embed_scored), so the FUSION sits under the
+    full value oracle too: ranks are deterministic (round-6 scores,
+    doc_id tiebreak), and the RRF sum is the same two IEEE divisions
+    and one add in both engines, rounded to 6.
+
+    Scale: each retriever is one narrow map pass + TakeOrdered (no
+    exchange beyond a 1-row broadcast); the rank windows run over the
+    two 50-row candidate lists, and the fusion join is 50x50-bounded.
+    At 100 TB this plan's cost is exactly the two retrievers' scans."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
+    key = _snapshot_key("bm25_stats", sf_dir, "documents")
+    if key not in _CONSTRUCT_CACHE:
+        _CONSTRUCT_CACHE[key] = text.bm25_corpus_stats(docs, list(_BM25_TERMS))
+    lex = text.bm25_topk(
+        docs, list(_BM25_TERMS), k=_RRF_CAND, stats=_CONSTRUCT_CACHE[key]
+    )
+    sem = (
+        _hash_embed_scored(docs)
+        .filter(F.col("cosine").isNotNull())
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_RRF_CAND)
+    )
+    # rank windows over the two <= 50-row candidate lists (bounded
+    # single-task windows by construction, not a scale hazard)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    ws = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+    semr = sem.select("doc_id", F.row_number().over(ws).alias("sem_rank"))
+    fused = (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K0) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K0) + F.col("sem_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_K)
+
+
+def _hybrid_rrf_sql() -> str:
+    return f"""
+WITH lexr AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                AS INTEGER) AS lex_rank
+    FROM ({_bm25_sql(k=_RRF_CAND)}) lex
+),
+semr AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC)
+                AS INTEGER) AS sem_rank
+    FROM ({_hash_embed_sql(k=_RRF_CAND, require_scored=True)}) sem
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, lex_rank, sem_rank,
+           ROUND(COALESCE(1.0 / ({_RRF_K0} + lex_rank), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K0} + sem_rank), 0.0), 6) AS rrf
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {_RRF_K}
+"""
+
+
+QUERIES.update(
+    {
+        "docs_hybrid_rrf_topk": QuerySpec(docs_hybrid_rrf_topk, _hybrid_rrf_sql()),
     }
 )
 
