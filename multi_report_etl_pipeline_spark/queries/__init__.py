@@ -42,10 +42,12 @@ Round-10 window derivation:
   operators/rollup.py — one persisted hourly rollup, many consumers).
   Their seats — plus docs_hybrid_rrf_topk's (hybrid lexical+semantic
   retrieval via reciprocal-rank fusion, composed from the
-  value-oracled BM25 + hash-embedding retrievers) — displace the last
-  3 oldest-evidence candidates (events_value_percentiles,
-  docs_repetition_stats, docs_split_assignment — first in line next
-  round).
+  value-oracled BM25 + hash-embedding retrievers) and
+  streaming_hourly_rollup's (the continuous aggregate maintained
+  incrementally — the rollup operator's streaming twin) — displace
+  the last 4 oldest-evidence candidates (events_value_percentiles,
+  docs_repetition_stats, docs_split_assignment, docs_mixture_sample —
+  first in line next round).
 - rule 1 (changed since the round-9 driver run): tpch_q9_bucketed +
   tpch_q9_product_type_profit (composite-layout gate threaded through
   the shared body; the serving arm adjudicated at sf100);
@@ -61,7 +63,7 @@ Round-10 window derivation:
   docs_tfidf_top_terms, emb_cosine_dedup, docs_hash_sample,
   docs_stratified_sample, docs_token_packing, lineitem_approx_distinct,
   events_clicks_before_errors, events_cohort_retention,
-  events_json_props), the full r4 cohort (12), and the 6 oldest r5
+  events_json_props), the full r4 cohort (12), and the 5 oldest r5
   rows. lineitem_approx_distinct is one of the registry's two
   remaining declared engine-internal approximates — its seat records a
   rows-only line BY DESIGN (it has a value-oracled exact counterpart
@@ -141,6 +143,7 @@ _WINDOW = (
     "events_gap_filled_hourly_rollup",
     "events_ewma_anomaly_rollup",
     "docs_hybrid_rrf_topk",
+    "streaming_hourly_rollup",
     # rule 1 — round-10 changes (see module docstring)
     "tpch_q9_bucketed",
     "tpch_q9_product_type_profit",
@@ -185,7 +188,6 @@ _WINDOW = (
     "customer_fuzzy_matches",
     "lineitem_regression_stats",
     "docs_bigram_vocabulary",
-    "docs_mixture_sample",
 )
 
 

@@ -502,6 +502,29 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_wc")
 
 
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous aggregate maintained INCREMENTALLY: the streaming
+    twin of operators/rollup.hourly_rollup emits the same
+    (hour_ts, event_type, cnt, av) rows the persisted batch artifact
+    stores, via a watermarked tumbling-window aggregate drained with
+    availableNow. Value-oracled against the same from-raw SQL."""
+    from multi_report_etl_pipeline_spark import streaming
+
+    st = streaming.read_events_stream(spark, sf_dir)
+    streaming.run_available_now(
+        streaming.hourly_rollup_stream(st), "q_stream_rollup", "complete"
+    )
+    return spark.table("q_stream_rollup")
+
+
+STREAM_HOURLY_ROLLUP_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(AVG(value), 6) AS av
+FROM events GROUP BY 1, 2
+"""
+
+
 def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from multi_report_etl_pipeline_spark import streaming
 
@@ -696,6 +719,9 @@ QUERIES.update(
         "streaming_vocabulary": QuerySpec(streaming_vocabulary, STREAM_VOCAB_SQL),
         "streaming_windowed_counts": QuerySpec(
             streaming_windowed_counts, WINDOWED_COUNTS_SQL
+        ),
+        "streaming_hourly_rollup": QuerySpec(
+            streaming_hourly_rollup, STREAM_HOURLY_ROLLUP_SQL
         ),
         "streaming_sessionization": QuerySpec(
             streaming_sessionization, SESSIONIZATION_SQL

@@ -306,6 +306,32 @@ def windowed_counts_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Incremental maintenance of the continuous aggregate
+    (operators/rollup.hourly_rollup): the same (hour, event_type) ->
+    (cnt, round-6 avg) rows the batch artifact stores, produced as a
+    watermarked tumbling-window aggregate. A deployment keeps the
+    rollup fresh by running THIS against the ingest stream (update
+    mode into a MERGE sink) instead of rebuilding from raw — the
+    claim the batch operator's docstring makes, here as runnable
+    code under the same value oracle. Complete-mode state is
+    |types| x |hours| rows, volume-independent."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 6).alias("av"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "cnt",
+            "av",
+        )
+    )
+
+
 def sessionization_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming session windows per user (gap-based), the incremental
     form of queries.events.sessionization."""
