@@ -226,6 +226,27 @@ def main() -> None:
     # returns the merge table as local rows — training IS construction,
     # so it must be re-run inside the timer. docs_quality_logreg likewise
     # runs its per-iteration gradient collects when the query is built.
+    #
+    # ROUND-10 MEASUREMENT FIX (declared in OPTIMIZATION_r10.md, old
+    # per-row semantics recorded there): the set below was incomplete —
+    # eleven more rows run DATA-PROPORTIONAL cluster jobs at
+    # construction (localCheckpoint of signatures / media-decode hashes
+    # / pre-aggregates, an uncached Lloyd training loop, a Bloom filter
+    # collected into a plan literal), so their construction cost
+    # silently escaped the timed region — exactly the
+    # work-outside-the-timer pattern the no-precompute rule forbids,
+    # and an inconsistency with scripts/quiet_bench.py (the scale-ledger
+    # harness), which re-invokes the query builder INSIDE the timer.
+    # Their timings now re-run construction per sample, like the
+    # iterative rows always did. Rows whose construction is only plan
+    # authoring + parquet-footer reads, or that reuse a declared
+    # persisted/bounded construct artifact (int8 scales, BPE merge
+    # table, unigram/BM25/DSIR model rows, the IVF index, the binned-
+    # percentile bounds, the transition dictionary, the uniques null
+    # probe, the bucketed layouts, the hourly rollup), keep the
+    # plan-execution-only semantics — those artifacts are the
+    # documented index-artifact posture, each with its build cost
+    # measured in BASELINE.md.
     iterative = {
         "docs_dedup_groups",
         "emb_ivf_topk",
@@ -234,6 +255,18 @@ def main() -> None:
         "docs_quality_logreg",
         "emb_pca_projection",
         "docs_pagerank",
+        # round-10 additions: construction runs data jobs
+        "emb_kmeans_clusters",      # uncached distributed Lloyd training
+        "emb_pq_topk",              # ANN-family consistency w/ cosine/ivf
+        "docs_minhash_near_dup",    # signature localCheckpoint
+        "docs_simhash_near_dup",    # signature localCheckpoint
+        "docs_dhash_near_dup",      # Arrow image decode + hash checkpoint
+        "docs_audio_near_dup",      # Arrow audio decode + hash checkpoint
+        "docs_triangle_stats",      # pair-frame localCheckpoint
+        "docs_bloom_decontaminate", # Bloom agg collected into plan literal
+        "events_gap_filled_hourly", # pre-aggregate localCheckpoint
+        "events_ewma_anomaly",      # pre-aggregate localCheckpoint
+        "docs_lang_divergence",     # (lang, token) aggregate checkpoint (r10)
     }
 
     for i, name in enumerate(names):

@@ -351,17 +351,30 @@ def tfidf_top_terms(
     k_per_doc: int = 5,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by tf-idf
-    (idf = ln(N/df), the classic form). Three aggregations, one join:
-    per-(doc, token) counts and per-token document frequency both hash on
-    token, so the idf join reuses the exchange Catalyst already planned;
-    the corpus size N is a 1-row aggregate combined via broadcast. The
-    final per-doc top-k is a rank-1..k window (WindowGroupLimit prunes it
-    to a per-partition top-k, no full sort)."""
+    (idf = ln(N/df), the classic form). ``df`` is DERIVED from ``tf``
+    (round 10): tf holds exactly one row per distinct (doc, token), so
+    ``count(doc_id)`` per token IS the document frequency (``count``
+    skips NULL ids exactly as the previous ``countDistinct`` over the
+    raw token stream did). What that buys: the df branch's token-keyed
+    exchange now carries per-partition PARTIAL COUNTS (<= |vocab| rows
+    per map partition) instead of every distinct (token, doc) pair —
+    the same map-side-reduction lever as guide §2.3 — and the df agg
+    inherits tf's map-side pair collapse instead of re-deriving it.
+    The tokenize itself still runs once per consumer (tf rides the
+    fan-out doc partitioning with no exchange of its own — the pinned
+    zero-doc_id-exchange property — so there is no shuffle boundary
+    for ReusedExchange to share; checkpointing tf to force one pass
+    would materialize a corpus-proportional frame, the exact trade
+    BASELINE.md's video-near-dup entry measured 4-12x WORSE than
+    recompute). The corpus size N is a 1-row aggregate over the base
+    table combined via broadcast. The final per-doc top-k is a
+    rank-1..k window (WindowGroupLimit prunes it to a per-partition
+    top-k, no full sort)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = tf.groupBy("token").agg(F.count("doc_id").alias("df"))
     # count docs from the base table, not the exploded token stream — a
     # third corpus scan + explode just to count rows is pure waste (every
     # doc yields >= 1 token, so the two counts are identical)

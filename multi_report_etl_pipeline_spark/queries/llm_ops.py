@@ -5026,7 +5026,17 @@ def docs_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, token); everything downstream (corpus counts, language
     totals, the langs x vocab completion for tokens absent in a
     language, the argmax) derives from that vocabulary-sized aggregate,
-    never rescanning the corpus."""
+    never rescanning the corpus. Round 10: the "derives from" claim is
+    now enforced physically — clt is ``localCheckpoint``-ed (the
+    minhash-signature posture, dedup.py). Before, the four consumers
+    (ct, nl, ntot, the join probe) each re-planned the scan+tokenize
+    subtree; AQE exchange reuse recovered two of them at runtime but
+    NOT the join-probe branch, whose pushed ``isnotnull(lang)`` filter
+    makes its subtree canonically different — the executed plan still
+    tokenized the corpus TWICE (final-plan audit, plans/r10). The
+    checkpoint pins it to once; the artifact is |langs| x |vocab| rows
+    (vocabulary-sized under Heaps' law), the same bound the query's own
+    completion join already materializes."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     docs = fan_out(read_table(spark, sf_dir, "documents"), spark, cols=("doc_id",))
@@ -5034,6 +5044,7 @@ def docs_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", F.explode(text.words("text")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("c_lt"))
+        .localCheckpoint(eager=True)
     )
     ct = clt.groupBy("token").agg(F.sum("c_lt").alias("c_t"))
     nl = clt.groupBy("lang").agg(F.sum("c_lt").alias("n_l"))

@@ -721,18 +721,20 @@ def test_heavy_hitters_candidate_join_broadcasts(spark):
 
 
 def test_lang_divergence_single_corpus_shuffle(spark):
-    """docs_lang_divergence: one explode + partial agg keyed
-    (lang, token) is the only corpus-sized exchange; corpus counts and
-    language totals re-aggregate the vocabulary-sized frame."""
+    """docs_lang_divergence: the corpus is tokenized ONCE — the
+    (lang, token) aggregate is localCheckpoint'd at construction
+    (round 10; before, the join-probe branch's pushed isnotnull(lang)
+    filter defeated exchange reuse and the corpus was tokenized twice
+    at runtime), so the serving plan must contain NO parquet corpus
+    scan and NO explode: every exchange reprocesses the vocabulary-
+    sized checkpointed frame."""
     from multi_report_etl_pipeline_spark.queries.llm_ops import QUERIES
 
     plan = physical_plan(QUERIES["docs_lang_divergence"].fn(spark, SF_DIR))
     assert "partial_count" in plan or "partial_sum" in plan, plan[:3000]
-    assert "Generate explode" in plan, plan[:3000]
-    # the explode feeds exactly one hash exchange (lang+token); every
-    # later exchange reprocesses the bounded aggregate
-    gen_pos = plan.index("Generate explode")
-    assert plan[:gen_pos].count("Generate explode") == 0
+    assert "Generate explode" not in plan, plan[:3000]
+    assert "Scan parquet" not in plan, plan[:3000]
+    assert "ExistingRDD" in plan, plan[:3000]
 
 
 @pytest.mark.parametrize(
