@@ -901,16 +901,27 @@ def pq_topk(
     ).mapInPandas(adc_scan, schema)
 
     # JVM ADC re-rank: exact oracle term order, codewords from literal
-    # cid -> centroid maps (cids survive empty-cluster drop-out)
+    # cid -> centroid maps (cids survive empty-cluster drop-out).
+    # The maps are authored as ONE SQL expression string per subspace
+    # instead of nested F.lit/F.array chains: the chain form issues one
+    # Py4J round trip per literal (~4,600 for 8x64x8 codebooks), which
+    # measured 3.99 s of pure driver chatter per query construction vs
+    # 0.015 s for the parsed string (round-10 probe; values verified
+    # cell-identical, and `repr(float)`'s shortest-exact decimal with
+    # the D suffix round-trips every double bit-for-bit — checked
+    # against F.lit on exponent/extreme/-0.0 cases). Catalyst constant-
+    # folds the all-literal map, so runtime is unchanged either way.
+    def _arr(row) -> str:
+        return "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+
     cb_maps = [
-        F.map_from_arrays(
-            F.array(*[F.lit(int(c)) for c in cid_arrs[j]]),
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in row])
-                    for row in cents[j]
-                ]
-            ),
+        F.expr(
+            "map("
+            + ",".join(
+                f"{int(c)}, {_arr(row)}"
+                for c, row in zip(cid_arrs[j], cents[j])
+            )
+            + ")"
         )
         for j in range(m_sub)
     ]

@@ -2503,12 +2503,22 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             iters=_PQ_ITERS,
             train_sample=_PQ_SAMPLE,
         )
+    # query rows under the same snapshot-keyed construct cache as
+    # emb_cosine_topk/emb_ivf_topk — the bounded (<= max_q) broadcast
+    # artifact, collected once per fixture fingerprint instead of one
+    # collect job per construction (round 10)
+    qkey = _snapshot_key("pq_topk_queries", sf_dir, "embeddings")
+    if qkey not in _CONSTRUCT_CACHE:
+        _CONSTRUCT_CACHE[qkey] = queries.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        ).limit(_TOPK_MAX_Q + 1).collect()
     return similarity.pq_topk(
         emb,
         queries,
         k=10,
         codebooks=_CONSTRUCT_CACHE[key],
         n_cand=_PQ_CAND,
+        q_rows=_CONSTRUCT_CACHE[qkey],
         max_q=_TOPK_MAX_Q,
     )
 
