@@ -30,6 +30,34 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Lazy-scan memo: (session id, table path, source fingerprint) ->
+# DataFrame. This caches the PLAN (an unresolved parquet scan +
+# optional ns->us projection), never results — every action still
+# scans the files. What it saves is the driver-side footer read +
+# file-listing JVM work `spark.read.parquet` repeats on every call
+# (~0.1-0.15 s per call; a q9 construction issues seven) — the
+# path-based analog of the listing cache Spark only keeps for CATALOG
+# tables (guide §6). The (mtime, size) fingerprint in the key
+# invalidates on fixture rewrite, same convention as every other
+# construct cache in the repo; id(spark) scopes entries to their
+# owning session (a replaced session gets fresh plans).
+_READ_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _table_fp(path: str) -> object:
+    try:
+        if os.path.isdir(path):
+            return tuple(
+                (f, s.st_mtime_ns, s.st_size)
+                for f in sorted(os.listdir(path))
+                for s in (os.stat(os.path.join(path, f)),)
+            )
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Parquet so filter/column pushdown applies.
 
@@ -39,13 +67,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bit-identical to DuckDB's ns->us cast. The conf is set at runtime so
     the read works in ANY session (the verification driver builds its own
     SparkSession without our session.get_spark defaults)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), path, _table_fp(path))
+    cached = _READ_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _READ_CACHE[key] = df
     return df
 
 

@@ -4829,8 +4829,11 @@ def _hourly_exact_uniques(spark: SparkSession, sf_dir: str, ev) -> DataFrame:
         .groupBy("user_id", "seg")
         .agg(F.bit_or("b").alias("bm"))
     )
+    # parsed strings, not Column chains: 64 chained sums cost ~256 Py4J
+    # round trips per construction (the pq/simhash authoring lesson —
+    # identical expressions either way, one parse call each)
     sums = [
-        F.sum(F.shiftrightunsigned(F.col("bm"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        F.expr(f"SUM(SHIFTRIGHTUNSIGNED(bm, {i}) & 1)").alias(f"c{i}")
         for i in range(64)
     ]
     per_seg = core.groupBy("seg").agg(*sums)
