@@ -58,12 +58,22 @@ Round-10 window derivation:
   ADVICE r9); tpch_q3/q5/q10/q18/q21_bucketed (served from
   bucket_facts, whose marker format + cleanup scoping changed —
   conservative seats, plans audited unchanged).
-- the remaining 31 seats re-confirm the OLDEST driver evidence: the
+- rule 1 (optimization phase, added mid-round): docs_lang_divergence
+  (serving plan changed — the (lang, token) aggregate is checkpointed,
+  corpus scans become one construction-time job); docs_simhash_near_dup
+  + emb_pq_topk (expression-authoring rewrites, plans audited
+  unchanged — conservative seats). docs_tfidf_top_terms also changed
+  (df derived from tf) and already held an oldest-evidence seat, which
+  now does double duty. These three seats displace the 3 youngest r5
+  re-confirmation rows (customer_fuzzy_matches,
+  lineitem_regression_stats, docs_bigram_vocabulary — first in line
+  next round).
+- the remaining 28 seats re-confirm the OLDEST driver evidence: the
   full r3 remainder (11: docs_chunks, docs_vocabulary,
   docs_tfidf_top_terms, emb_cosine_dedup, docs_hash_sample,
   docs_stratified_sample, docs_token_packing, lineitem_approx_distinct,
   events_clicks_before_errors, events_cohort_retention,
-  events_json_props), the full r4 cohort (12), and the 5 oldest r5
+  events_json_props), the full r4 cohort (12), and the 2 oldest r5
   rows. lineitem_approx_distinct is one of the registry's two
   remaining declared engine-internal approximates — its seat records a
   rows-only line BY DESIGN (it has a value-oracled exact counterpart
@@ -157,6 +167,14 @@ _WINDOW = (
     "tpch_q10_bucketed",
     "tpch_q18_bucketed",
     "tpch_q21_bucketed",
+    # rule 1 — optimization-phase changes: lang_divergence's serving
+    # plan changed (checkpointed clt — scans become ExistingRDD);
+    # simhash/pq are authoring-only rewrites whose plans are audited
+    # unchanged — conservative seats, same convention as the r10
+    # bucketed marker-format seats above
+    "docs_lang_divergence",
+    "docs_simhash_near_dup",
+    "emb_pq_topk",
     # re-confirmation — the full r3 remainder (oldest evidence)
     "docs_chunks",
     "docs_vocabulary",
@@ -182,12 +200,13 @@ _WINDOW = (
     "streaming_interval_join",
     "streaming_contact_survivors",
     "streaming_snapshot_merge",
-    # re-confirmation — the 8 oldest r5 rows
+    # re-confirmation — the 2 oldest r5 rows (3 more r5 rows —
+    # customer_fuzzy_matches, lineitem_regression_stats,
+    # docs_bigram_vocabulary — displaced by the optimization-phase
+    # rule-1 seats above; first in line next round, and
+    # customer_fuzzy_matches was judge-validated green this round)
     "orders_snapshot_diff",
     "orders_lifecycle_zorder",
-    "customer_fuzzy_matches",
-    "lineitem_regression_stats",
-    "docs_bigram_vocabulary",
 )
 
 
