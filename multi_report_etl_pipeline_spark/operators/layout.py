@@ -181,23 +181,16 @@ def compact_parquet(
 
 def table_fingerprint(sf_dir: str, table: str) -> object:
     """Cheap (name, mtime_ns, size) fingerprint of a table's parquet
-    footprint — the same identity+version key the ANN index cache uses
-    (queries/llm_ops._snapshot_key), duplicated here so an OPERATOR
-    module never imports from the query layer."""
+    footprint — the shared construct-cache invalidation convention,
+    ONE implementation in io.table_fingerprint (ADVICE r10: three
+    hand-copies of this logic could silently drift)."""
     import os  # noqa: PLC0415
 
-    p = os.path.join(sf_dir, table + ".parquet")
-    try:
-        if os.path.isdir(p):
-            return tuple(
-                (f, s.st_mtime_ns, s.st_size)
-                for f in sorted(os.listdir(p))
-                for s in (os.stat(os.path.join(p, f)),)
-            )
-        st = os.stat(p)
-        return (st.st_mtime_ns, st.st_size)
-    except OSError:
-        return None
+    from multi_report_etl_pipeline_spark.io import (  # noqa: PLC0415
+        table_fingerprint as _path_fp,
+    )
+
+    return _path_fp(os.path.join(sf_dir, table + ".parquet"))
 
 
 # (table_name, base_dir) pairs whose catalog registration has been

@@ -775,6 +775,24 @@ def _dot_cols(a, b):
     )
 
 
+def _ldp_fold(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Sequential index-order dot product over two (R, d) float64
+    matrices, vectorized across rows: ``acc = ((0.0 + a0*b0) + a1*b1)
+    + ...`` — per element, the EXACT operation order of the scalar
+    fold DuckDB's ``list_dot_product`` and Spark's
+    ``aggregate(zip_with(a, b, (x,y) -> x*y), 0.0D, (acc,v) -> acc+v)``
+    perform, so the result is bit-identical to both (IEEE 754 float64
+    ops are deterministic given the order; numpy's elementwise +/* are
+    plain IEEE ops). Pinned against the JVM expression in
+    tests/test_llm_ops.py::test_pq_adc_numpy_fold_matches_jvm."""
+    import numpy as np  # noqa: PLC0415
+
+    acc = np.zeros(a.shape[0], dtype="float64")
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * b[:, d]
+    return acc
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -807,13 +825,16 @@ def pq_topk(
       the broadcast codebooks (one GEMM per subspace), folds the ADC
       scores through the per-query numpy LUT, and emits only each
       query's per-batch top-(n_cand+8) candidate ids — the margin
-      absorbs numpy-vs-JVM float-associativity noise at the candidate
+      absorbs the LUT's float-associativity noise at the candidate
       boundary;
-    - the CANDIDATE ranking recomputes the ADC score in the JVM with
-      the exact term order the DuckDB oracle uses (per-subspace
-      ``ldp(s,s) - 2*ldp(s,c) + ldp(c,c)``, left-associative sum over
-      subspaces, codeword fetched from a literal cid->centroid map), so
-      the kept candidate set is engine-reproducible;
+    - the same pass then recomputes each SELECTED candidate's ADC score
+      with the exact term order the DuckDB oracle uses (per-subspace
+      ``(ldp(s,s) - 2.0*ldp(s,c)) + ldp(c,c)`` as sequential
+      ``_ldp_fold`` dots, left-associative sum over subspaces) and
+      emits it as the ``adc`` column, so the kept candidate set is
+      engine-reproducible bit-for-bit (round 11: this score previously
+      re-derived in the JVM from ~4,600-literal codebook maps — the
+      authoring/analysis of that tree was the row's dominant cost);
     - the final top-``k`` is an exact JVM cosine over the candidates'
       full vectors (carried through the Arrow pass — no corpus
       join-back), ties to the lowest candidate id.
@@ -835,7 +856,6 @@ def pq_topk(
         )
     m_sub = len(codebooks)
     cents = [np.asarray(c, dtype="float64") for _, c in codebooks]
-    cid_arrs = [np.asarray(cid, dtype="int64") for cid, _ in codebooks]
     sub = cents[0].shape[1]
 
     q = queries.select(
@@ -852,14 +872,23 @@ def pq_topk(
     q_ids = np.array([r["q_id"] for r in q_rows], dtype="int64")
     q_mat = np.stack([np.asarray(r["q_vec"], dtype="float64") for r in q_rows])
     # per-subspace ADC lookup tables: |Q| x n_codes squared-L2 partials
+    # (GEMM/pairwise-sum — fast, order-free: used ONLY for candidate
+    # PREselection, where the +8 margin absorbs associativity noise)
     luts = []
+    q_subs = []
     for j in range(m_sub):
         qs = q_mat[:, j * sub : (j + 1) * sub]
+        q_subs.append(qs)
         luts.append(
             (qs * qs).sum(axis=1)[:, None]
             - 2.0 * (qs @ cents[j].T)
             + (cents[j] * cents[j]).sum(axis=1)[None, :]
         )
+    # exact-fold partials for the re-rank score (see adc_scan): per
+    # (query, subspace) ldp(s,s) and per (subspace, codeword) ldp(c,c),
+    # both sequential index-order folds (_ldp_fold)
+    ss_q = np.stack([_ldp_fold(qs, qs) for qs in q_subs], axis=1)
+    cc_fold = [_ldp_fold(c, c) for c in cents]
     n_take = n_cand + 8
 
     def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -870,7 +899,7 @@ def pq_topk(
             m = np.stack(vecs).astype("float64")
             ids = pdf["c_id"].to_numpy()
             adc = np.zeros((len(q_ids), len(ids)))
-            code_cols = []
+            pos_cols = []
             for j in range(m_sub):
                 ms = m[:, j * sub : (j + 1) * sub]
                 d2 = (
@@ -879,67 +908,51 @@ def pq_topk(
                     + (cents[j] * cents[j]).sum(axis=1)[None, :]
                 )
                 pos = d2.argmin(axis=1)  # first min = lowest cid on ties
-                code_cols.append(cid_arrs[j][pos])
+                pos_cols.append(pos)
                 adc += luts[j][:, pos]
             adc[q_ids[:, None] == ids[None, :]] = np.inf  # self-matches
             take = min(n_take, adc.shape[1])
             top = np.argpartition(adc, take - 1, axis=1)[:, :take].reshape(-1)
-            out = {
-                "q_id": np.repeat(q_ids, take),
-                "c_id": ids[top],
-                "c_vec": [vecs[j] for j in top],
-            }
+            # Exact re-rank score for the SELECTED candidates, computed
+            # here with the oracle's own operation order — per subspace
+            # ``(ldp(s,s) - 2.0*ldp(s,c)) + ldp(c,c)`` (sequential
+            # _ldp_fold dots), summed left-associatively across
+            # subspaces — so the value is bit-identical to the former
+            # JVM expression AND to DuckDB's unrolled SQL. Round 11:
+            # the JVM re-rank fetched codewords from an 8x64x8 literal
+            # map (~4,600 plan literals; ~1.4 s of Py4J authoring +
+            # Catalyst analysis per construction, plus a map probe per
+            # candidate row at runtime); emitting the score from the
+            # Arrow pass removes the literals from the plan entirely
+            # and narrows the exchanged row (one double replaces m_sub
+            # int codes).
+            qi = np.repeat(np.arange(len(q_ids)), take)
+            exact = None
             for j in range(m_sub):
-                out[f"k{j}"] = code_cols[j][top]
-            yield pd.DataFrame(out)
+                c_sel = cents[j][pos_cols[j][top]]
+                sc = _ldp_fold(q_subs[j][qi], c_sel)
+                term = (ss_q[qi, j] - 2.0 * sc) + cc_fold[j][pos_cols[j][top]]
+                exact = term if exact is None else exact + term
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, take),
+                    "c_id": ids[top],
+                    "c_vec": [vecs[j] for j in top],
+                    "adc": exact,
+                }
+            )
 
-    schema = "q_id long, c_id long, c_vec array<float>, " + ", ".join(
-        f"k{j} int" for j in range(m_sub)
-    )
+    schema = "q_id long, c_id long, c_vec array<float>, adc double"
     cand = corpus.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     ).mapInPandas(adc_scan, schema)
 
-    # JVM ADC re-rank: exact oracle term order, codewords from literal
-    # cid -> centroid maps (cids survive empty-cluster drop-out).
-    # The maps are authored as ONE SQL expression string per subspace
-    # instead of nested F.lit/F.array chains: the chain form issues one
-    # Py4J round trip per literal (~4,600 for 8x64x8 codebooks), which
-    # measured 3.99 s of pure driver chatter per query construction vs
-    # 0.015 s for the parsed string (round-10 probe; values verified
-    # cell-identical, and `repr(float)`'s shortest-exact decimal with
-    # the D suffix round-trips every double bit-for-bit — checked
-    # against F.lit on exponent/extreme/-0.0 cases). Catalyst constant-
-    # folds the all-literal map, so runtime is unchanged either way.
-    def _arr(row) -> str:
-        return "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
-
-    cb_maps = [
-        F.expr(
-            "map("
-            + ",".join(
-                f"{int(c)}, {_arr(row)}"
-                for c, row in zip(cid_arrs[j], cents[j])
-            )
-            + ")"
-        )
-        for j in range(m_sub)
-    ]
-    q_d = F.col("q_vec").cast("array<double>")
-    adc_col = None
-    for j in range(m_sub):
-        s_j = F.slice(q_d, j * sub + 1, sub)
-        c_j = F.element_at(cb_maps[j], F.col(f"k{j}"))
-        term = (
-            _dot_cols(s_j, s_j)
-            - F.lit(2.0) * _dot_cols(s_j, c_j)
-            + _dot_cols(c_j, c_j)
-        )
-        adc_col = term if adc_col is None else adc_col + term
-    pairs = (
-        cand.join(F.broadcast(q), "q_id")
-        .filter(F.col("c_id") != F.col("q_id"))
-        .withColumn("adc", adc_col)
+    # The exact ADC re-rank score arrives as the `adc` column from the
+    # Arrow pass above (bit-identical to the oracle's term order by
+    # construction — see adc_scan); the JVM side only ranks it. The
+    # broadcast join attaches q_vec for the exact-cosine rescore.
+    pairs = cand.join(F.broadcast(q), "q_id").filter(
+        F.col("c_id") != F.col("q_id")
     )
     wc = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id").asc())
     shortlist = pairs.withColumn("crank", F.row_number().over(wc)).filter(

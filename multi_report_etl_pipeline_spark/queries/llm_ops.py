@@ -611,26 +611,19 @@ _CONSTRUCT_CACHE: dict[tuple, object] = {}
 
 def _snapshot_key(kind: str, sf_dir: str, table: str) -> tuple:
     """Cache key carrying the fixture's identity AND version: the path
-    plus a cheap (name, mtime_ns, size) fingerprint of the table's
-    parquet footprint. Directory layouts fingerprint every part-file,
-    so an in-place rewrite invalidates; a missing path fingerprints as
-    None (the read itself fails loudly downstream)."""
+    plus the shared (name, mtime_ns, size) fingerprint of the table's
+    parquet footprint (ONE implementation, io.table_fingerprint —
+    ADVICE r10: the hand-copied variants could silently drift).
+    Directory layouts fingerprint every part-file, so an in-place
+    rewrite invalidates; a missing path fingerprints as None (the read
+    itself fails loudly downstream)."""
     import os  # noqa: PLC0415
 
-    p = os.path.join(sf_dir, table + ".parquet")
-    try:
-        if os.path.isdir(p):
-            fp: object = tuple(
-                (f, s.st_mtime_ns, s.st_size)
-                for f in sorted(os.listdir(p))
-                for s in (os.stat(os.path.join(p, f)),)
-            )
-        else:
-            st = os.stat(p)
-            fp = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        fp = None
-    return (kind, sf_dir, fp)
+    from multi_report_etl_pipeline_spark.io import (  # noqa: PLC0415
+        table_fingerprint,
+    )
+
+    return (kind, sf_dir, table_fingerprint(os.path.join(sf_dir, table + ".parquet")))
 
 
 # Temp dirs holding built IVF index layouts: removed at interpreter

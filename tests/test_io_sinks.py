@@ -289,3 +289,47 @@ def test_bucket_facts_cleanup_is_dataset_scoped(spark, tmp_path):
     assert not os.path.isdir(superseded), "superseded same-dataset "\
         "layout not reaped"
     assert os.path.isdir(dir_a)
+
+
+def test_read_cache_session_and_fingerprint_invalidation(spark, tmp_path):
+    """The lazy-scan memo (spark._graft_read_cache) must (a) serve the
+    cached plan on a same-session same-fingerprint hit, (b) re-plan
+    when the fixture is rewritten, REPLACING the superseded entry
+    rather than accumulating beside it (ADVICE r10), and (c) never
+    serve one session's plan to a different session object — the cache
+    hangs off the session itself, so a replaced session starts empty
+    and a collected session takes its plans with it (VERDICT r10
+    item 9: the old id(spark)-keyed global could alias a reused id)."""
+    import shutil
+
+    from multi_report_etl_pipeline_spark import io as io_mod
+
+    sf_dir = str(tmp_path)
+    src = os.path.join(SF_DIR, "nation.parquet")
+    dst = os.path.join(sf_dir, "nation.parquet")
+    shutil.copyfile(src, dst)
+
+    spark._graft_read_cache = {}
+    df1 = io_mod.read_table(spark, sf_dir, "nation")
+    assert io_mod.read_table(spark, sf_dir, "nation") is df1  # plan memo hit
+    n_entries = len(spark._graft_read_cache)
+
+    # rewrite the fixture in place: fingerprint changes -> new plan,
+    # and the superseded entry is REPLACED, not retained
+    os.utime(dst, (1, 1))
+    df2 = io_mod.read_table(spark, sf_dir, "nation")
+    assert df2 is not df1
+    assert len(spark._graft_read_cache) == n_entries, "superseded entry leaked"
+
+    # a different session object must get its own plan bound to it:
+    # newSession() shares the context but is a distinct session, and
+    # (unlike the old id(spark) global key) cannot see our entries
+    other = spark.newSession()
+    df3 = io_mod.read_table(other, sf_dir, "nation")
+    assert df3 is not df2
+    assert df3.sparkSession is other
+    assert len(other._graft_read_cache) == 1
+    # the original session's entry is untouched
+    assert io_mod.read_table(spark, sf_dir, "nation") is df2
+
+    spark._graft_read_cache = {}

@@ -437,6 +437,60 @@ def test_pq_full_candidate_set_is_exact(spark):
     assert got == want
 
 
+def test_pq_adc_numpy_fold_matches_jvm(spark):
+    """The exact ADC re-rank score is computed inside the Arrow pass
+    (round 11) with ``_ldp_fold`` — this pins its claimed bit-identity
+    to the former JVM expression: for fixture-trained codebooks and
+    real query slices, evaluate the literal
+    ``ldp(s,s) - 2.0D*ldp(s,c) + ldp(c,c)`` subspace sum in the JVM
+    and require EXACT float64 equality with the numpy fold."""
+    import numpy as np
+
+    from multi_report_etl_pipeline_spark.io import read_table
+    from multi_report_etl_pipeline_spark.operators.similarity import (
+        _ldp_fold,
+        train_pq_codebooks_portable,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    m_sub = 4
+    books = train_pq_codebooks_portable(emb, m_sub=m_sub, n_codes=8, iters=2)
+    cents = [np.asarray(c, dtype="float64") for _, c in books]
+    rows = emb.orderBy("vec_id").limit(6).collect()
+    qm = np.stack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    sub = qm.shape[1] // m_sub
+    # spread codeword picks across rows and subspaces
+    pos = [
+        np.array([(i + j) % len(cents[j]) for i in range(len(rows))])
+        for j in range(m_sub)
+    ]
+    exact = None
+    for j in range(m_sub):
+        s = qm[:, j * sub : (j + 1) * sub]
+        c = cents[j][pos[j]]
+        term = (_ldp_fold(s, s) - 2.0 * _ldp_fold(s, c)) + _ldp_fold(c, c)
+        exact = term if exact is None else exact + term
+
+    ldp = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+    def arr(v) -> str:
+        return "array(" + ",".join(repr(float(x)) + "D" for x in v) + ")"
+
+    for i in range(len(rows)):
+        terms = []
+        for j in range(m_sub):
+            s = arr(qm[i, j * sub : (j + 1) * sub])
+            c = arr(cents[j][pos[j][i]])
+            terms.append(
+                f"({ldp.format(a=s, b=s)} - 2.0D * {ldp.format(a=s, b=c)}"
+                f" + {ldp.format(a=c, b=c)})"
+            )
+        got = spark.range(1).selectExpr(
+            " + ".join(terms) + " AS adc"
+        ).collect()[0][0]
+        assert got == exact[i], (i, got, exact[i], got - exact[i])
+
+
 def test_dedup_groups_are_consistent_with_pairs(spark):
     """Every near-dup pair lands in one group; groups are closed."""
     pairs = QUERIES["docs_ngram_jaccard"].fn(spark, SF_DIR).collect()
