@@ -111,6 +111,8 @@ HEADLINE = [
     "tpch_q9_bucketed",
     "tpch_q10_bucketed",
     "tpch_q5_bucketed",
+    # round-11: q1 row-group-geometry serving row (1.18x at sf100)
+    "tpch_q1_bucketed",
     "lineitem_grouping_sets_bucketed",
     "events_gap_filled_hourly_rollup",
     "events_ewma_anomaly_rollup",
@@ -210,6 +212,30 @@ def main() -> None:
     _sentinel()
 
     timings["staging_materialize"] = _timed(_run_materialize)
+
+    # Explicit build row for the hourly-rollup construct artifact
+    # (round 11, VERDICT r10 standing condition): the two rollup-served
+    # rows time SERVING by declared design, so the artifact's from-raw
+    # build cost gets its own timed row — delete the artifact, clear
+    # the process cache, rebuild from the raw events parquet, and read
+    # the result back through the noop sink. Uses a bench-private
+    # base_dir so the timed rebuild can't invalidate the serving rows'
+    # artifact mid-suite.
+    def _run_rollup_build() -> None:
+        import shutil  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        from multi_report_etl_pipeline_spark.operators import (  # noqa: PLC0415
+            rollup,
+        )
+
+        base = os.path.join(tempfile.gettempdir(), "graft_rollup_bench")
+        shutil.rmtree(base, ignore_errors=True)
+        for k in [k for k in rollup._ROLLUP_CACHE if k[1] == base]:
+            del rollup._ROLLUP_CACHE[k]
+        _force(rollup.hourly_rollup(spark, sf_dir, base_dir=base))
+
+    timings["events_hourly_rollup_build"] = _timed(_run_rollup_build)
 
     # Queries whose *construction* already runs cluster jobs (iterative
     # driver loops: label propagation, quantizer training). For these the

@@ -34,6 +34,35 @@ under these rules, in priority order:
    ``scripts/validate.py`` runs the driver-equivalent oracle harness
    over any subset on demand.
 
+Round-11 window derivation:
+- rule 4: the 5 reference-surface rows (unchanged).
+- rule 1 (changed this round): emb_pq_topk (PLAN CHANGED — the exact
+  ADC re-rank moved into the Arrow pass; the ~4,600-literal codebook
+  maps left the plan, plans/r11/emb_pq_topk_{before,after}.txt);
+  tpch_q1_pricing_summary (layout-parameter threading — default flat
+  plan audited identical modulo expression ids, conservative seat).
+- rule 2 (new): tpch_q1_bucketed (the q1 row-group-geometry serving
+  row, 1.18x at sf100, VERDICT r10 item 6).
+- rotation duty (VERDICT r10 item 10 + the r10 docstring's promises):
+  the 3 displaced r5 re-confirmation rows return
+  (customer_fuzzy_matches, lineitem_regression_stats,
+  docs_bigram_vocabulary), and the 4 rows the r10 rule-2 batch
+  displaced return (events_value_percentiles, docs_repetition_stats,
+  docs_split_assignment, docs_mixture_sample).
+  events_value_percentiles is a declared engine-internal approximate:
+  its seat records a rows-only line BY DESIGN, and it replaces
+  lineitem_approx_distinct (demoted after its r10 re-confirmation) as
+  the window's single such row.
+- demoted in exchange (9): r3-remainder re-confirmation rows whose
+  evidence r10 just refreshed to newest-in-registry (docs_chunks,
+  docs_vocabulary, emb_cosine_dedup, docs_hash_sample,
+  docs_stratified_sample, docs_token_packing,
+  events_clicks_before_errors, events_cohort_retention,
+  lineitem_approx_distinct). Kept per rule 5 (second consecutive green
+  on fresh code): docs_lang_divergence, docs_simhash_near_dup,
+  docs_tfidf_top_terms, the r10-changed events/tpch rows, and the r10
+  rule-2 serving rows.
+
 Round-10 window derivation:
 - rule 4: the 5 reference-surface rows.
 - rule 2 (new): lineitem_grouping_sets_bucketed (the row-group-geometry
@@ -167,25 +196,28 @@ _WINDOW = (
     "tpch_q10_bucketed",
     "tpch_q18_bucketed",
     "tpch_q21_bucketed",
-    # rule 1 — optimization-phase changes: lang_divergence's serving
-    # plan changed (checkpointed clt — scans become ExistingRDD);
-    # simhash/pq are authoring-only rewrites whose plans are audited
-    # unchanged — conservative seats, same convention as the r10
-    # bucketed marker-format seats above
+    # rule 5 keeps (second consecutive green on r10-changed code) +
+    # rule 1 this round: emb_pq_topk's PLAN changed again in r11 (ADC
+    # re-rank moved into the Arrow pass — plans/r11)
     "docs_lang_divergence",
     "docs_simhash_near_dup",
     "emb_pq_topk",
-    # re-confirmation — the full r3 remainder (oldest evidence)
-    "docs_chunks",
-    "docs_vocabulary",
+    # rule 1/2 — round-11 changes: q1 layout threading (conservative
+    # seat, default plan identical) + the new bucketed serving row
+    "tpch_q1_pricing_summary",
+    "tpch_q1_bucketed",
+    # rotation duty — the 3 r5 rows displaced by the r10 optimization
+    # phase and the 4 rows displaced by the r10 rule-2 batch return
+    "customer_fuzzy_matches",
+    "lineitem_regression_stats",
+    "docs_bigram_vocabulary",
+    "events_value_percentiles",
+    "docs_repetition_stats",
+    "docs_split_assignment",
+    "docs_mixture_sample",
+    # re-confirmation keeps (rule 5: tfidf changed r10; json_props
+    # stays one more round — youngest of the r3 remainder)
     "docs_tfidf_top_terms",
-    "emb_cosine_dedup",
-    "docs_hash_sample",
-    "docs_stratified_sample",
-    "docs_token_packing",
-    "lineitem_approx_distinct",
-    "events_clicks_before_errors",
-    "events_cohort_retention",
     "events_json_props",
     # re-confirmation — the full r4 cohort
     "docs_video_frames",
