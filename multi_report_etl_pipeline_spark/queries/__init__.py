@@ -8,7 +8,7 @@ ROTATION POLICY (the driver audit window)
 
 The verification driver audits the registry in iteration order and caps
 at ``DRIVER_AUDIT_CAP`` (50) entries per round; entries past the cap get
-no driver CORRECTNESS row that round. The registry holds 173 queries —
+no driver CORRECTNESS row that round. The registry holds 192 queries —
 more than 3 windows' worth — so window membership is ROTATED each round
 under these rules, in priority order:
 
